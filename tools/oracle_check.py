@@ -1,0 +1,117 @@
+"""Local mirror of the driver's DuckDB-oracle differential check.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+against the same sf directory, then compares row count, column names, and
+exact values order-insensitively (columns sorted by name, rows sorted by
+stringified values — strict: any value difference fails, since the driver
+hashes values).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from de_project_sprint_etl_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from de_project_sprint_etl_spark.session import get_spark  # noqa: E402
+
+
+def canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v.normalize())
+    return str(v)
+
+
+def frame_rows(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(canon(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    rows.sort()
+    return rows
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    spark = get_spark(shuffle_partitions=8)
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        print(f"...   {name}: spark done {len(sdf)} rows "
+              f"[{time.time()-t0:.1f}s]", flush=True)
+        if name not in oracles:
+            print(f"SKIP  {name}: no oracle (rows-only) — {len(sdf)} rows "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} duckdb={len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(
+                f"columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}"
+            )
+        if not problems:
+            srows, orows = frame_rows(sdf), frame_rows(odf)
+            if srows != orows:
+                diff = [
+                    (a, b) for a, b in zip(srows, orows) if a != b
+                ][:3]
+                sset, oset = set(srows), set(orows)
+                problems.append(
+                    f"values differ: {len(sset - oset)} spark-only / "
+                    f"{len(oset - sset)} duckdb-only; first diffs: {diff}"
+                )
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILED: {failures}")
+        return 1
+    print("all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
