@@ -1,0 +1,83 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Timing = full query execution including the parquet scan, measured by a
+count-only action (``df.count()`` after a no-op cache-less plan) plus a
+collect of at most 1000 rows, so driver-side transfer doesn't dominate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from de_project_sprint_etl_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# Headline set: the flagship retention pipeline + the operator families
+# that dominate cost (scan+join, two-level agg, distinct-on, dedup/ANN
+# extension ops when present). Keep this list in sync as ops land.
+HEADLINE = [
+    "retention_compact",
+    "retention_mart",
+    "fact_sales_v2",
+    "order_log_v2_merge",
+    "distinct_on_item",
+    "calendar_dim",
+    "new_customers",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "text_quality",
+    "doc_fingerprint",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "events_windowed_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footer caches once so per-query numbers
+    # measure execution, not first-touch JIT.
+    qs[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        df.limit(1000).collect()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
