@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from de_project_sprint_etl_spark.plans import registry  # noqa: E402
 from de_project_sprint_etl_spark.plans import testdata  # noqa: E402,F401 — registers core queries
+from de_project_sprint_etl_spark.plans import llm  # noqa: E402,F401 — registers dedup/similarity/text ops
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

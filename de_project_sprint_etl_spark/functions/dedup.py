@@ -1,0 +1,269 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of each op):
+
+- **exact**: one hash-groupBy on the normalized-text digest — a single
+  shuffle keyed by a 32-byte string; AQE coalesces tiny partitions.
+- **n-gram Jaccard (set-similarity join)**: explode distinct shingles,
+  self-join on the shingle, count shared shingles per pair, then
+  ``J = shared / (|A| + |B| - shared)``. The shuffle key is the shingle,
+  so work is proportional to the posting-list sizes, not |docs|².
+  Hot shingles are the skew hazard → ``max_shingle_df`` drops shingles
+  appearing in more than that many docs (standard df-cut; a shingle in
+  half the corpus carries no dedup signal anyway).
+- **MinHash+LSH**: k independent min-hashes from the shared 60-bit
+  digest family, banded; candidate pairs agree on at least one band.
+  One explode + one groupBy for signatures, one self-join per band on
+  the band key. Estimated Jaccard = fraction of matching components.
+- **SimHash**: 32-bit weighted-majority signature; near-dup pairs share
+  at least one of 4 signature bytes (pigeonhole: hamming ≤ 3 ⇒ some
+  byte equal), verified by ``bit_count(xor) ≤ 3``.
+
+Everything is built from Catalyst expressions; every op has an exact
+DuckDB-SQL mirror in plans/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.functions.text import (
+    h64,
+    norm_text,
+    tokens,
+    with_shingles,
+)
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups keyed by md5(normalized text): the canonical id
+    (min id), the group size, and whether the group is duplicated.
+
+    Output: ``dup_key, canonical_id, n_docs``.
+    """
+    return (
+        docs.select(F.md5(norm_text(F.col(text_col))).alias("dup_key"), F.col(id_col))
+        .groupBy("dup_key")
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def keep_canonical(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Filter-side of exact dedup: keep one row per distinct content
+    (the min-id representative). A single window over the dup key — no
+    join back, one shuffle."""
+    w = Window.partitionBy(F.md5(norm_text(F.col(text_col)))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _exploded_shingles(
+    docs: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return (
+        with_shingles(docs.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col).alias("id"), F.explode("shingle_arr").alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.2,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Set-similarity join on word n-gram shingles.
+
+    Output: ``id_a, id_b, shared, n_a, n_b, jaccard`` for pairs with
+    ``jaccard >= min_jaccard`` (id_a < id_b, 6-decimal rounding).
+    """
+    sh = _exploded_shingles(docs, text_col, id_col, n)
+    # df-cut: drop shingles hotter than max_shingle_df (skew + no signal)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+    return out.select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """k-component MinHash signature per doc: ``h_i = min over shingles
+    of h64(i || '|' || shingle)``. One explode + one groupBy computing
+    all k mins in a single aggregation (map-side partial combine)."""
+    sh = _exploded_shingles(docs, text_col, id_col, n)
+    aggs = [
+        F.min(h64(F.col("shingle"), seed=i)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH banding over MinHash signatures.
+
+    Bands of ``r = num_hashes // bands`` rows; a pair is a candidate iff
+    some band agrees exactly; estimated Jaccard = matching components /
+    k, filtered at ``min_est_jaccard``.
+
+    Output: ``id_a, id_b, est_jaccard``.
+    """
+    r = num_hashes // bands
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    banded = signatures.select(
+        "id",
+        *hcols,
+        *[
+            F.concat_ws("_", *[F.col(h).cast("string") for h in hcols[b * r : (b + 1) * r]]).alias(
+                f"band{b}"
+            )
+            for b in range(bands)
+        ],
+    )
+    cand = None
+    for b in range(bands):
+        a = banded.alias("a")
+        bb = banded.alias("b")
+        pairs_b = a.join(
+            bb,
+            (F.col(f"a.band{b}") == F.col(f"b.band{b}")) & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{h}").alias(f"a_{h}") for h in hcols],
+            *[F.col(f"b.{h}").alias(f"b_{h}") for h in hcols],
+        )
+        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    matches = sum(
+        F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hcols
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(matches / F.lit(num_hashes), 6))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Weighted-majority SimHash over token hashes.
+
+    Explode tokens with multiplicity (weight = term frequency), then one
+    groupBy computing, per bit b, ``sum(tf * (bit_b(h) ? 1 : -1))``; the
+    signature sets bit b iff that sum is positive.
+
+    Output: ``id, simhash`` (non-negative 32-bit value in a long).
+    """
+    toks = (
+        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .select("id", F.explode("toks").alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("th", h64(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = toks.groupBy("id").agg(*bit_sums)
+    sig = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(bits)
+    )
+    return sums.select("id", sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    sig: DataFrame, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the 4 signature bytes
+    (pigeonhole guarantees recall for hamming ≤ 3), verify with
+    ``bit_count(a XOR b) <= max_hamming``.
+
+    Output: ``id_a, id_b, hamming``.
+    """
+    nblocks = 4
+    width = bits // nblocks
+    blocked = sig.select(
+        "id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), k * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias(f"blk{k}")
+            for k in range(nblocks)
+        ],
+    )
+    cand = None
+    for k in range(nblocks):
+        a = blocked.alias("a")
+        b = blocked.alias("b")
+        p = a.join(
+            b, (F.col(f"a.blk{k}") == F.col(f"b.blk{k}")) & (F.col("a.id") < F.col("b.id"))
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,510 @@
+"""LLM-data-pipeline queries (dedup / similarity / text analysis) bound
+to the TESTDATA.md ``documents`` and ``embeddings`` tables, each with an
+exact DuckDB oracle.
+
+The synthetic corpus has no natural near-duplicates (500 distinct
+bag-of-words docs; max pairwise embedding cosine ≈ 0.51), so the
+near-dup queries build their corpus as ``base ∪ mutated copies`` inside
+the query — identically on both engines — which exercises the operators
+with non-trivial output while staying on the provided tables.
+
+Cross-engine numeric rules:
+- shared 60-bit hash (functions.text.h64 / sql_h64) — bit-identical.
+- cosine math in double precision, left-fold summation on both sides,
+  rounded to 6 decimals before ranking; ties broken by id.
+- double sums (events value) go through DECIMAL(18,2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.functions import dedup, similarity, text
+from de_project_sprint_etl_spark.functions.text import SQL_NORM, sql_h64
+from de_project_sprint_etl_spark.plans.registry import register
+from de_project_sprint_etl_spark.plans.testdata import events_df, t
+
+# --- shared corpus builders -------------------------------------------------
+
+MUT_OFFSET = 100_000
+
+
+def docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicate mutants: every 5th doc re-appears with
+    id+100000 and its first two normalized tokens dropped."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = text.tokens(F.col("text"))
+    mut = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + MUT_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", F.slice(toks, 3, F.size(toks))).alias("text"),
+        )
+        .filter(F.length("text") > 0)
+    )
+    return docs.unionByName(mut)
+
+
+SQL_DOCS_MUT = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {MUT_OFFSET} AS doc_id,
+       array_to_string(list_slice(toks, 3, len(toks)), ' ') AS text
+FROM (SELECT doc_id, STRING_SPLIT({SQL_NORM.format(c='text')}, ' ') AS toks
+      FROM documents WHERE doc_id % 5 = 0) m
+WHERE LENGTH(array_to_string(list_slice(toks, 3, len(toks)), ' ')) > 0
+"""
+
+
+def emb_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ exact copies of every 10th vector (id+100000)."""
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cp = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + MUT_OFFSET).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(cp)
+
+
+SQL_EMB_COPIES = f"""
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + {MUT_OFFSET} AS vec_id, embedding
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+# --- text analysis ----------------------------------------------------------
+
+_NORM = SQL_NORM.format(c="text")
+_TOKS = f"STRING_SPLIT({_NORM}, ' ')"
+_STOP_EN = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS["en"])
+# BPE-ish pattern, single-quoted for DuckDB
+_BPE_SQL = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+_PUNCT_CLASS = r"[^.,;:!?''\"()\[\]{}-]"  # '' = escaped quote inside SQL string
+
+
+@register(
+    "text_quality",
+    f"""
+WITH raw AS (
+  SELECT doc_id,
+         LENGTH(text) AS stat_n_chars,
+         len({_TOKS}) AS n_tokens,
+         len(regexp_extract_all(LOWER(text), '{_BPE_SQL}')) AS n_bpe_tokens,
+         CASE WHEN len({_TOKS}) > 0
+              THEN LENGTH(array_to_string({_TOKS}, '')) / len({_TOKS})
+              ELSE 0.0 END AS avg_token_len,
+         CASE WHEN LENGTH(text) > 0
+              THEN LENGTH(REGEXP_REPLACE(text, '{_PUNCT_CLASS}', '', 'g')) / LENGTH(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN LENGTH(text) > 0
+              THEN LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g')) / LENGTH(text)
+              ELSE 0.0 END AS digit_ratio,
+         CASE WHEN len({_TOKS}) > 0
+              THEN len(list_filter({_TOKS}, tk -> tk IN ({_STOP_EN}))) / len({_TOKS})
+              ELSE 0.0 END AS stopword_ratio
+  FROM documents)
+SELECT doc_id, stat_n_chars, n_tokens, n_bpe_tokens,
+       ROUND(avg_token_len, 6) AS avg_token_len,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(digit_ratio, 6) AS digit_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+             + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+             + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.2
+             + (1.0 - LEAST(digit_ratio * 4.0, 1.0)) * 0.1, 6) AS quality_score
+FROM raw
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (extension op; pure projections,
+    no shuffle — scales as a map over the documents scan)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_text_stats(docs, "text").drop("text")
+
+
+@register(
+    "lang_id",
+    f"""
+WITH hits AS (
+  SELECT doc_id,
+         {", ".join(
+             f"len(list_filter({_TOKS}, tk -> tk IN ({', '.join(repr(w) for w in ws)}))) AS hits_{lang}"
+             for lang, ws in text.LANG_STOPWORDS.items()
+         )}
+  FROM documents)
+SELECT doc_id,
+       CASE GREATEST(hits_en, hits_de, hits_fr, hits_es)
+         WHEN hits_fr THEN 'fr' WHEN hits_es THEN 'es'
+         WHEN hits_en THEN 'en' ELSE 'de' END AS lang_pred,
+       CAST(GREATEST(hits_en, hits_de, hits_fr, hits_es) AS BIGINT) AS lang_hits
+FROM hits
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (extension op). Tiebreak = greatest
+    lang code (struct max), mirrored by the CASE order in the oracle."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_lang_id(docs, "text").drop("text")
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+SELECT doc_id,
+       md5({_NORM}) AS fp_md5,
+       {sql_h64(_NORM)} AS fp_h64,
+       list_min(list_transform({text.sql_shingles('text')}, s -> {sql_h64('s', seed=0)})) AS fp_minhash1
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 + 60-bit content hash + minhash-1
+    (extension op; map-only)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.with_fingerprints(docs, "text").drop("text")
+
+
+# --- dedup ------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    f"""
+SELECT md5({SQL_NORM.format(c='d.text')}) AS dup_key,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       COUNT(*) AS n_docs
+FROM ({SQL_DOCS_MUT}) d
+GROUP BY 1
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on normalized-text digest (one
+    shuffle on a 32-byte key)."""
+    return dedup.exact_dedup(docs_with_mutants(spark, sf_dir))
+
+
+_SH2 = text.sql_shingles("d.text", n=2)
+
+
+@register(
+    "ngram_jaccard_dedup",
+    f"""
+WITH sh AS (
+  SELECT id, UNNEST(sh_arr) AS shingle FROM (
+    SELECT doc_id AS id, {_SH2} AS sh_arr FROM ({SQL_DOCS_MUT}) d) s
+),
+shf AS (SELECT id, shingle FROM sh WHERE LENGTH(shingle) > 0),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM shf GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       ROUND(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.3
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-Jaccard set-similarity join (shingle-posting shuffle, not
+    |docs|² — SURVEY extension op)."""
+    return dedup.ngram_jaccard_pairs(
+        docs_with_mutants(spark, sf_dir), n=2, min_jaccard=0.3
+    )
+
+
+def _sql_minhash(num_hashes: int = 16, shingle_n: int = 3) -> str:
+    sh3 = text.sql_shingles("d.text", n=shingle_n)
+    mins = ", ".join(
+        f"MIN({sql_h64('shingle', seed=i)}) AS h{i}" for i in range(num_hashes)
+    )
+    return f"""
+  SELECT id, {mins} FROM (
+    SELECT id, UNNEST(sh_arr) AS shingle FROM (
+      SELECT doc_id AS id, {sh3} AS sh_arr FROM ({SQL_DOCS_MUT}) d) s0
+  ) s WHERE LENGTH(shingle) > 0
+  GROUP BY id
+"""
+
+
+def _sql_minhash_lsh(num_hashes: int = 16, bands: int = 4, thresh: float = 0.5) -> str:
+    r = num_hashes // bands
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    band_defs = ", ".join(
+        "CONCAT_WS('_', " + ", ".join(hcols[b * r : (b + 1) * r]) + f") AS band{b}"
+        for b in range(bands)
+    )
+    cand_union = "\nUNION\n".join(
+        f"SELECT a.id AS id_a, b.id AS id_b FROM banded a "
+        f"JOIN banded b ON a.band{b} = b.band{b} AND a.id < b.id"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.{h} = sb.{h} THEN 1 ELSE 0 END" for h in hcols
+    )
+    return f"""
+WITH sig AS ({_sql_minhash(num_hashes)}),
+banded AS (SELECT *, {band_defs} FROM sig),
+cand AS ({cand_union})
+SELECT id_a, id_b, ROUND(({matches}) / {num_hashes}.0, 6) AS est_jaccard
+FROM cand JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+WHERE ROUND(({matches}) / {num_hashes}.0, 6) >= {thresh}
+"""
+
+
+@register("minhash_lsh_dedup", _sql_minhash_lsh())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) near-dup pairs (extension op: one
+    explode + one groupBy for signatures, band-key self-joins for
+    candidates)."""
+    sigs = dedup.minhash_signatures(docs_with_mutants(spark, sf_dir), num_hashes=16)
+    return dedup.minhash_lsh_pairs(sigs, num_hashes=16, bands=4, min_est_jaccard=0.5)
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END" for b in range(bits))
+    return f"""
+  SELECT id, CAST({sig} AS BIGINT) AS simhash FROM (
+    SELECT id, {bit_sums} FROM (
+      SELECT id, tok, COUNT(*) AS tf, {sql_h64('tok')} AS th FROM (
+        SELECT doc_id AS id, UNNEST(STRING_SPLIT({SQL_NORM.format(c='d.text')}, ' ')) AS tok
+        FROM ({SQL_DOCS_MUT}) d) t0
+      WHERE LENGTH(tok) > 0 GROUP BY id, tok) t1
+    GROUP BY id) t2
+"""
+
+
+def _sql_simhash_pairs(bits: int = 32, max_hamming: int = 3) -> str:
+    width = bits // 4
+    mask = (1 << width) - 1
+    blocks = ", ".join(
+        f"(simhash >> {k * width}) & {mask} AS blk{k}" for k in range(4)
+    )
+    cand_union = "\nUNION\n".join(
+        f"SELECT a.id AS id_a, b.id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b "
+        f"FROM blocked a JOIN blocked b ON a.blk{k} = b.blk{k} AND a.id < b.id"
+        for k in range(4)
+    )
+    return f"""
+WITH sig AS ({_sql_simhash(bits)}),
+blocked AS (SELECT *, {blocks} FROM sig),
+cand AS ({cand_union})
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+@register("simhash_dedup", _sql_simhash_pairs())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs, byte-blocked (pigeonhole recall
+    for hamming ≤ 3) + bit_count verify (extension op)."""
+    sigs = dedup.simhash(docs_with_mutants(spark, sf_dir), bits=32)
+    return dedup.simhash_pairs(sigs, bits=32, max_hamming=3)
+
+
+# --- similarity search ------------------------------------------------------
+
+N_QUERIES = 10
+PLANES = similarity.hyperplanes(dim=64, n_planes=8, seed=7)
+
+
+def _sql_cos(av: str, bv: str) -> str:
+    return (
+        f"list_dot_product({av}, {bv}) / "
+        f"(SQRT(list_dot_product({av}, {av})) * SQRT(list_dot_product({bv}, {bv})))"
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+sim AS (
+  SELECT query_id, neighbor_id, ROUND({_sql_cos('qv', 'cv')}, 6) AS cos_sim
+  FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM sim QUALIFY rank <= 5
+""",
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries, one
+    narrow corpus pass, tiny top-k shuffle (extension op)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5
+    )
+
+
+def _sql_lsh_sig(vec: str) -> str:
+    bits = []
+    for i, p in enumerate(PLANES):
+        arr = "[" + ", ".join(f"{v!r}" for v in p) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product({vec}, CAST({arr} AS DOUBLE[])) >= 0 "
+            f"THEN {2**i} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                  {_sql_lsh_sig('CAST(embedding AS DOUBLE[])')} AS bucket
+           FROM embeddings),
+q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket FROM c
+      WHERE neighbor_id < {N_QUERIES}),
+sim AS (
+  SELECT query_id, neighbor_id, ROUND({_sql_cos('qv', 'cv')}, 6) AS cos_sim
+  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM sim QUALIFY rank <= 5
+""",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH(8 hyperplanes)-bucketed approximate top-5 (extension op: the
+    corpus pass becomes a bucket equi-join)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), PLANES, k=5
+    )
+
+
+@register(
+    "cosine_near_dup",
+    f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM ({SQL_EMB_COPIES}) ec),
+b AS (SELECT id, v, {_sql_lsh_sig('v')} AS bucket FROM e)
+SELECT a.id AS id_a, bb.id AS id_b, ROUND({_sql_cos('a.v', 'bb.v')}, 6) AS cos_sim
+FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+WHERE ROUND({_sql_cos('a.v', 'bb.v')}, 6) >= 0.95
+""",
+)
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked (extension op)."""
+    return similarity.cosine_near_dup_pairs(
+        emb_with_copies(spark, sf_dir), PLANES, min_cos=0.95
+    )
+
+
+# --- events: windowed / sessionized / JSON ----------------------------------
+
+
+@register(
+    "events_windowed_agg",
+    """
+SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch form of
+    the Structured Streaming job in streaming/jobs.py (same logical
+    plan; readStream swaps in for read)."""
+    ev = events_df(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "events_sessionize",
+    f"""
+WITH lagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged),
+sessions AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via lag + running sum windows (the
+    batch twin of streaming session windows; partition key = user_id so
+    the window shuffle scales with users, not a global sort)."""
+    from pyspark.sql import Window
+
+    ev = events_df(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").cast("long").alias("session_start_us"),
+        (F.max("ts_us") - F.min("ts_us")).cast("long").alias("duration_us"),
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+       event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction + bucket agg (data-plane JSON functions —
+    absent in the reference (§2.12), native in Spark)."""
+    ev = events_df(spark, sf_dir)
+    return ev.select(
+        (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+        "event_type",
+    ).groupBy("k_bucket", "event_type").agg(F.count(F.lit(1)).alias("n"))
