@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_sprint_etl_spark.functions import dedup, similarity, text
+from de_project_sprint_etl_spark.functions import dedup, media, similarity, text
 from de_project_sprint_etl_spark.functions.text import SQL_NORM, sql_h64
 from de_project_sprint_etl_spark.plans.registry import register
 from de_project_sprint_etl_spark.plans.testdata import events_df, t
@@ -508,3 +508,38 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
         "event_type",
     ).groupBy("k_bucket", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- multimodal -------------------------------------------------------------
+
+_H_MEDIA = sql_h64("md5(text)")  # int of first 15 hex chars of the digest
+
+
+@register(
+    "media_features",
+    f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         OCTET_LENGTH(encode(text)) AS n_bytes,
+         md5(text) AS digest,
+         CAST(CONCAT('0x', SUBSTR(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, digest,
+       CAST(64 + h % 1920 AS INT) AS width,
+       CAST(64 + (h >> 11) % 1080 AS INT) AS height,
+       CAST(CASE WHEN kind IN ('audio', 'video')
+                 THEN 1000 + (h >> 7) % 600000 ELSE 0 END AS INT) AS duration_ms,
+       CAST(CASE WHEN kind = 'image' THEN 1
+                 WHEN kind = 'video' THEN (1000 + (h >> 7) % 600000) // 40
+                 ELSE 0 END AS INT) AS n_frames
+FROM m
+""",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature extraction through the Arrow-batched
+    ``mapInPandas`` path (functions/media.py). The decode is the
+    documented deterministic fake, which is what makes the Python-side
+    op oracle-checkable byte-for-byte."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return media.extract_features(media.synth_media(docs))

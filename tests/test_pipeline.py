@@ -1,0 +1,112 @@
+"""End-to-end pipeline test on reference-native CSV fixtures
+(FIXTURES.md §A): snapshot + increment → staging → marts → retention,
+with the reference's correctness invariants (README.md:21-22,
+comments.md:8)."""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark import pipeline
+
+ORDER_COLS = [
+    "id", "uniq_id", "date_time", "city_id", "city_name", "customer_id",
+    "first_name", "last_name", "item_id", "item_name", "quantity",
+    "payment_amount",
+]
+
+
+def write_csv(path: Path, cols, rows):
+    with path.open("w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(cols)
+        w.writerows(rows)
+
+
+@pytest.fixture(scope="module")
+def src_dir(tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("refsrc")
+    # snapshot: weeks of 2023-01-02 (w1), -09 (w2)
+    snap = [
+        # c1 single order in w1 -> new
+        [1, "a1", "2023-01-02 10:00:00", 1, "kazan", 1, "Ann", "A", 10, "hat", 1, "100.00"],
+        # c2 two rows same day in w1 -> returning
+        [2, "a2", "2023-01-03 10:00:00", 1, "kazan", 2, "Bob", "B", 11, "cap", 1, "50.00"],
+        [3, "a3", "2023-01-03 10:00:00", 1, "kazan", 2, "Bob", "B", 11, "cap", 1, "50.00"],
+        # c5 order in w2 -> new in w2
+        [4, "a4", "2023-01-09 09:00:00", 2, "perm", 5, "Eva", "E", 12, "tee", 2, "80.00"],
+    ]
+    write_csv(d / "user_order_log.csv", ORDER_COLS, snap)
+    # increment: w3 (2023-01-16), carries status incl. refunded
+    inc = [
+        [10, "b1", "2023-01-16 12:00:00", 1, "kazan", 3, "Cat", "C", 10, "hat", 1, "30.00", "refunded"],
+        [11, "b2", "2023-01-17 12:00:00", 2, "perm", 4, "Dan", "D", 12, "tee", 1, "60.00", "shipped"],
+    ]
+    write_csv(d / "user_order_log_inc.csv", ORDER_COLS + ["status"], inc)
+    write_csv(
+        d / "user_activity_log.csv",
+        ["id", "uniq_id", "date_time", "action_id", "customer_id", "quantity"],
+        [[1, "u1", "2023-01-02 10:00:00", 1, 1, 1]],
+    )
+    write_csv(
+        d / "customer_research.csv",
+        ["id", "date_id", "category_id", "geo_id", "sales_qty", "sales_amt"],
+        [[1, "2023-01-04 00:00:00", 1, 1, 3, "120.00"]],
+    )
+    with (d / "price_log.csv").open("w") as f:
+        f.write("hat,100\ncap,50\n")  # headerless (reference S6)
+    return str(d)
+
+
+def test_full_pipeline(spark, src_dir, tmp_path):
+    base = str(tmp_path / "warehouse")
+    pipeline.run_all(spark, src_dir, base)
+
+    cal = spark.read.parquet(f"{base}/mart/d_calendar")
+    # dates from orders + activity + research + increment, distinct
+    dates = {str(r.fact_date) for r in cal.select("fact_date").collect()}
+    assert {"2023-01-02", "2023-01-03", "2023-01-04", "2023-01-09",
+            "2023-01-16", "2023-01-17"} == dates
+    assert cal.count() == cal.select("date_id").distinct().count()
+
+    cust = spark.read.parquet(f"{base}/mart/d_customer")
+    assert cust.count() == 5  # one row per customer incl. increment's
+    item = spark.read.parquet(f"{base}/mart/d_item")
+    assert {r.item_id for r in item.collect()} == {10, 11, 12}
+
+    v2 = spark.read.parquet(f"{base}/mart/f_sales_v2")
+    assert v2.count() == 6  # 4 snapshot + 2 increment, no duplicates
+    assert v2.filter(F.col("status") == "refunded").count() == 1
+
+    compact = spark.read.parquet(f"{base}/mart/retention_compact").collect()
+    by_period = {r.period: r for r in compact}
+    assert by_period[1].new_cust_count == 1      # c1
+    assert by_period[1].returned_cust_count == 1  # c2
+    assert by_period[2].new_cust_count == 1      # c5
+    assert by_period[2].returned_cust_count is None  # NULL for empty cohort
+    assert by_period[3].cust_with_refunds == 1   # c3 refunded in w3
+    assert by_period[3].new_cust_count == 1      # c4 shipped in w3
+
+    mart = spark.read.parquet(f"{base}/mart/f_customer_retention")
+    assert mart.filter(F.col("period_name") != "weekly").count() == 0
+
+
+def test_pipeline_rerun_is_fixed_point(spark, src_dir, tmp_path):
+    """Reference invariant README.md:21-22: re-running must not
+    duplicate or change anything."""
+    base = str(tmp_path / "warehouse")
+    pipeline.run_all(spark, src_dir, base)
+    first = sorted(
+        map(str, spark.read.parquet(f"{base}/mart/retention_compact").collect())
+    )
+    n_v2 = spark.read.parquet(f"{base}/mart/f_sales_v2").count()
+    pipeline.run_all(spark, src_dir, base)
+    second = sorted(
+        map(str, spark.read.parquet(f"{base}/mart/retention_compact").collect())
+    )
+    assert first == second
+    assert spark.read.parquet(f"{base}/mart/f_sales_v2").count() == n_v2
