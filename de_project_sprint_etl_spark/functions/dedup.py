@@ -100,7 +100,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") > max_shingle_df)
         .select("shingle")
     )
-    sh = sh.join(hot, "shingle", "left_anti")
+    # persist: consumed three times (sizes + both self-join sides);
+    # without it the shingle explode recomputes per consumer.
+    sh = sh.join(hot, "shingle", "left_anti").persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -154,31 +156,48 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     hcols = [f"h{i}" for i in range(num_hashes)]
-    banded = signatures.select(
-        "id",
-        *hcols,
+    # persist: both sides of the bucket self-join read the signatures,
+    # and the signature subtree (shingle explode + k md5s) is the
+    # expensive part — without this Spark recomputes it per side.
+    # (At real 100 TB scale, materialize signatures to parquet instead.)
+    sig = signatures.persist()
+    band_structs = F.array(
         *[
-            F.concat_ws("_", *[F.col(h).cast("string") for h in hcols[b * r : (b + 1) * r]]).alias(
-                f"band{b}"
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_", *[F.col(h).cast("string") for h in hcols[b * r : (b + 1) * r]]
+                ).alias("band_val"),
             )
             for b in range(bands)
-        ],
+        ]
     )
-    cand = None
-    for b in range(bands):
-        a = banded.alias("a")
-        bb = banded.alias("b")
-        pairs_b = a.join(
-            bb,
-            (F.col(f"a.band{b}") == F.col(f"b.band{b}")) & (F.col("a.id") < F.col("b.id")),
-        ).select(
+    # one explode + ONE equi-join on (band_idx, band_val) replaces
+    # `bands` separate self-joins; the 16 hash components ride along so
+    # no join back to sig is needed for the estimate.
+    banded = sig.select("id", *hcols, F.explode(band_structs).alias("bv")).select(
+        "id",
+        *hcols,
+        F.col("bv.band_idx").alias("band_idx"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             *[F.col(f"a.{h}").alias(f"a_{h}") for h in hcols],
             *[F.col(f"b.{h}").alias(f"b_{h}") for h in hcols],
         )
-        cand = pairs_b if cand is None else cand.unionByName(pairs_b)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"])
+    )
     matches = sum(
         F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hcols
     )
@@ -237,30 +256,41 @@ def simhash_pairs(
     """
     nblocks = 4
     width = bits // nblocks
-    blocked = sig.select(
+    sig = sig.persist()  # both join sides; signature agg is the cost
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("blk_idx"),
+                F.shiftright(F.col("simhash"), k * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("blk_val"),
+            )
+            for k in range(nblocks)
+        ]
+    )
+    blocked = sig.select("id", "simhash", F.explode(block_structs).alias("bv")).select(
         "id",
         "simhash",
-        *[
-            F.shiftright(F.col("simhash"), k * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias(f"blk{k}")
-            for k in range(nblocks)
-        ],
+        F.col("bv.blk_idx").alias("blk_idx"),
+        F.col("bv.blk_val").alias("blk_val"),
     )
-    cand = None
-    for k in range(nblocks):
-        a = blocked.alias("a")
-        b = blocked.alias("b")
-        p = a.join(
-            b, (F.col(f"a.blk{k}") == F.col(f"b.blk{k}")) & (F.col("a.id") < F.col("b.id"))
-        ).select(
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"])
+    )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", ham.cast("int"))

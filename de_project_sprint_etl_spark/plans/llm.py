@@ -30,10 +30,24 @@ from de_project_sprint_etl_spark.plans.testdata import events_df, t
 MUT_OFFSET = 100_000
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Small single-file parquet inputs arrive as 1-2 input splits, which
+    serializes CPU-heavy per-row work (regex/md5/shingle explode) onto 2
+    of the 32 cores. One cheap round-robin repartition fans the
+    downstream projection out to full parallelism. (At real scale inputs
+    arrive as many splits and this is a no-op knob, not a semantic one.)
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fan_out(spark, t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-duplicate mutants: every 5th doc re-appears with
     id+100000 and its first two normalized tokens dropped."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_fanned(spark, sf_dir)
     toks = text.tokens(F.col("text"))
     mut = (
         docs.filter(F.col("doc_id") % 5 == 0)
@@ -59,7 +73,7 @@ WHERE LENGTH(array_to_string(list_slice(toks, 3, len(toks)), ' ')) > 0
 
 def emb_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ exact copies of every 10th vector (id+100000)."""
-    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     cp = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + MUT_OFFSET).alias("vec_id"), "embedding"
     )
@@ -119,7 +133,7 @@ FROM raw
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring (extension op; pure projections,
     no shuffle — scales as a map over the documents scan)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_fanned(spark, sf_dir)
     return text.with_text_stats(docs, "text").drop("text")
 
 
@@ -144,7 +158,7 @@ FROM hits
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (extension op). Tiebreak = greatest
     lang code (struct max), mirrored by the CASE order in the oracle."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_fanned(spark, sf_dir)
     return text.with_lang_id(docs, "text").drop("text")
 
 
@@ -161,7 +175,7 @@ FROM documents
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5 + 60-bit content hash + minhash-1
     (extension op; map-only)."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_fanned(spark, sf_dir)
     return text.with_fingerprints(docs, "text").drop("text")
 
 
@@ -340,7 +354,7 @@ FROM sim QUALIFY rank <= 5
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 10 query vectors: broadcast queries, one
     narrow corpus pass, tiny top-k shuffle (extension op)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     return similarity.brute_force_topk(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5
     )
@@ -377,7 +391,7 @@ FROM sim QUALIFY rank <= 5
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH(8 hyperplanes)-bucketed approximate top-5 (extension op: the
     corpus pass becomes a bucket equi-join)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     return similarity.lsh_topk(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), PLANES, k=5
     )
@@ -541,5 +555,5 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mapInPandas`` path (functions/media.py). The decode is the
     documented deterministic fake, which is what makes the Python-side
     op oracle-checkable byte-for-byte."""
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs_fanned(spark, sf_dir)
     return media.extract_features(media.synth_media(docs))
