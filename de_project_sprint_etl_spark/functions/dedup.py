@@ -71,10 +71,19 @@ def keep_canonical(
 def _exploded_shingles(
     docs: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
+    """(id, shingle) pairs, distinct per doc.
+
+    ``explode_outer`` (not ``explode``) on purpose: for an inner explode
+    Catalyst's InferFiltersFromGenerate adds ``size(shingle_arr) > 0``,
+    and predicate pushdown then drags the ENTIRE shingle expression tree
+    below any upstream repartition into the (few-split) scan stage —
+    serializing the regex/shingle work onto one core and computing it
+    twice. Outer generate blocks that inference; the ``length > 0``
+    filter on the generated column drops the same rows (null included).
+    """
     return (
         with_shingles(docs.select(id_col, text_col), text_col, n)
-        .select(F.col(id_col).alias("id"), F.explode("shingle_arr").alias("shingle"))
+        .select(F.col(id_col).alias("id"), F.explode_outer("shingle_arr").alias("shingle"))
         .filter(F.length("shingle") > 0)
     )
 
@@ -123,6 +132,28 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
 
 
+#: Mersenne prime 2^31 - 1 for the universal-hash MinHash family.
+#: With a, b, x all < p, `a*x + b` peaks at ~4.6e18 < 2^63, so the
+#: arithmetic is overflow-free in both Spark longs and DuckDB BIGINTs
+#: (DuckDB errors on BIGINT overflow, so this bound is load-bearing).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine hash family, from a
+    fixed 64-bit LCG so the Spark impl and the generated oracle SQL share
+    the exact same constants."""
+    state = 1
+    out: list[tuple[int, int]] = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**63
+        a = state % (MINHASH_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**63
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -130,14 +161,21 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """k-component MinHash signature per doc: ``h_i = min over shingles
-    of h64(i || '|' || shingle)``. One explode + one groupBy computing
-    all k mins in a single aggregation (map-side partial combine)."""
+    """k-component MinHash signature per doc via universal hashing:
+    one base digest per shingle ``x = h64(shingle) mod p``, then
+    ``h_i = min over shingles of (a_i*x + b_i) mod p`` (Broder minwise
+    hashing with the affine family; Mining of Massive Datasets §3.3).
+    One explode + ONE md5 per shingle + one groupBy computing all k mins
+    in a single aggregation (map-side partial combine) — k-independent
+    digest cost, unlike hashing the shingle k times."""
     sh = _exploded_shingles(docs, text_col, id_col, n)
+    x = F.pmod(h64(F.col("shingle")), F.lit(MINHASH_P))
+    base = sh.select("id", x.alias("x"))
     aggs = [
-        F.min(h64(F.col("shingle"), seed=i)).alias(f"h{i}") for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return base.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -224,7 +262,10 @@ def simhash(
     """
     toks = (
         docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-        .select("id", F.explode("toks").alias("tok"))
+        # explode_outer: see _exploded_shingles — inner explode's inferred
+        # size() filter gets pushed below the repartition with the whole
+        # tokenize expression in tow.
+        .select("id", F.explode_outer("toks").alias("tok"))
         .filter(F.length("tok") > 0)
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))

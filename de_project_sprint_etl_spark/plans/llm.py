@@ -231,15 +231,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash(num_hashes: int = 16, shingle_n: int = 3) -> str:
+    # Mirror of dedup.minhash_signatures: same base digest, same affine
+    # (a_i, b_i) constants from dedup.minhash_coeffs, same modulus.
     sh3 = text.sql_shingles("d.text", n=shingle_n)
+    p = dedup.MINHASH_P
     mins = ", ".join(
-        f"MIN({sql_h64('shingle', seed=i)}) AS h{i}" for i in range(num_hashes)
+        f"MIN(({a} * x + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(dedup.minhash_coeffs(num_hashes))
     )
     return f"""
   SELECT id, {mins} FROM (
-    SELECT id, UNNEST(sh_arr) AS shingle FROM (
-      SELECT doc_id AS id, {sh3} AS sh_arr FROM ({SQL_DOCS_MUT}) d) s0
-  ) s WHERE LENGTH(shingle) > 0
+    SELECT id, {sql_h64('shingle')} % {p} AS x FROM (
+      SELECT id, UNNEST(sh_arr) AS shingle FROM (
+        SELECT doc_id AS id, {sh3} AS sh_arr FROM ({SQL_DOCS_MUT}) d) s0
+    ) sh WHERE LENGTH(shingle) > 0
+  ) s
   GROUP BY id
 """
 
