@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from de_project_sprint_etl_spark.plans import registry  # noqa: E402
 from de_project_sprint_etl_spark.plans import testdata  # noqa: E402,F401 — registers core queries
 from de_project_sprint_etl_spark.plans import llm  # noqa: E402,F401 — registers dedup/similarity/text ops
+from de_project_sprint_etl_spark.plans import relational  # noqa: E402,F401 — registers §2.12 extension ops
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

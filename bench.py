@@ -37,11 +37,18 @@ HEADLINE = [
     "exact_dedup",
     "minhash_lsh_dedup",
     "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "dedup_groups",
     "text_quality",
     "doc_fingerprint",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "events_windowed_agg",
+    "rollup_revenue",
+    "topk_customers_by_revenue",
+    "window_frames_customer_orders",
+    "count_distinct_customers",
 ]
 
 

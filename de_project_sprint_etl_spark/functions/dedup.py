@@ -246,6 +246,66 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Assemble near-duplicate pairs into groups: connected components
+    by iterative min-label propagation, i.e. what a dedup pipeline
+    actually keys its "keep one per group" decision on.
+
+    Each round joins labels to the (symmetrized) edge list, takes the
+    min neighbor label per vertex, and stops when no label changed —
+    O(component diameter) rounds; dedup graphs are near-cliques so this
+    is a handful. ``localCheckpoint`` truncates the growing loop lineage
+    (at cluster scale: ``checkpoint`` to reliable storage, or switch to
+    the large-star/small-star algorithm [Kiveris et al., CIKM 2014] for
+    skewed mega-components).
+
+    Output: ``id, group_id, group_size`` for every vertex in ``pairs``
+    (``group_id`` = min id in the component).
+    """
+    fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["s"] == labels["id"])
+            .groupBy("d")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("d", "id")
+        )
+        new_labels = (
+            labels.withColumnRenamed("label", "old")
+            .join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("old"), F.coalesce("nlabel", "old")).alias("label"),
+                "old",
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        labels = new_labels.drop("old")
+        if changed == 0:
+            break
+    edges.unpersist()
+    w = Window.partitionBy("label")
+    return labels.select(
+        "id",
+        F.col("label").alias("group_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

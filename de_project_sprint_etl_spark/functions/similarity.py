@@ -142,6 +142,97 @@ def lsh_topk(
     )
 
 
+def ivf_cells(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector in ``vecs`` (``id``, ``v``) to its ``nprobe``
+    nearest centroids (``cent_id``, ``cv``) by cosine.
+
+    The centroid set is broadcast; assignment is one narrow pass over
+    the corpus computing ``n_list`` dots per row, then a per-id window
+    for the argmax (ties broken toward the greatest ``cent_id``,
+    mirrored by the oracle). At real scale the corpus-side assignment
+    (``nprobe=1``) is an *index build*: materialize once, write
+    ``partitionBy("cell")``, and probes become partition-pruned reads —
+    the window here never sees more than ``n_list`` rows per id.
+
+    Output: ``id, v, cell``.
+    """
+    from pyspark.sql import Window
+
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "id",
+        "v",
+        "cent_id",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos_c"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").desc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("id", "v", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors live in
+    exactly one centroid cell; each query probes its ``nprobe`` nearest
+    cells and ranks candidates by exact cosine.
+
+    Centroids here are caller-chosen seed vectors (deterministic, which
+    keeps the op oracle-checkable); a production index would k-means
+    them offline (e.g. MLlib KMeans) — the query plan is identical
+    either way. A corpus vector sits in one cell, so a (query, neighbor)
+    pair can match through at most one probed cell — no dedup needed.
+
+    Output: ``query_id, neighbor_id, cos_sim, rank``.
+    """
+    from pyspark.sql import Window
+
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cv")
+    )
+    c = ivf_cells(
+        corpus.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v")),
+        cent,
+        nprobe=1,
+    ).select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell")
+    q = ivf_cells(
+        queries.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v")),
+        cent,
+        nprobe=nprobe,
+    ).select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    sim = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     planes: list[list[float]],

@@ -403,22 +403,93 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_STRIDE = 50  # centroid seeds = every 50th vector → n_list ≈ N/50
+
+
 @register(
-    "cosine_near_dup",
+    "ann_ivf_topk",
     f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT id AS cent_id, v AS cv FROM e WHERE id % {IVF_STRIDE} = 0),
+scored AS (
+  SELECT e.id, e.v, cent_id, ROUND({_sql_cos('e.v', 'cent.cv')}, 6) AS cos_c
+  FROM e CROSS JOIN cent),
+ranked AS (
+  SELECT id, v, cent_id AS cell,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos_c DESC, cent_id DESC) AS rn
+  FROM scored),
+c AS (SELECT id AS neighbor_id, v AS cv, cell FROM ranked WHERE rn = 1),
+q AS (SELECT id AS query_id, v AS qv, cell FROM ranked
+      WHERE rn <= 2 AND id < {N_QUERIES}),
+sim AS (
+  SELECT query_id, neighbor_id, ROUND({_sql_cos('qv', 'cv')}, 6) AS cos_sim
+  FROM c JOIN q USING (cell) WHERE query_id <> neighbor_id)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM sim QUALIFY rank <= 5
+""",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5, nprobe=2 (extension op: the corpus pass is
+    an index-build assignment; probes are cell equi-joins that become
+    partition-pruned reads when the index is written partitionBy(cell))."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb.filter(F.col("vec_id") % IVF_STRIDE == 0),
+        nprobe=2,
+        k=5,
+    )
+
+
+# Shared by cosine_near_dup and dedup_groups (the latter's recursive CTE
+# consumes these pairs as its edge list).
+_SQL_COS_PAIRS = f"""
 WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
            FROM ({SQL_EMB_COPIES}) ec),
 b AS (SELECT id, v, {_sql_lsh_sig('v')} AS bucket FROM e)
 SELECT a.id AS id_a, bb.id AS id_b, ROUND({_sql_cos('a.v', 'bb.v')}, 6) AS cos_sim
 FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
 WHERE ROUND({_sql_cos('a.v', 'bb.v')}, 6) >= 0.95
-""",
-)
+"""
+
+
+@register("cosine_near_dup", _SQL_COS_PAIRS)
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked (extension op)."""
     return similarity.cosine_near_dup_pairs(
         emb_with_copies(spark, sf_dir), PLANES, min_cos=0.95
     )
+
+
+@register(
+    "dedup_groups",
+    f"""
+WITH RECURSIVE pairs AS ({_SQL_COS_PAIRS}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+lab AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id)
+SELECT id, group_id,
+       CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+FROM lab
+""",
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group assembly: connected components over the
+    embedding-cosine pair graph via iterative min-label propagation
+    (extension op; the oracle's recursive CTE computes the same
+    components as transitive reachability)."""
+    pairs = similarity.cosine_near_dup_pairs(
+        emb_with_copies(spark, sf_dir), PLANES, min_cos=0.95
+    )
+    return dedup.dup_groups(pairs)
 
 
 # --- events: windowed / sessionized / JSON ----------------------------------

@@ -1,0 +1,257 @@
+"""Relational operators the reference does NOT contain (SURVEY §2.12)
+— implemented natively anyway, so a user of the reference who outgrows
+its SQL surface doesn't outgrow this engine.
+
+Every op here is a single Catalyst primitive used the way it wants to be
+used at scale:
+
+- rollup / cube — partial-aggregatable grouping sets (one shuffle, the
+  grouping-set expansion happens map-side).
+- semi / anti join — `left_semi` / `left_anti`, which Catalyst turns
+  into broadcast or shuffled-hash *existence* joins (no payload
+  duplication, unlike a join+distinct emulation).
+- top-k — `orderBy().limit(k)` compiles to TakeOrderedAndProject:
+  per-partition heaps + a k-row driver merge, no global sort.
+- intersect / except — hash-based set ops (Spark rewrites to
+  aggregates + semi/anti joins internally).
+- frame-spec windows (running sum, lag, rank) — one shuffle on the
+  partition key, streaming frame evaluation within each partition.
+- count distinct — exact (Spark expands to a two-phase aggregate) and
+  HyperLogLog++ `approx_count_distinct` (constant memory at any scale;
+  sketch differs from DuckDB's, so that one gets the driver's
+  rows-only check).
+
+Money determinism follows plans/testdata.py: sums go through
+DECIMAL(18,2) and come back as double on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.plans.registry import register
+from de_project_sprint_etl_spark.plans.testdata import t
+
+_DEC_SUM = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+def _dsum(col: str) -> F.Column:
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+@register(
+    "rollup_revenue",
+    f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       o_orderpriority,
+       {_DEC_SUM.format(c='o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(CAST(EXTRACT(year FROM o_orderdate) AS INT), o_orderpriority)
+""",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(year, priority): subtotal + grand-total rows in
+    one shuffle (grouping-sets op; absent from the reference, §2.12)."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .rollup("o_year", "o_orderpriority")
+        .agg(_dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "cube_status_priority",
+    f"""
+SELECT o_orderstatus, o_orderpriority,
+       {_DEC_SUM.format(c='o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over status × priority (grouping-sets op)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(_dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "semi_join_urgent_customers",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 urgent order — an existence
+    join, so the probe side is never duplicated however many orders
+    match (semi/anti joins absent from the reference, §2.12)."""
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_no_urgent_customers",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no urgent orders (the non-empty
+    complement of the semi join above — every customer has *some* order
+    in the synthetic data, so anti-on-any-order would be a vacuous
+    0-row check)."""
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "topk_customers_by_revenue",
+    f"""
+SELECT o_custkey, {_DEC_SUM.format(c='o_totalprice')} AS revenue
+FROM orders
+GROUP BY o_custkey
+ORDER BY revenue DESC, o_custkey
+LIMIT 10
+""",
+)
+def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order revenue. orderBy().limit() compiles to
+    TakeOrderedAndProject — per-partition top-k heaps, k-row merge on
+    the driver, no global sort (limit/top-k absent from the reference,
+    §2.12). Tie-break on o_custkey keeps the cut deterministic."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(_dsum("o_totalprice").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+
+
+_Y98 = "SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998"
+_Y99 = "SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1999"
+
+
+@register("set_intersect_customers", f"{_Y98}\nINTERSECT\n{_Y99}")
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1998 and 1999 (set ops other
+    than UNION ALL absent from the reference, §2.12)."""
+    orders = t(spark, sf_dir, "orders")
+    by_year = lambda y: (  # noqa: E731
+        orders.filter(F.year("o_orderdate") == y).select("o_custkey").distinct()
+    )
+    return by_year(1998).intersect(by_year(1999))
+
+
+@register("set_except_customers", f"{_Y98}\nEXCEPT\n{_Y99}")
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers active in 1998 who churned out of 1999."""
+    orders = t(spark, sf_dir, "orders")
+    by_year = lambda y: (  # noqa: E731
+        orders.filter(F.year("o_orderdate") == y).select("o_custkey").distinct()
+    )
+    return by_year(1998).subtract(by_year(1999))
+
+
+@register(
+    "window_frames_customer_orders",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       LAG(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       CAST(RANK() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank
+FROM orders
+""",
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec windows per customer: running spend (rowsBetween),
+    lag, and rank — one shuffle on o_custkey, all three frames evaluated
+    in the same partition pass (frame-spec windows / lag / rank absent
+    from the reference, §2.7)."""
+    orders = t(spark, sf_dir, "orders")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(seq).alias("prev_price"),
+        F.rank()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.col("o_totalprice").desc(), F.col("o_orderkey")
+            )
+        )
+        .cast("int")
+        .alias("price_rank"),
+    )
+
+
+@register(
+    "count_distinct_customers",
+    """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per priority — Spark expands this to a
+    two-phase aggregate (distinct-expand shuffle, then count), which is
+    the exact-answer scale path (absent from the reference, §2.12)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register("approx_count_distinct_customers")  # sketch ≠ DuckDB's → rows-only check
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct customers per priority —
+    constant sketch memory per group at any corpus size (the 100 TB
+    answer when ±2% is acceptable). Spark's HLL++ sketch is not
+    bit-compatible with DuckDB's HLL, so this entry has no oracle and
+    takes the driver's rows-only check; count_distinct_customers above
+    is the exact twin that hash-matches."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Unit tests for the training-pipeline extension ops added on top of
+the reference surface: near-dup group assembly (connected components)
+and IVF approximate nearest-neighbor search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.functions import dedup, similarity
+
+
+def test_dup_groups_connected_components(spark):
+    # two components: {1,2,3,4} (a path, so >1 propagation round) and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: (r.group_id, r.group_size) for r in dedup.dup_groups(pairs).collect()}
+    assert got == {
+        1: (1, 4),
+        2: (1, 4),
+        3: (1, 4),
+        4: (1, 4),
+        10: (10, 2),
+        11: (10, 2),
+    }
+
+
+def test_dup_groups_converges_on_cycle(spark):
+    pairs = spark.createDataFrame([(5, 6), (6, 7), (7, 5)], "id_a long, id_b long")
+    rows = dedup.dup_groups(pairs).collect()
+    assert {r.group_id for r in rows} == {5}
+    assert all(r.group_size == 3 for r in rows)
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_topk_finds_cluster_neighbors(spark):
+    # two well-separated cells on the coordinate axes; centroids are the
+    # axis vectors themselves (ids 0 and 1)
+    corpus = _vec_df(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.8, 0.2]),
+            (4, [0.1, 0.9]),
+            (5, [0.2, 0.8]),
+        ],
+    )
+    centroids = corpus.filter(F.col("vec_id") < 2)
+    out = similarity.ivf_topk(
+        corpus, corpus.filter(F.col("vec_id") == 2), centroids, nprobe=1, k=2
+    ).collect()
+    # query 2 lives in the x-axis cell: best neighbors are 0 and 3, never
+    # the y-cluster (4, 5)
+    assert [r.neighbor_id for r in out] == [0, 3] or [
+        r.neighbor_id for r in out
+    ] == [3, 0]
+    assert all(r.neighbor_id not in (4, 5) for r in out)
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_ivf_nprobe_widens_candidates(spark):
+    corpus = _vec_df(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.7, 0.3]),
+            (3, [0.6, 0.4]),
+        ],
+    )
+    centroids = corpus.filter(F.col("vec_id") < 2)
+    q = corpus.filter(F.col("vec_id") == 2)
+    n1 = similarity.ivf_topk(corpus, q, centroids, nprobe=1, k=10).count()
+    n2 = similarity.ivf_topk(corpus, q, centroids, nprobe=2, k=10).count()
+    assert n2 >= n1  # probing more cells can only add candidates
+    assert n2 == 3  # with both cells probed, every other vector is a candidate
