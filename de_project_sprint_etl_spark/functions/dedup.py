@@ -102,16 +102,18 @@ def ngram_jaccard_pairs(
     ``jaccard >= min_jaccard`` (id_a < id_b, 6-decimal rounding).
     """
     sh = _exploded_shingles(docs, text_col, id_col, n)
-    # df-cut: drop shingles hotter than max_shingle_df (skew + no signal)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > max_shingle_df)
-        .select("shingle")
+    # df-cut: drop shingles hotter than max_shingle_df (skew + no signal).
+    # One count-window on the shingle partition replaces the
+    # groupBy+anti-join formulation — a single shuffle, and the shingle
+    # explode is computed once instead of once per join side.
+    wdf = Window.partitionBy("shingle")
+    sh = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("__df") <= max_shingle_df)
+        .drop("__df")
+        # persist: consumed three times (sizes + both self-join sides)
+        .persist()
     )
-    # persist: consumed three times (sizes + both self-join sides);
-    # without it the shingle explode recomputes per consumer.
-    sh = sh.join(hot, "shingle", "left_anti").persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
