@@ -269,9 +269,22 @@ def dup_groups(
     Output: ``id, group_id, group_size`` for every vertex in ``pairs``
     (``group_id`` = min id in the component).
     """
-    fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
-    rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
-    edges = fwd.union(rev).distinct().persist()
+    # symmetrize with one explode, not union(fwd, rev): a union scans the
+    # upstream pair pipeline (often an expensive similarity join) once
+    # per branch, an explode scans it once.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("s"), F.col(id_b).alias("d")),
+                    F.struct(F.col(id_b).alias("s"), F.col(id_a).alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
+        .distinct()
+        .persist()
+    )
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()
