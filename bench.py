@@ -5,9 +5,12 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-Timing = full query execution including the parquet scan, measured by a
-count-only action (``df.count()`` after a no-op cache-less plan) plus a
-collect of at most 1000 rows, so driver-side transfer doesn't dominate.
+Timing = ONE full execution of each query into the ``noop`` sink (runs
+every operator, no driver-side transfer, no column pruning against a
+count-only action); the row count rides along as an ``Observation`` so
+it costs nothing extra. The cache is cleared between queries so each
+timing is independent — operators persist reused subtrees internally,
+and leaked caches would otherwise skew later queries.
 """
 
 from __future__ import annotations
@@ -18,6 +21,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import Observation  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from de_project_sprint_etl_spark.session import get_spark  # noqa: E402
 
@@ -61,14 +67,22 @@ def main() -> None:
     # Warm the JVM + parquet footer caches once so per-query numbers
     # measure execution, not first-touch JIT.
     qs[names[0]](spark, sf_dir).count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
-        df.limit(1000).collect()
+        obs = Observation(f"rows_{name}")
+        (
+            df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        n = obs.get["n"]
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -98,7 +98,7 @@ def assign_week_period(
     raise ValueError(f"unknown week-assignment strategy: {how}")
 
 
-def _cohort_base(
+def cohort_base(
     v2: DataFrame,
     weeks: DataFrame,
     status: str,
@@ -110,7 +110,10 @@ def _cohort_base(
     period, aggregate per (customer, date, period[, item]).
 
     The status filter runs before the join so predicate pushdown reaches
-    the scan (F1/F2).
+    the scan (F1/F2). The new and returned cohorts share the identical
+    ``status='shipped'`` base — compute it once, ``persist()``, and pass
+    it to both via their ``base=`` parameter (the retention assembly
+    plans do this); that halves the fact-table scans in the mart build.
     """
     filtered = v2.filter(F.col("status") == status)
     with_period = assign_week_period(filtered, weeks, "date_time", how=how)
@@ -122,14 +125,19 @@ def _cohort_base(
 
 
 def new_customers(
-    v2: DataFrame, weeks: DataFrame, item: bool = True
+    v2: DataFrame | None = None,
+    weeks: DataFrame | None = None,
+    item: bool = True,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """``mart.new_cust`` / ``new_cust_compact`` (reference
     ``new_customers.sql``): shipped rows, HAVING count(*)=1 per
     (customer, date, period[, item]) — a customer whose (date[, item])
     appears exactly once is "new" — then re-aggregate per period[, item].
     """
-    base = _cohort_base(v2, weeks, "shipped", item).filter(F.col("cnt") == 1)
+    if base is None:
+        base = cohort_base(v2, weeks, "shipped", item)
+    base = base.filter(F.col("cnt") == 1)
     keys = ["period"] + (["item_id"] if item else [])
     out = base.groupBy(*keys).agg(
         F.count("customer_id").alias("new_cust_count"),
@@ -141,12 +149,17 @@ def new_customers(
 
 
 def returned_customers(
-    v2: DataFrame, weeks: DataFrame, item: bool = True
+    v2: DataFrame | None = None,
+    weeks: DataFrame | None = None,
+    item: bool = True,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """``mart.returned_cust`` (reference ``returned_customers.sql``):
     same shape as new_customers but HAVING count(*) > 1 (repeat rows in
     the same (date[, item]) bucket ⇒ returning)."""
-    base = _cohort_base(v2, weeks, "shipped", item).filter(F.col("cnt") > 1)
+    if base is None:
+        base = cohort_base(v2, weeks, "shipped", item)
+    base = base.filter(F.col("cnt") > 1)
     keys = ["period"] + (["item_id"] if item else [])
     out = base.groupBy(*keys).agg(
         F.count("customer_id").alias("returned_cust_count"),
@@ -164,7 +177,7 @@ def refunded_customers(
     refunded rows, count(*) AS refunds per (customer, date, period[,
     item]) (no HAVING), then per period[, item]: count(*) customers with
     refunds + sum(refunds) total refund events."""
-    base = _cohort_base(v2, weeks, "refunded", item)
+    base = cohort_base(v2, weeks, "refunded", item)
     keys = ["period"] + (["item_id"] if item else [])
     out = base.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("cust_with_refunds"),

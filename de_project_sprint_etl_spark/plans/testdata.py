@@ -547,12 +547,15 @@ FULL JOIN ({sql_refunded_cust(item=False)}) f
 def q_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 chained FULL JOIN USING(period): the flagship compact retention
     mart (reference loading_retention_mart.sql:2-3)."""
-    v2 = order_log_v2_decimal(spark, sf_dir)
-    weeks = weeks_dim(spark, sf_dir)
-    new_c = retention.new_customers(v2, weeks, item=False).withColumn(
+    v2 = order_log_v2_decimal(spark, sf_dir).persist()
+    weeks = weeks_dim(spark, sf_dir).persist()
+    # new + returned share the identical shipped inner aggregation —
+    # persist it so the fact scan + week join + first groupBy run once.
+    shipped = retention.cohort_base(v2, weeks, "shipped", item=False).persist()
+    new_c = retention.new_customers(base=shipped, item=False).withColumn(
         "new_cust_revenue", F.col("new_cust_revenue").cast("double")
     )
-    ret_c = retention.returned_customers(v2, weeks, item=False).withColumn(
+    ret_c = retention.returned_customers(base=shipped, item=False).withColumn(
         "returned_revenue", F.col("returned_revenue").cast("double")
     )
     ref_c = retention.refunded_customers(v2, weeks, item=False)
@@ -613,10 +616,15 @@ def q_retention_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     creating_retention.sql:2-13 DDL shape. Item space capped at ITEM_CAP
     to bound the reference's unbounded cross-combination on TPC-H
     cardinalities."""
-    v2 = order_log_v2_decimal(spark, sf_dir).filter(F.col("item_id") <= ITEM_CAP)
-    weeks = weeks_dim(spark, sf_dir)
-    new = retention.new_customers(v2, weeks, item=True)
-    ret = retention.returned_customers(v2, weeks, item=True)
+    v2 = (
+        order_log_v2_decimal(spark, sf_dir)
+        .filter(F.col("item_id") <= ITEM_CAP)
+        .persist()
+    )
+    weeks = weeks_dim(spark, sf_dir).persist()
+    shipped = retention.cohort_base(v2, weeks, "shipped", item=True).persist()
+    new = retention.new_customers(base=shipped, item=True)
+    ret = retention.returned_customers(base=shipped, item=True)
     ref = retention.refunded_customers(v2, weeks, item=True)
     return retention.assemble_retention_mart(new, ret, ref)
 
