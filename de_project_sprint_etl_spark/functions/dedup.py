@@ -329,9 +329,11 @@ def simhash(
 ) -> DataFrame:
     """Weighted-majority SimHash over token hashes.
 
-    Explode tokens with multiplicity (weight = term frequency), then one
-    groupBy computing, per bit b, ``sum(tf * (bit_b(h) ? 1 : -1))``; the
-    signature sets bit b iff that sum is positive.
+    Explode tokens and sum, per bit b, ``(bit_b(h(tok)) ? 1 : -1)`` over
+    token *instances* — identical to the textbook ``tf * (±1)`` over
+    distinct tokens (summation commutes), but with no intermediate
+    (id, token)-tf aggregation: one explode, one groupBy, one shuffle.
+    The signature sets bit b iff the sum is positive.
 
     Output: ``id, simhash`` (non-negative 32-bit value in a long).
     """
@@ -342,15 +344,13 @@ def simhash(
         # tokenize expression in tow.
         .select("id", F.explode_outer("toks").alias("tok"))
         .filter(F.length("tok") > 0)
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("th", h64(F.col("tok")))
     )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
-            )
+            F.when(
+                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
         ).alias(f"s{b}")
         for b in range(bits)
     ]

@@ -46,6 +46,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with norms precomputed per side. In a pair loop (join of N
+    rows × Q rows) this does 1 array fold per pair instead of 3 — the
+    norms are computed N + Q times, not N×Q. Bit-identical to
+    :func:`cosine`: each norm is the same fold in the same order, just
+    evaluated in the side's projection instead of per pair."""
+    return dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,13 +69,17 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("cv"))
+    ).withColumn("qn", l2norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("cv")
+    ).withColumn("cn", l2norm(F.col("cv")))
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
     sim = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cos_sim"),
     )
     from pyspark.sql import Window
 
@@ -115,20 +128,28 @@ def lsh_topk(
     query; fewer when the bucket is small — the recall/cost knob is
     ``len(planes)``).
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _dvec(vec_col).alias("cv"),
-    ).withColumn("bucket", lsh_signature(F.col("cv"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")
-    ).withColumn("bucket", lsh_signature(F.col("qv"), planes))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _dvec(vec_col).alias("cv"),
+        )
+        .withColumn("bucket", lsh_signature(F.col("cv"), planes))
+        .withColumn("cn", l2norm(F.col("cv")))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
+        .withColumn("bucket", lsh_signature(F.col("qv"), planes))
+        .withColumn("qn", l2norm(F.col("qv")))
+    )
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     sim = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        F.round(
+            cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+        ).alias("cos_sim"),
     )
     from pyspark.sql import Window
 
@@ -162,11 +183,20 @@ def ivf_cells(
     """
     from pyspark.sql import Window
 
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "id",
-        "v",
-        "cent_id",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos_c"),
+    scored = (
+        vecs.withColumn("__vn", l2norm(F.col("v")))
+        .crossJoin(F.broadcast(centroids.withColumn("__cn", l2norm(F.col("cv")))))
+        .select(
+            "id",
+            "v",
+            "cent_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("v"), F.col("cv"), F.col("__vn"), F.col("__cn")
+                ),
+                6,
+            ).alias("cos_c"),
+        )
     )
     w = Window.partitionBy("id").orderBy(
         F.col("cos_c").desc(), F.col("cent_id").desc()
@@ -215,12 +245,16 @@ def ivf_topk(
         nprobe=nprobe,
     ).select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell")
     sim = (
-        c.join(F.broadcast(q), "cell")
+        c.withColumn("cn", l2norm(F.col("cv")))
+        .join(F.broadcast(q.withColumn("qn", l2norm(F.col("qv")))), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -245,8 +279,10 @@ def cosine_near_dup_pairs(
 
     Output: ``id_a, id_b, cos_sim``.
     """
-    c = corpus.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v")).withColumn(
-        "bucket", lsh_signature(F.col("v"), planes)
+    c = (
+        corpus.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v"))
+        .withColumn("bucket", lsh_signature(F.col("v"), planes))
+        .withColumn("n", l2norm(F.col("v")))
     )
     a = c.alias("a")
     b = c.alias("b")
@@ -255,6 +291,9 @@ def cosine_near_dup_pairs(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        F.round(
+            cosine_prenormed(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")),
+            6,
+        ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= min_cos)
