@@ -1,0 +1,153 @@
+"""Physical-plan assertions: the scale claims in the docstrings and
+README, checked against ``explain('formatted')`` output so a refactor
+that silently degrades a plan (broadcast -> sort-merge, lost pushdown,
+an extra shuffle) fails CI, not a production run.
+
+These assert plan *shape*, not timings: shapes are stable across
+machines; timings are not.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.functions import dedup, similarity
+from de_project_sprint_etl_spark.operators import retention
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    # formatted explain prints each node in the tree AND in the details
+    # section; "(<id>) Exchange" appears once per physical node.
+    return plan.count(") Exchange")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_week_assignment_is_broadcast_hash_join(spark):
+    """The J2 range join's scale form must be a BroadcastHashJoin on the
+    week truncation — not a nested-loop theta join over the fact table."""
+    facts = spark.range(100).select(
+        F.col("id").alias("customer_id"),
+        F.date_add(F.lit("2020-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "date_time"
+        ),
+    )
+    weeks = retention.build_weeks(
+        facts.select(F.col("date_time").alias("fact_date"))
+    )
+    plan = plan_of(retention.assign_week_period(facts, weeks, "date_time", how="equi"))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_week_assignment_range_form_is_broadcast_nested_loop(spark):
+    """The parity (BETWEEN) form stays a *broadcast* nested-loop — never a
+    cartesian over two shuffled sides."""
+    facts = spark.range(100).select(
+        F.col("id").alias("customer_id"),
+        F.date_add(F.lit("2020-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "date_time"
+        ),
+    )
+    weeks = retention.build_weeks(
+        facts.select(F.col("date_time").alias("fact_date"))
+    )
+    plan = plan_of(
+        retention.assign_week_period(facts, weeks, "date_time", how="range_join")
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_dedup_is_single_shuffle(spark, docs):
+    """exact_dedup's contract is ONE hash-groupBy shuffle on the digest."""
+    plan = plan_of(dedup.exact_dedup(docs))
+    assert n_exchanges(plan) == 1, plan
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark):
+    """Filters and projections must reach the parquet scan: PushedFilters
+    carries the predicate, ReadSchema carries only selected columns."""
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+    assert "o_orderpriority" not in plan  # pruned from ReadSchema
+
+
+def test_text_stats_is_pure_narrow_projection(spark, docs):
+    """Quality scoring is a no-shuffle single-Project plan with no Python
+    evaluation. (The stopword count uses a higher-order array filter,
+    which is CodegenFallback in Spark — the projection stays JVM-side and
+    interpreted-mode subexpression elimination covers the shared token
+    subtrees; measured equal to a regex-only codegen formulation.)"""
+    from de_project_sprint_etl_spark.functions import text
+
+    plan = plan_of(text.with_text_stats(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_tokenize_projection_is_whole_stage_codegen(spark, docs):
+    """The shared normalize/tokenize expressions compile into whole-stage
+    codegen (starred Project) when no higher-order function is present."""
+    from de_project_sprint_etl_spark.functions import text
+
+    plan = plan_of(
+        docs.select(F.size(text.tokens(F.col("text"))).alias("n_tokens"))
+    )
+    assert "* Project" in plan
+
+
+def test_brute_force_ann_broadcasts_queries(spark, emb):
+    """The query side must broadcast; the corpus side must not shuffle
+    before the similarity projection (only the final top-k window may)."""
+    q = emb.limit(3)
+    plan = plan_of(similarity.brute_force_topk(emb, q, k=2))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_lsh_ann_is_broadcast_equi_join(spark, emb):
+    """Bucketed ANN turns the cross join into a bucket equi-join."""
+    planes = similarity.hyperplanes(dim=16, n_planes=4)
+    q = emb.limit(3)
+    plan = plan_of(similarity.lsh_topk(emb, q, planes, k=2))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_minhash_signatures_single_aggregation(spark, docs):
+    """All k min-hash components fold in ONE aggregation (one shuffle),
+    not k passes: the plan has exactly one Exchange past the input."""
+    # plain input (no fan-out repartition) isolates the operator's own
+    # shuffle count
+    plan = plan_of(dedup.minhash_signatures(docs, num_hashes=8))
+    assert n_exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan
