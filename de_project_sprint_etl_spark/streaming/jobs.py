@@ -73,6 +73,67 @@ def windowed_event_counts(
     )
 
 
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization with the built-in ``session_window``:
+    per-user sessions close after ``gap`` of inactivity; the watermark
+    bounds session state. Same session boundaries as the batch
+    lag+running-sum twin (``plans/llm.py::q_events_sessionize``) — the
+    built-in's window end includes the gap, so duration is
+    ``end - start - gap`` there vs ``max(ts) - min(ts)`` here; we emit
+    start/count which are identical across both formulations.
+
+    Output per closed session: ``user_id, session_start, n_events``.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, sum_value double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value sum, updated every micro-batch.
+
+    This is the escape hatch for stateful semantics the built-in
+    windowed/session aggregations can't express (custom merge logic,
+    cross-batch counters, online sketches). State is one (n, sum) pair
+    per user — partitioned by the group key, so state scales with
+    |users| per executor, not stream length; input arrives as
+    Arrow-batched pandas frames, never row-at-a-time Python.
+    """
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     stream: DataFrame, name: str, complete: bool = True
 ) -> None:

@@ -122,3 +122,91 @@ def test_streaming_foreach_batch_merge(spark, tmp_path):
     merged = spark.read.parquet(out)
     assert merged.count() == 200
     assert merged.filter(F.col("status") == "shipped").count() == 200
+
+
+def test_streaming_session_window_matches_batch_sessions(spark, tmp_path):
+    """Built-in session_window sessionization over a stream reproduces
+    the batch lag+running-sum session boundaries (session starts and
+    per-session event counts) on the same data."""
+    src = str(tmp_path / "sess_arrivals")
+    ev = events(spark, 400)
+    ev.repartition(2).write.parquet(src)
+
+    stream = jobs.read_event_stream(spark, src)
+    sess = jobs.sessionize_stream(stream, gap="30 minutes", watermark="10 hours")
+    jobs.run_to_memory(sess, "sessions", complete=True)
+    got = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in spark.table("sessions").collect()
+    }
+
+    # batch twin: 30-min-gap sessions via lag + running sum
+    from pyspark.sql import Window
+
+    gap_us = 30 * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = (
+        ev.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"))
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    want_df = marked.groupBy("user_id", "session_id").agg(
+        F.timestamp_micros(F.min("ts_us")).alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    want = {
+        (r.user_id, str(r.session_start)): r.n_events for r in want_df.collect()
+    }
+    assert got == want
+
+
+def test_streaming_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    after draining a multi-file backlog, the latest update per user
+    equals the batch totals."""
+    src = str(tmp_path / "tot_arrivals")
+    ev = events(spark, 300)
+    ev.repartition(20).write.parquet(src)  # 20 files / 8 per trigger -> 3 micro-batches
+
+    stream = jobs.read_event_stream(
+        spark, src
+    ).withColumn("value", F.col("value"))
+    totals = jobs.running_user_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("tot")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per user per batch; keep the last
+    rows = spark.table("tot").collect()
+    got = {}
+    for r in rows:  # memory sink preserves batch order
+        got[r.user_id] = (r.n_events, r.sum_value)
+
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 6).alias("s"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-4
