@@ -198,6 +198,25 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs_with_mutants(spark, sf_dir))
 
 
+@register(
+    "exact_dedup_keep_canonical",
+    f"""
+SELECT doc_id, text FROM (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5({SQL_NORM.format(c='d.text')})
+           ORDER BY doc_id) AS rn
+  FROM ({SQL_DOCS_MUT}) d) t
+WHERE rn = 1
+""",
+)
+def q_exact_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter side of exact dedup: one surviving row per distinct
+    content (min-id representative), a single dup-key window — the op a
+    training-data pipeline actually applies to the corpus."""
+    return dedup.keep_canonical(docs_with_mutants(spark, sf_dir))
+
+
 _SH3 = text.sql_shingles("d.text", n=3)
 _MAX_SHINGLE_DF = 1000
 
