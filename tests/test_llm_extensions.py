@@ -79,3 +79,19 @@ def test_ivf_nprobe_widens_candidates(spark):
     n2 = similarity.ivf_topk(corpus, q, centroids, nprobe=2, k=10).count()
     assert n2 >= n1  # probing more cells can only add candidates
     assert n2 == 3  # with both cells probed, every other vector is a candidate
+
+
+def test_brute_force_pandas_matches_expression_form(spark):
+    """The Arrow/GEMM ANN kernel returns exactly the expression form's
+    (query, neighbor, sim, rank) rows — same tie-breaks, same rounding."""
+    from de_project_sprint_etl_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(tuple(r) for r in similarity.brute_force_topk(emb, q, k=4).collect())
+    b = sorted(
+        tuple(r) for r in similarity.brute_force_topk_pandas(emb, q, k=4).collect()
+    )
+    assert a == b
