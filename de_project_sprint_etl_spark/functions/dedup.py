@@ -101,19 +101,23 @@ def ngram_jaccard_pairs(
     Output: ``id_a, id_b, shared, n_a, n_b, jaccard`` for pairs with
     ``jaccard >= min_jaccard`` (id_a < id_b, 6-decimal rounding).
     """
-    sh = _exploded_shingles(docs, text_col, id_col, n)
+    # persist pre-cut: the shingle explode is the expensive subtree and
+    # feeds four consumers (df computation, sizes, both self-join sides).
+    sh = _exploded_shingles(docs, text_col, id_col, n).persist()
     # df-cut: drop shingles hotter than max_shingle_df (skew + no signal).
-    # One count-window on the shingle partition replaces the
-    # groupBy+anti-join formulation — a single shuffle, and the shingle
-    # explode is computed once instead of once per join side.
-    wdf = Window.partitionBy("shingle")
-    sh = (
-        sh.withColumn("__df", F.count(F.lit(1)).over(wdf))
-        .filter(F.col("__df") <= max_shingle_df)
-        .drop("__df")
-        # persist: consumed three times (sizes + both self-join sides)
-        .persist()
+    # groupBy.count has a map-side partial combine, so the hottest
+    # shingle's posting list never has to land in ONE partition — which
+    # is exactly what a count().over(Window.partitionBy("shingle"))
+    # would force, i.e. the skew this cut exists to remove. The hot set
+    # (df > max_shingle_df) is tiny by construction → broadcast
+    # anti-join, so the cut adds no shuffle on the shingle stream.
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_shingle_df)
+        .select("shingle")
     )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

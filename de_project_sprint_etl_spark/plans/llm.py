@@ -30,14 +30,24 @@ from de_project_sprint_etl_spark.plans.testdata import events_df, t
 MUT_OFFSET = 100_000
 
 
-def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+def fan_out(
+    spark: SparkSession, df: DataFrame, min_splits: int | None = None
+) -> DataFrame:
     """Small single-file parquet inputs arrive as 1-2 input splits, which
     serializes CPU-heavy per-row work (regex/md5/shingle explode) onto 2
     of the 32 cores. One cheap round-robin repartition fans the
-    downstream projection out to full parallelism. (At real scale inputs
-    arrive as many splits and this is a no-op knob, not a semantic one.)
+    downstream projection out to full parallelism — but ONLY when the
+    input is actually under-split: a corpus that already arrives as many
+    splits (the 100 TB case) must not pay a corpus-wide exchange here,
+    so an input with >= ``min_splits`` (default cores/2) partitions
+    passes through untouched (plan-shape pinned in tests/test_plans.py).
     """
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    target = spark.sparkContext.defaultParallelism
+    if min_splits is None:
+        min_splits = max(2, target // 2)
+    if df.rdd.getNumPartitions() >= min_splits:
+        return df
+    return df.repartition(target)
 
 
 def docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,12 +235,14 @@ _MAX_SHINGLE_DF = 1000
     "ngram_jaccard_dedup",
     f"""
 WITH sh AS (
-  SELECT id, UNNEST(sh_arr) AS shingle FROM (
-    SELECT doc_id AS id, {_SH3} AS sh_arr FROM ({SQL_DOCS_MUT}) d) s
+  SELECT id, shingle FROM (
+    SELECT id, UNNEST(sh_arr) AS shingle FROM (
+      SELECT doc_id AS id, {_SH3} AS sh_arr FROM ({SQL_DOCS_MUT}) d) s0
+  ) s WHERE LENGTH(shingle) > 0
 ),
-shf AS (SELECT id, shingle FROM (
-  SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
-  FROM sh WHERE LENGTH(shingle) > 0) t WHERE df <= {_MAX_SHINGLE_DF}),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {_MAX_SHINGLE_DF}),
+shf AS (SELECT id, shingle FROM sh s
+        WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = s.shingle)),
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM shf GROUP BY id),
 shared AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared

@@ -143,6 +143,35 @@ def test_lsh_ann_is_broadcast_equi_join(spark, emb):
     assert "NestedLoop" not in plan
 
 
+def test_ngram_df_cut_has_no_shingle_window(spark, docs):
+    """The hot-shingle df-cut must be a partial-aggregated groupBy +
+    broadcast anti-join — never a count window over the raw shingle
+    partition (which forces the hottest posting list into ONE partition,
+    the exact skew the cut exists to remove)."""
+    plan = plan_of(dedup.ngram_jaccard_pairs(docs, n=3, max_shingle_df=5))
+    assert "Window" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    # the anti-join's build side (hot shingles) is broadcast
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_fan_out_is_noop_for_many_split_input(spark):
+    """fan_out must not inject an Exchange when the input already has
+    enough splits — at 100 TB an unconditional repartition is a
+    corpus-wide shuffle paid before any work."""
+    from de_project_sprint_etl_spark.plans.llm import fan_out
+
+    many = spark.range(0, 1000, 1, 32).select(
+        F.col("id").alias("doc_id"), F.lit("some text").alias("text")
+    )
+    assert "Exchange" not in plan_of(fan_out(spark, many))
+    # ...but an under-split input still fans out to full parallelism
+    few = spark.range(0, 1000, 1, 1).select(
+        F.col("id").alias("doc_id"), F.lit("some text").alias("text")
+    )
+    assert "Exchange" in plan_of(fan_out(spark, few))
+
+
 def test_minhash_signatures_single_aggregation(spark, docs):
     """All k min-hash components fold in ONE aggregation (one shuffle),
     not k passes: the plan has exactly one Exchange past the input."""
