@@ -99,6 +99,7 @@ def brute_force_topk_pandas(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k via an Arrow-batched ``mapInPandas`` kernel:
     each partition's embeddings become one numpy matrix, similarities to
@@ -119,9 +120,18 @@ def brute_force_topk_pandas(
     """
     import pandas as pd
 
-    q_rows = sorted(
-        queries.select(id_col, vec_col).collect(), key=lambda r: r[0]
-    )
+    # The query set IS the broadcast — it must fit on the driver. The
+    # limit(n+1) keeps the guard itself OOM-safe: we never pull more
+    # than max_queries+1 rows no matter how large `queries` is.
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk_pandas collects the query set to the driver "
+            f"(it is the broadcast side); got more than max_queries="
+            f"{max_queries} rows. Use lsh_topk/ivf_topk for large query "
+            f"sets, or raise max_queries deliberately."
+        )
+    q_rows = sorted(q_rows, key=lambda r: r[0])
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     qn = np.sqrt((qm * qm).sum(axis=1))
@@ -132,7 +142,10 @@ def brute_force_topk_pandas(
             cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             cn = np.sqrt((cm * cm).sum(axis=1))
             sims = (cm @ qm.T) / np.outer(cn, qn)
-            sims = np.round(sims, 6)
+            # round HALF-AWAY-FROM-ZERO to match Spark F.round / DuckDB
+            # ROUND exactly (np.round is half-to-even, which would
+            # diverge from the expression twin on an exact-half value)
+            sims = np.copysign(np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6, sims)
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(q_ids):
                 col = sims[:, j]

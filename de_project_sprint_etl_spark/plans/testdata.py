@@ -562,6 +562,40 @@ def q_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention.assemble_retention_compact(new_c, ret_c, ref_c)
 
 
+@register(
+    "retention_compact_ordered",
+    f"""
+SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY period) AS BIGINT) AS pos
+FROM ({SQL_RETENTION_COMPACT}) rc
+""",
+)
+def q_retention_compact_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 made verifiable: the driver's value hash is order-insensitive,
+    so this variant stamps each row with its PHYSICAL output position —
+    ``monotonically_increasing_id()`` assigned above the sort (it is
+    nondeterministic, so Catalyst cannot push it below), then ranked.
+    ``pos`` only equals the oracle's ``ROW_NUMBER() OVER (ORDER BY
+    period)`` when ``assemble_retention_compact`` actually sorts by
+    period (reference loading_retention_mart.sql:3 ORDER BY) — removing
+    that ``orderBy`` fails this entry (pinned in tests/test_operators.py).
+    The unpartitioned stamp window is verification-only scaffolding over
+    the 345-row mart, not a scale path."""
+    return stamp_physical_order(q_retention_compact(spark, sf_dir))
+
+
+def stamp_physical_order(df: DataFrame, pos_col: str = "pos") -> DataFrame:
+    """Attach each row's physical output position as ``pos_col``: ids from
+    ``monotonically_increasing_id()`` encode (partition, offset) and the
+    expression is nondeterministic so Catalyst evaluates it above any
+    upstream Sort — ranking the ids therefore reproduces the physical
+    order the upstream plan actually emitted."""
+    stamped = df.withColumn("__mid", F.monotonically_increasing_id())
+    w = Window.orderBy("__mid")
+    return stamped.withColumn(
+        pos_col, F.row_number().over(w).cast("long")
+    ).drop("__mid")
+
+
 SQL_RETENTION_MART = f"""
 WITH v2c AS (SELECT * FROM ({SQL_V2_DECIMAL}) vv WHERE item_id <= {ITEM_CAP}),
 wk AS ({SQL_WEEKS_K}),

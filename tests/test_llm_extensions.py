@@ -95,3 +95,13 @@ def test_brute_force_pandas_matches_expression_form(spark):
         tuple(r) for r in similarity.brute_force_topk_pandas(emb, q, k=4).collect()
     )
     assert a == b
+
+
+def test_brute_force_pandas_rejects_oversized_query_set(spark):
+    """The GEMM kernel collects the query set (it is the broadcast side);
+    an oversized query set must raise instead of OOMing the driver."""
+    import pytest
+
+    corpus = _vec_df(spark, [(i, [float(i), 1.0]) for i in range(6)])
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.brute_force_topk_pandas(corpus, corpus, k=2, max_queries=3)

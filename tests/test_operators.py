@@ -143,3 +143,21 @@ def test_sequence_ids_dense_and_unique(spark):
     assert {(r.id, r.v) for r in seq} == {(1, "a"), (2, "b"), (3, "c")}
     uniq = dims.with_unique_id(df, "id").collect()
     assert len({r.id for r in uniq}) == 3
+
+
+def test_order_stamp_detects_lost_sort(spark):
+    """retention_compact_ordered's physical-position stamp is the O1/O2
+    oracle tooth: positions match ROW_NUMBER-by-period only when the
+    assembly actually sorts, and diverge when the orderBy is dropped."""
+    from de_project_sprint_etl_spark.plans.testdata import stamp_physical_order
+
+    df = spark.range(0, 300).select(
+        (F.col("id") + 1).alias("period"), (F.col("id") * 7 % 100).alias("v")
+    )
+    hashed = df.repartition(8, "period")  # full-join-like hash output order
+
+    sorted_pos = stamp_physical_order(hashed.orderBy("period")).collect()
+    assert all(r.pos == r.period for r in sorted_pos)
+
+    unsorted_pos = stamp_physical_order(hashed).collect()
+    assert any(r.pos != r.period for r in unsorted_pos)
