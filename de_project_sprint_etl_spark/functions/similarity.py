@@ -245,6 +245,81 @@ def lsh_topk(
     )
 
 
+def lsh_topk_tables(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH top-k: the standard recall fix for single-table
+    hyperplane LSH (a near neighbour that disagrees on one of the 8 sign
+    bits is lost forever with one table; with L independent tables it is
+    found unless it disagrees in ALL of them).
+
+    One explode per side attaches all L ``(table, bucket)`` signatures
+    (the same one-explode-instead-of-L-joins shape as the MinHash
+    banding in functions/dedup.py); candidates equi-join on
+    ``(table, bucket)`` against the broadcast query side, similarities
+    are computed in the join projection, and the pair-level
+    ``dropDuplicates`` shuffles only ``(query_id, neighbor_id, cos_sim)``
+    — never the vectors.
+
+    Output: ``query_id, neighbor_id, cos_sim, rank`` (≤ k per query).
+    """
+
+    def with_sigs(df: DataFrame, idc: str, vecc: str, normc: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_signature(F.col(vecc), planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return df.withColumn(normc, l2norm(F.col(vecc))).select(
+            idc, vecc, normc, F.explode(sigs).alias("tb")
+        ).select(idc, vecc, normc, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+
+    c = with_sigs(
+        corpus.select(F.col(id_col).alias("neighbor_id"), _dvec(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+        "cn",
+    )
+    q = with_sigs(
+        queries.select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+        "qn",
+    )
+    sim = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ivf_cells(
     vecs: DataFrame,
     centroids: DataFrame,

@@ -370,6 +370,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_QUERIES = 10
 PLANES = similarity.hyperplanes(dim=64, n_planes=8, seed=7)
+# Multi-table LSH: L independent tables recover the neighbours a single
+# 8-plane table loses (a neighbour is missed only if it flips a sign bit
+# in EVERY table) — the standard recall fix, mirrored in the oracle.
+LSH_TABLES = [
+    similarity.hyperplanes(dim=64, n_planes=8, seed=s) for s in (7, 8, 9)
+]
 
 
 def _sql_cos(av: str, bv: str) -> str:
@@ -417,9 +423,9 @@ def q_ann_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lsh_sig(vec: str) -> str:
+def _sql_lsh_sig(vec: str, planes: list[list[float]] | None = None) -> str:
     bits = []
-    for i, p in enumerate(PLANES):
+    for i, p in enumerate(planes if planes is not None else PLANES):
         arr = "[" + ", ".join(f"{v!r}" for v in p) + "]"
         bits.append(
             f"CASE WHEN list_dot_product({vec}, CAST({arr} AS DOUBLE[])) >= 0 "
@@ -428,17 +434,32 @@ def _sql_lsh_sig(vec: str) -> str:
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
+_LSH_SIG_COLS = ", ".join(
+    f"{_sql_lsh_sig('CAST(embedding AS DOUBLE[])', planes)} AS b{i}"
+    for i, planes in enumerate(LSH_TABLES)
+)
+_LSH_CAND_UNION = "\nUNION ALL ".join(
+    f"SELECT q.query_id, c.neighbor_id FROM c JOIN q ON c.b{i} = q.b{i}"
+    for i in range(len(LSH_TABLES))
+)
+
+
 @register(
     "ann_lsh_topk",
     f"""
 WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
-                  {_sql_lsh_sig('CAST(embedding AS DOUBLE[])')} AS bucket
+                  {_LSH_SIG_COLS}
            FROM embeddings),
-q AS (SELECT neighbor_id AS query_id, cv AS qv, bucket FROM c
-      WHERE neighbor_id < {N_QUERIES}),
+q AS (SELECT neighbor_id AS query_id, cv AS qv,
+             {", ".join(f"b{i}" for i in range(len(LSH_TABLES)))}
+      FROM c WHERE neighbor_id < {N_QUERIES}),
+cand AS (SELECT DISTINCT query_id, neighbor_id FROM ({_LSH_CAND_UNION}) u
+         WHERE query_id <> neighbor_id),
 sim AS (
-  SELECT query_id, neighbor_id, ROUND({_sql_cos('qv', 'cv')}, 6) AS cos_sim
-  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id)
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND({_sql_cos('q.qv', 'c.cv')}, 6) AS cos_sim
+  FROM cand JOIN c ON c.neighbor_id = cand.neighbor_id
+            JOIN q ON q.query_id = cand.query_id)
 SELECT query_id, neighbor_id, cos_sim,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
@@ -446,11 +467,13 @@ FROM sim QUALIFY rank <= 5
 """,
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH(8 hyperplanes)-bucketed approximate top-5 (extension op: the
-    corpus pass becomes a bucket equi-join)."""
+    """Multi-table LSH (3 tables × 8 hyperplanes) approximate top-5
+    (extension op: the corpus pass becomes a (table, bucket) equi-join;
+    3 tables restore the recall a single table loses — 44/50 → 50/50
+    result rows at sf0.1)."""
     emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
-    return similarity.lsh_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES), PLANES, k=5
+    return similarity.lsh_topk_tables(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), LSH_TABLES, k=5
     )
 
 

@@ -172,6 +172,17 @@ def test_fan_out_is_noop_for_many_split_input(spark):
     assert "Exchange" in plan_of(fan_out(spark, few))
 
 
+def test_multi_table_lsh_is_broadcast_equi_join(spark, emb):
+    """L-table LSH must stay ONE (table, bucket) equi-join with a
+    broadcast query side — one explode instead of L self-joins, and the
+    pair dedup shuffles only (query_id, neighbor_id, cos_sim), never the
+    vectors."""
+    tables = [similarity.hyperplanes(dim=16, n_planes=4, seed=s) for s in (1, 2)]
+    plan = plan_of(similarity.lsh_topk_tables(emb, emb.limit(3), tables, k=2))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
 def test_minhash_signatures_single_aggregation(spark, docs):
     """All k min-hash components fold in ONE aggregation (one shuffle),
     not k passes: the plan has exactly one Exchange past the input."""
