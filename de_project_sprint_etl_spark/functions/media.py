@@ -74,6 +74,70 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def read_media_files(spark, path: str) -> DataFrame:
+    """Ingest real files as multimodal rows via Spark's ``binaryFile``
+    source — the production entry point for a training-data pipeline
+    (the reference's closest analog is its per-file HTTP download,
+    ``ETL_logs_inc.py:121-125``; on Spark the directory IS the table).
+
+    Files follow the fixture convention ``<media_id>.<kind>`` with kind
+    in MEDIA_KINDS; anything else (markers, strays) is filtered out.
+    Output matches MEDIA_SCHEMA: payload = file content, meta = (source
+    path, byte length). The scan parallelizes over files and prunes the
+    ``content`` column when downstream plans never touch the payload.
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    fname = F.element_at(F.split(F.col("path"), "/"), -1)
+    kinds = "|".join(MEDIA_KINDS)
+    return (
+        raw.filter(fname.rlike(rf"^\d+\.({kinds})$"))
+        .select(
+            F.regexp_extract(fname, r"^(\d+)\.", 1).cast("long").alias("media_id"),
+            F.regexp_extract(fname, rf"\.({kinds})$", 1).alias("kind"),
+            F.col("content").alias("payload"),
+            F.struct(
+                F.col("path").alias("source"),
+                F.col("length").cast("long").alias("n_bytes"),
+            ).alias("meta"),
+        )
+    )
+
+
+def write_media_fixture(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Materialize one binary file per document row under ``out_dir``
+    (named ``<media_id>.<kind>``, kind cycling over MEDIA_KINDS like
+    :func:`synth_media`) so the ``binaryFile`` ingest path has real
+    files to read. Fixture scaffolding ONLY — a production corpus
+    already exists as files; hence the driver-side iterator is fine
+    here and deliberately not a data-plane pattern. Idempotent per
+    ``out_dir`` (marker file + atomic rename)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    p = Path(out_dir)
+    if (p / "_SUCCESS").exists():
+        return str(p)
+    shutil.rmtree(p, ignore_errors=True)
+    tmp = Path(f"{out_dir}.tmp{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    for row in docs.select(id_col, text_col).toLocalIterator():
+        kind = MEDIA_KINDS[row[0] % len(MEDIA_KINDS)]
+        (tmp / f"{row[0]:08d}.{kind}").write_bytes(row[1].encode("utf-8"))
+    (tmp / "_SUCCESS").touch()
+    try:
+        os.replace(tmp, p)
+    except OSError:  # concurrent writer won the rename
+        shutil.rmtree(tmp, ignore_errors=True)
+    return str(p)
+
+
 def _fake_decode(kind: str, payload: bytes) -> tuple[str, int, int, int, int]:
     """DETERMINISTIC FAKE decode: features are functions of the md5
     digest, not of any real codec. Replace with PIL/ffmpeg bindings in

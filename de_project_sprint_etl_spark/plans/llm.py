@@ -680,9 +680,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H_MEDIA = sql_h64("md5(text)")  # int of first 15 hex chars of the digest
 
 
-@register(
-    "media_features",
-    f"""
+_SQL_MEDIA_FEATURES = f"""
 WITH m AS (
   SELECT doc_id AS media_id,
          ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -699,8 +697,10 @@ SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes, digest,
                  WHEN kind = 'video' THEN (1000 + (h >> 7) % 600000) // 40
                  ELSE 0 END AS INT) AS n_frames
 FROM m
-""",
-)
+"""
+
+
+@register("media_features", _SQL_MEDIA_FEATURES)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode + feature extraction through the Arrow-batched
     ``mapInPandas`` path (functions/media.py). The decode is the
@@ -708,3 +708,22 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     op oracle-checkable byte-for-byte."""
     docs = docs_fanned(spark, sf_dir)
     return media.extract_features(media.synth_media(docs))
+
+
+MEDIA_FIXTURE_ROOT = "/tmp/spark_graft_media_fixture"
+
+
+@register("media_from_files", _SQL_MEDIA_FEATURES)
+def q_media_from_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-file multimodal ingest: the documents table is materialized
+    once per sf_dir as one binary file per row (fixture scaffolding —
+    a real corpus already exists as files), then ingested with
+    ``spark.read.format('binaryFile')`` into MEDIA_SCHEMA and decoded
+    through the same Arrow-batched ``extract_features`` path. Shares
+    media_features' oracle: payload bytes are identical, so every
+    feature is too."""
+    fixture = media.write_media_fixture(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        f"{MEDIA_FIXTURE_ROOT}/{sf_dir.strip('/').replace('/', '_')}",
+    )
+    return media.extract_features(media.read_media_files(spark, fixture))

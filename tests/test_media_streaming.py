@@ -51,6 +51,30 @@ def test_media_features_deterministic_and_batched(spark):
     assert sorted(map(str, feats.collect())) == sorted(map(str, rows))
 
 
+def test_binary_file_media_source_roundtrip(spark, tmp_path):
+    """binaryFile ingest: fixture files come back with correct id/kind
+    parsing, path + byte-length metadata, payload bytes, and identical
+    features to the synth_media path (same payloads ⇒ same decode)."""
+    d = docs(spark, n=12)
+    fixture = media.write_media_fixture(d, str(tmp_path / "media"))
+    m = media.read_media_files(spark, fixture)
+    rows = {r.media_id: r for r in m.collect()}
+    raw = {r.doc_id: r.text for r in d.collect()}
+    assert set(rows) == set(raw)
+    for i, r in rows.items():
+        assert r.kind == media.MEDIA_KINDS[i % 3]
+        assert bytes(r.payload) == raw[i].encode("utf-8")
+        assert r.meta.n_bytes == len(raw[i].encode("utf-8"))
+        assert r.meta.source.endswith(f"{i:08d}.{r.kind}")
+    # marker file is filtered out, idempotent re-write reuses the dir
+    assert media.write_media_fixture(d, fixture) == fixture
+    assert m.count() == 12
+    # feature parity with the synthesized-media path
+    a = sorted(map(str, media.extract_features(m).collect()))
+    b = sorted(map(str, media.extract_features(media.synth_media(d)).collect()))
+    assert a == b
+
+
 def test_media_real_decode_is_stubbed(spark):
     m = media.synth_media(docs(spark))
     try:
