@@ -32,6 +32,39 @@ def test_dup_groups_converges_on_cycle(spark):
     assert all(r.group_size == 3 for r in rows)
 
 
+def test_dup_groups_star_matches_label_prop_on_skewed_graph(spark):
+    """Large-star/small-star must return row-for-row the same groups as
+    label propagation on a skewed graph: a 60-node chain (diameter
+    stresses label_prop), a 40-leaf hub (the mega-component shape star
+    exists for), a clique, and singleton pairs."""
+    edges = (
+        [(i, i + 1) for i in range(100, 160)]             # chain
+        + [(500, 500 + i) for i in range(1, 41)]          # hub-and-spokes
+        + [(a, b) for a in range(900, 905) for b in range(a + 1, 905)]  # clique
+        + [(7000, 7001), (8000, 8001)]                    # tiny pairs
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    # label_prop needs O(diameter) rounds for the 60-node chain; star
+    # converges in O(log n) with the default budget
+    a = sorted(tuple(r) for r in dedup.dup_groups(pairs, max_iter=80).collect())
+    b = sorted(
+        tuple(r)
+        for r in dedup.dup_groups(pairs, algorithm="star", max_iter=15).collect()
+    )
+    assert a == b
+
+
+def test_dup_groups_raises_when_round_budget_too_small(spark):
+    """Non-convergence is an error, not silently wrong labels."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.dup_groups(chain, max_iter=3)
+
+
 def _vec_df(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
