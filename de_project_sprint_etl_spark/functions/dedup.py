@@ -21,6 +21,16 @@ Scale design (the point of each op):
 
 Everything is built from Catalyst expressions; every op has an exact
 DuckDB-SQL mirror in plans/llm.py.
+
+**Cache contract**: the pair generators ``persist()`` their expensive
+shared subtrees (exploded shingles, signatures) because the returned —
+still lazy — plan consumes them multiple times; they cannot unpersist
+what the caller has not yet materialized. Long-lived sessions must
+release that storage after materializing a returned plan:
+``spark.catalog.clearCache()`` between queries (what bench.py and the
+driver harness do), or track and ``unpersist()`` specific DataFrames.
+Only ``dup_groups`` unpersists internally (its edge cache dies inside
+the loop it serves).
 """
 
 from __future__ import annotations

@@ -158,8 +158,17 @@ def build_retention_mart(spark: SparkSession, base_dir: str) -> dict[str, DataFr
         "payment_amount", F.col("payment_amount").cast("decimal(18,2)")
     )
 
-    dates = v2.select(F.col("date_time").alias("fact_date")).distinct()
-    weeks = retention.build_weeks(dates)
+    # week dim from the SAME all-sources date union the calendar dim uses
+    # (reference date_periods.sql:5-15 builds d_calendar_weeks FROM
+    # mart.d_calendar, which unions order/activity/research dates) — v2
+    # dates alone would renumber periods whenever activity/research logs
+    # contain weeks absent from the order log.
+    ual = spark.read.parquet(_p(base_dir, "staging", "user_activity_log"))
+    res = spark.read.parquet(_p(base_dir, "staging", "customer_research"))
+    date_sources = [(uol, "date_time"), (ual, "date_time"), (res, "date_id")]
+    if inc is not None:
+        date_sources.append((inc, "date_time"))
+    weeks = retention.build_weeks(dims.all_dates(date_sources))
     writers.overwrite(weeks, _p(base_dir, "mart", "d_calendar_weeks"))
     weeks = spark.read.parquet(_p(base_dir, "mart", "d_calendar_weeks"))
 

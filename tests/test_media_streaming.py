@@ -234,3 +234,62 @@ def test_streaming_stateful_running_totals(spark, tmp_path):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-4
+
+
+def test_streaming_watermark_drops_late_events(spark, tmp_path):
+    """Events arriving later than the watermark behind max event time
+    must be DROPPED from the windowed aggregation. Micro-batch
+    boundaries are made deterministic by restarting the query on one
+    shared checkpoint after each file lands (the watermark persists in
+    the checkpoint's commit log)."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_arrivals")
+    ckpt = str(tmp_path / "late_ckpt")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_file(rows):
+        spark.createDataFrame(
+            [
+                (i, base + dt.timedelta(minutes=m), 1, "click", 1.0, "{}")
+                for i, m in rows
+            ],
+            jobs.EVENTS_STREAM_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "late_out")
+
+    def drain():
+        agg = jobs.windowed_event_counts(
+            jobs.read_event_stream(spark, src), window="1 hour", watermark="1 hour"
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two on-time events in the 12:00 window + one at 15:00
+    # -> watermark advances to 14:00, the 12:00 window finalizes
+    write_file([(0, 12 * 60 + 10), (1, 12 * 60 + 20), (2, 15 * 60)])
+    drain()
+    # batch 2: a LATE event for the 12:00 window (12:30 < watermark
+    # 14:00 — must be dropped) + an on-time one at 15:30
+    write_file([(3, 12 * 60 + 30), (4, 15 * 60 + 30)])
+    drain()
+    # batch 3: advance the watermark past 16:00 to flush the 15:00 window
+    write_file([(5, 18 * 60)])
+    drain()
+
+    emitted = {}
+    for r in spark.read.parquet(out).collect():
+        emitted.setdefault(str(r.window_start), []).append(r.n_events)
+    # the 12:00 window was emitted exactly once, with ONLY the 2 on-time
+    # events — the late event neither re-emitted nor re-counted it
+    assert emitted["2024-01-01 12:00:00"] == [2]
+    # the 15:00 window holds both its on-time events
+    assert emitted["2024-01-01 15:00:00"] == [2]
