@@ -11,6 +11,15 @@ count-only action); the row count rides along as an ``Observation`` so
 it costs nothing extra. The cache is cleared between queries so each
 timing is independent — operators persist reused subtrees internally,
 and leaked caches would otherwise skew later queries.
+
+Warm-up runs EVERY query once (uncounted) before the timed pass:
+round-1 drift analysis showed per-query first-touch JIT/codegen swings
+of 2-3x on the dedup family (the same query measured 3.2 s and 8.7 s in
+back-to-back fresh runs when only the first query's subtree was
+warmed). Steady-state numbers are the reproducible ones, and they are
+what a long-lived cluster session observes. The warm pass also builds
+the once-per-corpus derived-stream cache (plans/llm._materialized), so
+the timed pass measures the engine, not fixture materialization.
 """
 
 from __future__ import annotations
@@ -64,10 +73,17 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
-    # Warm the JVM + parquet footer caches once so per-query numbers
-    # measure execution, not first-touch JIT.
-    qs[names[0]](spark, sf_dir).count()
-    spark.catalog.clearCache()
+    # Warm pass: run every query once uncounted (JIT/codegen, parquet
+    # footers, derived-stream cache), so the timed pass measures
+    # steady-state execution. See module docstring.
+    for name in names:
+        (
+            qs[name](spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -99,21 +99,29 @@ def _exploded_shingles(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     min_jaccard: float = 0.2,
     max_shingle_df: int = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Set-similarity join on word n-gram shingles.
+
+    ``shingles`` (columns ``id, shingle``, distinct per doc) lets the
+    caller supply a pre-materialized shingle stream — the 100 TB shape,
+    where shingling runs once and is reused across every dedup pass —
+    instead of re-deriving it from ``docs``.
 
     Output: ``id_a, id_b, shared, n_a, n_b, jaccard`` for pairs with
     ``jaccard >= min_jaccard`` (id_a < id_b, 6-decimal rounding).
     """
     # persist pre-cut: the shingle explode is the expensive subtree and
     # feeds four consumers (df computation, sizes, both self-join sides).
-    sh = _exploded_shingles(docs, text_col, id_col, n).persist()
+    if shingles is None:
+        shingles = _exploded_shingles(docs, text_col, id_col, n)
+    sh = shingles.persist()
     # df-cut: drop shingles hotter than max_shingle_df (skew + no signal).
     # groupBy.count has a map-side partial combine, so the hottest
     # shingle's posting list never has to land in ONE partition — which
@@ -171,11 +179,12 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """k-component MinHash signature per doc via universal hashing:
     one base digest per shingle ``x = h64(shingle) mod p``, then
@@ -183,8 +192,14 @@ def minhash_signatures(
     hashing with the affine family; Mining of Massive Datasets §3.3).
     One explode + ONE md5 per shingle + one groupBy computing all k mins
     in a single aggregation (map-side partial combine) — k-independent
-    digest cost, unlike hashing the shingle k times."""
-    sh = _exploded_shingles(docs, text_col, id_col, n)
+    digest cost, unlike hashing the shingle k times. ``shingles``
+    (``id, shingle``) bypasses the explode with a pre-materialized
+    stream, as in :func:`ngram_jaccard_pairs`."""
+    sh = (
+        shingles
+        if shingles is not None
+        else _exploded_shingles(docs, text_col, id_col, n)
+    )
     x = F.pmod(h64(F.col("shingle")), F.lit(MINHASH_P))
     base = sh.select("id", x.alias("x"))
     aggs = [
@@ -457,10 +472,11 @@ def _dup_groups_star(
 
 
 def simhash(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted-majority SimHash over token hashes.
 
@@ -470,17 +486,23 @@ def simhash(
     (id, token)-tf aggregation: one explode, one groupBy, one shuffle.
     The signature sets bit b iff the sum is positive.
 
+    ``toks`` (``id, tok``, one row per token instance) bypasses the
+    tokenize+explode with a pre-materialized stream.
+
     Output: ``id, simhash`` (non-negative 32-bit value in a long).
     """
-    toks = (
-        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-        # explode_outer: see _exploded_shingles — inner explode's inferred
-        # size() filter gets pushed below the repartition with the whole
-        # tokenize expression in tow.
-        .select("id", F.explode_outer("toks").alias("tok"))
-        .filter(F.length("tok") > 0)
-        .withColumn("th", h64(F.col("tok")))
-    )
+    if toks is None:
+        toks = (
+            docs.select(
+                F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+            )
+            # explode_outer: see _exploded_shingles — inner explode's
+            # inferred size() filter gets pushed below the repartition
+            # with the whole tokenize expression in tow.
+            .select("id", F.explode_outer("toks").alias("tok"))
+            .filter(F.length("tok") > 0)
+        )
+    toks = toks.withColumn("th", h64(F.col("tok")))
     bit_sums = [
         F.sum(
             F.when(
