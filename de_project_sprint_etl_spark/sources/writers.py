@@ -39,3 +39,21 @@ def append(df: DataFrame, path: str, partition_by: list[str] | None = None) -> N
 def versioned_path(base: str, name: str) -> str:
     """A fresh directory per materialization of ``name`` under ``base``."""
     return os.path.join(base, name, f"v_{int(time.time() * 1000)}")
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """K4 CTAS onto the session catalog: a *named* managed parquet table,
+    readable back as ``spark.table(name)`` / ``SELECT .. FROM name`` —
+    the direct analog of the reference's named Postgres tables
+    (``update_mart_d_tables.sql:4`` ``mart.d_calendar`` etc.). The
+    path-based layout above stays the primary production surface (object
+    stores + external catalogs); this is the ad-hoc/SQL-facing form."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)

@@ -110,3 +110,26 @@ def test_pipeline_rerun_is_fixed_point(spark, src_dir, tmp_path):
     )
     assert first == second
     assert spark.read.parquet(f"{base}/mart/f_sales_v2").count() == n_v2
+
+
+def test_save_as_table_round_trip(spark, tmp_path):
+    """K4 catalog form: saveAsTable -> spark.table / spark.sql round-trip
+    (the named-table analog of the reference's Postgres mart tables)."""
+    from de_project_sprint_etl_spark.sources import writers
+
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("bucket")
+    )
+    writers.save_as_table(df, "t_roundtrip", partition_by=["bucket"])
+    try:
+        back = spark.table("t_roundtrip")
+        assert back.count() == 50
+        assert set(back.columns) == {"k", "bucket"}
+        assert spark.sql(
+            "SELECT COUNT(*) AS n FROM t_roundtrip WHERE bucket = 3"
+        ).collect()[0].n == 10
+        # overwrite is idempotent (reference K2 drop+recreate semantics)
+        writers.save_as_table(df, "t_roundtrip", partition_by=["bucket"])
+        assert spark.table("t_roundtrip").count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_roundtrip")
