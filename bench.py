@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_groups",
     "text_quality",
     "doc_fingerprint",
+    "token_histogram",
+    "corpus_curation",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

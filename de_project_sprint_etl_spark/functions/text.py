@@ -136,6 +136,47 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_histogram(docs: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Global top-k token frequencies — the vocabulary-building pass of
+    a tokenizer/BPE training pipeline. One explode + one
+    partial-combined groupBy; the final top-k is a TakeOrdered (per-
+    partition partial top-k, then a k-row merge on the driver — never a
+    global sort of the vocabulary). Ties broken by token ascending.
+
+    Output: ``tok, n``.
+    """
+    toks = docs.select(
+        F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    agg = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return agg.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(k)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    default_rate: int = 100,
+    id_col: str = "doc_id",
+    salt: str = "smp",
+) -> DataFrame:
+    """Deterministic per-language downsampling: keep a row iff
+    ``h64(salt|id) mod 100 < rate[lang_pred]`` — the standard way a
+    training mix rebalances dominant languages. Hash-gated (not
+    ``sample()``) on purpose: the decision is a pure function of the id,
+    so it is reproducible across runs/engines, stable under
+    repartitioning, and oracle-checkable. Map-only — no shuffle, no RNG
+    state.
+
+    Input must carry ``lang_pred`` (see :func:`with_lang_id`); ``rates``
+    maps language codes to percent kept (0–100).
+    """
+    gate = h64(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))) % 100
+    rate = F.lit(default_rate)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang_pred") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter(gate < rate)
+
+
 def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Attach a deduplicated shingle array column ``shingle``."""
     return (

@@ -174,9 +174,8 @@ _BPE_SQL = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 _PUNCT_CLASS = r"[^.,;:!?''\"()\[\]{}-]"  # '' = escaped quote inside SQL string
 
 
-@register(
-    "text_quality",
-    f"""
+def _sql_text_quality(rel: str) -> str:
+    return f"""
 WITH raw AS (
   SELECT doc_id,
          LENGTH(text) AS stat_n_chars,
@@ -194,7 +193,7 @@ WITH raw AS (
          CASE WHEN len({_TOKS}) > 0
               THEN len(list_filter({_TOKS}, tk -> tk IN ({_STOP_EN}))) / len({_TOKS})
               ELSE 0.0 END AS stopword_ratio
-  FROM documents)
+  FROM {rel})
 SELECT doc_id, stat_n_chars, n_tokens, n_bpe_tokens,
        ROUND(avg_token_len, 6) AS avg_token_len,
        ROUND(punct_ratio, 6) AS punct_ratio,
@@ -205,8 +204,10 @@ SELECT doc_id, stat_n_chars, n_tokens, n_bpe_tokens,
              + (1.0 - LEAST(punct_ratio * 4.0, 1.0)) * 0.2
              + (1.0 - LEAST(digit_ratio * 4.0, 1.0)) * 0.1, 6) AS quality_score
 FROM raw
-""",
-)
+"""
+
+
+@register("text_quality", _sql_text_quality("documents"))
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring (extension op; pure projections,
     no shuffle — scales as a map over the documents scan)."""
@@ -214,24 +215,25 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_text_stats(docs, "text").drop("text")
 
 
-@register(
-    "lang_id",
-    f"""
+def _sql_lang_id(rel: str) -> str:
+    hit_cols = ", ".join(
+        f"len(list_filter({_TOKS}, tk -> tk IN ({', '.join(repr(w) for w in ws)}))) AS hits_{lang}"
+        for lang, ws in text.LANG_STOPWORDS.items()
+    )
+    return f"""
 WITH hits AS (
-  SELECT doc_id,
-         {", ".join(
-             f"len(list_filter({_TOKS}, tk -> tk IN ({', '.join(repr(w) for w in ws)}))) AS hits_{lang}"
-             for lang, ws in text.LANG_STOPWORDS.items()
-         )}
-  FROM documents)
+  SELECT doc_id, {hit_cols}
+  FROM {rel})
 SELECT doc_id,
        CASE GREATEST(hits_en, hits_de, hits_fr, hits_es)
          WHEN hits_fr THEN 'fr' WHEN hits_es THEN 'es'
          WHEN hits_en THEN 'en' ELSE 'de' END AS lang_pred,
        CAST(GREATEST(hits_en, hits_de, hits_fr, hits_es) AS BIGINT) AS lang_hits
 FROM hits
-""",
-)
+"""
+
+
+@register("lang_id", _sql_lang_id("documents"))
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID (extension op). Tiebreak = greatest
     lang code (struct max), mirrored by the CASE order in the oracle."""
@@ -254,6 +256,86 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extension op; map-only)."""
     docs = docs_fanned(spark, sf_dir)
     return text.with_fingerprints(docs, "text").drop("text")
+
+
+@register(
+    "token_histogram",
+    f"""
+SELECT tok, n FROM (
+  SELECT tok, COUNT(*) AS n,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rnk
+  FROM (SELECT UNNEST({_TOKS}) AS tok FROM documents) t
+  WHERE LENGTH(tok) > 0
+  GROUP BY tok) r
+WHERE rnk <= 100
+""",
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global top-100 token frequencies (extension
+    op; explode → partial-combined groupBy → TakeOrdered, never a global
+    sort of the vocabulary)."""
+    return text.token_histogram(docs_fanned(spark, sf_dir), k=100)
+
+
+SAMPLE_RATES = {"en": 40}  # percent kept per language; others 100
+
+
+@register(
+    "stratified_sample",
+    f"""
+WITH l AS ({_sql_lang_id('documents')})
+SELECT doc_id, lang_pred FROM l
+WHERE {sql_h64("CONCAT('smp|', CAST(doc_id AS VARCHAR))")} % 100 <
+      CASE lang_pred WHEN 'en' THEN {SAMPLE_RATES['en']} ELSE 100 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: hash-gated per-language downsampling
+    (extension op; deterministic — a pure function of the doc id, so
+    reproducible across runs/engines and stable under repartitioning;
+    map-only, no shuffle, no RNG state)."""
+    lang = text.with_lang_id(docs_fanned(spark, sf_dir))
+    return text.stratified_sample(lang, SAMPLE_RATES).select(
+        "doc_id", "lang_pred"
+    )
+
+
+CURATION_MIN_QUALITY = 0.5
+CURATION_MIN_TOKENS = 20
+
+
+@register(
+    "corpus_curation",
+    f"""
+WITH d AS ({SQL_DOCS_MUT}),
+k AS (SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (
+                 PARTITION BY md5({SQL_NORM.format(c='d2.text')})
+                 ORDER BY doc_id) AS rn
+        FROM d d2) t
+      WHERE rn = 1),
+q AS ({_sql_text_quality('k')}),
+l AS ({_sql_lang_id('k')})
+SELECT q.doc_id, l.lang_pred, q.n_tokens, q.quality_score
+FROM q JOIN l ON q.doc_id = l.doc_id
+WHERE q.quality_score >= {CURATION_MIN_QUALITY}
+  AND q.n_tokens >= {CURATION_MIN_TOKENS}
+""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed pipeline a training-data
+    run actually executes: exact-dedup keep-canonical over the mutant
+    corpus, then quality scoring + language ID (one shared projection
+    pass), then threshold filters. One dup-key window + map-only
+    enrichment: the whole curation adds a single shuffle on top of the
+    corpus scan."""
+    kept = dedup.keep_canonical(docs_with_mutants(spark, sf_dir))
+    enriched = text.with_lang_id(text.with_text_stats(kept))
+    return enriched.filter(
+        (F.col("quality_score") >= CURATION_MIN_QUALITY)
+        & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+    ).select("doc_id", "lang_pred", "n_tokens", "quality_score")
 
 
 # --- dedup ------------------------------------------------------------------

@@ -138,3 +138,32 @@ def test_brute_force_pandas_rejects_oversized_query_set(spark):
     corpus = _vec_df(spark, [(i, [float(i), 1.0]) for i in range(6)])
     with pytest.raises(ValueError, match="max_queries"):
         similarity.brute_force_topk_pandas(corpus, corpus, k=2, max_queries=3)
+
+
+def test_token_histogram_counts_and_tiebreak(spark):
+    from de_project_sprint_etl_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb cc aa"), (3, "cc dd")],
+        "doc_id long, text string",
+    )
+    rows = text.token_histogram(docs, k=3).collect()
+    # aa:3, bb:2, cc:2 (bb before cc on the tie), dd cut by k
+    assert [(r.tok, r.n) for r in rows] == [("aa", 3), ("bb", 2), ("cc", 2)]
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    from de_project_sprint_etl_spark.functions import text
+
+    docs = spark.createDataFrame(
+        [(i, "the a and of to in is it for on word") for i in range(400)],
+        "doc_id long, text string",
+    )
+    lang = text.with_lang_id(docs)  # all 'en'
+    kept1 = sorted(r.doc_id for r in text.stratified_sample(lang, {"en": 40}).collect())
+    kept2 = sorted(r.doc_id for r in text.stratified_sample(lang, {"en": 40}).collect())
+    assert kept1 == kept2  # pure function of the id — no RNG state
+    assert 0.25 < len(kept1) / 400 < 0.55  # ~40% kept
+    # rate 100 keeps everything; rate 0 keeps nothing
+    assert text.stratified_sample(lang, {"en": 100}).count() == 400
+    assert text.stratified_sample(lang, {"en": 0}).count() == 0
