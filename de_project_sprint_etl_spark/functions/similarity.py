@@ -424,6 +424,89 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted file: one assignment pass over the
+    corpus (broadcast centroids, nprobe=1), written
+    ``partitionBy("cell")`` — the index build half of IVF. Probes then
+    read ONLY the probed cells' directories (see
+    :func:`ivf_topk_indexed`), which is what makes IVF sublinear at
+    100 TB: the per-query scan cost is |probed cells| / n_list of the
+    corpus, enforced by partition pruning at the file-listing level."""
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cv")
+    )
+    assigned = ivf_cells(
+        corpus.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v")),
+        cent,
+        nprobe=1,
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a materialized index (:func:`build_ivf_index`).
+
+    Query planning = assign each query its ``nprobe`` cells, collect the
+    (tiny — ≤ nprobe × |queries|) probe-cell set to the driver, and scan
+    the index with an ``isin`` literal filter so Catalyst prunes every
+    unprobed partition at file-listing time (``PartitionFilters`` in the
+    scan, pinned in tests/test_plans.py). Identical results to
+    :func:`ivf_topk` on the same centroids.
+    """
+    from pyspark.sql import Window
+
+    cent = centroids.select(
+        F.col(id_col).alias("cent_id"), _dvec(vec_col).alias("cv")
+    )
+    q = ivf_cells(
+        queries.select(F.col(id_col).alias("id"), _dvec(vec_col).alias("v")),
+        cent,
+        nprobe=nprobe,
+    ).select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell")
+    probe_cells = [r.cell for r in q.select("cell").distinct().collect()]
+    c = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell")
+    )
+    sim = (
+        c.withColumn("cn", l2norm(F.col("cv")))
+        .join(F.broadcast(q.withColumn("qn", l2norm(F.col("qv")))), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_prenormed(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     planes: list[list[float]],

@@ -632,10 +632,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_STRIDE = 50  # centroid seeds = every 50th vector → n_list ≈ N/50
 
-
-@register(
-    "ann_ivf_topk",
-    f"""
+_SQL_ANN_IVF = f"""
 WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (SELECT id AS cent_id, v AS cv FROM e WHERE id % {IVF_STRIDE} = 0),
 scored AS (
@@ -655,15 +652,49 @@ SELECT query_id, neighbor_id, cos_sim,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
 FROM sim QUALIFY rank <= 5
-""",
-)
+"""
+
+
+@register("ann_ivf_topk", _SQL_ANN_IVF)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5, nprobe=2 (extension op: the corpus pass is
-    an index-build assignment; probes are cell equi-joins that become
-    partition-pruned reads when the index is written partitionBy(cell))."""
+    an index-build assignment; probes are cell equi-joins — see
+    ann_ivf_topk_indexed for the materialized partition-pruned form)."""
     emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     return similarity.ivf_topk(
         emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb.filter(F.col("vec_id") % IVF_STRIDE == 0),
+        nprobe=2,
+        k=5,
+    )
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per corpus) the partitionBy(cell) IVF index under the
+    derived-stream cache; keyed like _materialized."""
+    src = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = sf_dir.strip("/").replace("/", "_")
+    path = Path(_CACHE_ROOT) / f"{key}-emb-{src.st_mtime_ns}-{src.st_size}" / "ivf_index"
+    if not (path / "_SUCCESS").exists():
+        emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+        similarity.build_ivf_index(
+            emb, emb.filter(F.col("vec_id") % IVF_STRIDE == 0), str(path)
+        )
+    return str(path)
+
+
+@register("ann_ivf_topk_indexed", _SQL_ANN_IVF)
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF against the MATERIALIZED inverted file: index written
+    partitionBy(cell) once per corpus; probes scan only the probed
+    cells' directories (PartitionFilters pruning, pinned in
+    tests/test_plans.py) — the sublinear serving path a 100 TB corpus
+    needs. Same centroids, same semantics, same oracle as ann_ivf_topk."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    return similarity.ivf_topk_indexed(
+        spark,
+        _ivf_index_path(spark, sf_dir),
         emb.filter(F.col("vec_id") < N_QUERIES),
         emb.filter(F.col("vec_id") % IVF_STRIDE == 0),
         nprobe=2,

@@ -183,6 +183,30 @@ def test_multi_table_lsh_is_broadcast_equi_join(spark, emb):
     assert "NestedLoop" not in plan
 
 
+def test_ivf_index_probe_is_partition_pruned(spark, emb, tmp_path):
+    """The materialized IVF index must be probed through partition
+    pruning: the scan's PartitionFilters carries the probed-cell
+    predicate, so unprobed cell directories are never listed — the
+    sublinear serving path at corpus scale."""
+    idx = str(tmp_path / "ivf_idx")
+    cent = emb.filter(F.col("vec_id") % 100 == 0)
+    similarity.build_ivf_index(emb, cent, idx)
+    out = similarity.ivf_topk_indexed(
+        spark, idx, emb.limit(3), cent, nprobe=1, k=2
+    )
+    plan = plan_of(out)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    # and the indexed form returns the same rows as the join form
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(
+        map(tuple, similarity.ivf_topk(emb, emb.limit(3), cent, nprobe=1, k=2).collect())
+    )
+    assert a == b
+
+
 def test_minhash_signatures_single_aggregation(spark, docs):
     """All k min-hash components fold in ONE aggregation (one shuffle),
     not k passes: the plan has exactly one Exchange past the input."""
