@@ -58,6 +58,7 @@ HEADLINE = [
     "doc_fingerprint",
     "token_histogram",
     "corpus_curation",
+    "tfidf_topk_terms",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -13,7 +13,7 @@ DuckDB reproduces as ``CAST('0x'||SUBSTR(md5(x),1,15) AS BIGINT)``
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Stopword lists for the n-gram/stopword language-ID heuristic. Tiny on
@@ -175,6 +175,48 @@ def stratified_sample(
     for lang, r in sorted(rates.items()):
         rate = F.when(F.col("lang_pred") == lang, F.lit(r)).otherwise(rate)
     return docs.filter(gate < rate)
+
+
+def tfidf_topk_terms(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (keyword extraction / doc
+    representation). Two partial-combined aggregations — (doc, term)
+    term frequencies, then term document frequencies — a broadcast of
+    the 1-row corpus count, and a per-doc top-k window partitioned by
+    the doc id (state scales with k, not vocabulary). ``idf =
+    ln(N/df)``; scores rounded to 6 decimals, ties broken by term.
+
+    Output: ``doc_id, tok, tf, df, tfidf, rank``.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias("doc_id"),
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "tok", "tf", "df", "tfidf", "rank")
+    )
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:

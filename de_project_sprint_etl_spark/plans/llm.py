@@ -277,6 +277,31 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_histogram(docs_fanned(spark, sf_dir), k=100)
 
 
+@register(
+    "tfidf_topk_terms",
+    f"""
+WITH toks AS (
+  SELECT id, tok FROM (
+    SELECT doc_id AS id, UNNEST({_TOKS}) AS tok FROM documents
+  ) t WHERE LENGTH(tok) > 0),
+tf AS (SELECT id, tok, COUNT(*) AS tf FROM toks GROUP BY id, tok),
+dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT id AS doc_id, tok, tf, df,
+             ROUND(tf * LN(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfq USING (tok) CROSS JOIN n)
+SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, tok) AS INT) AS rank
+FROM s QUALIFY rank <= 3
+""",
+)
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (extension op; two partial-combined
+    aggs + broadcast corpus count + per-doc top-k window)."""
+    return text.tfidf_topk_terms(docs_fanned(spark, sf_dir), k=3)
+
+
 SAMPLE_RATES = {"en": 40}  # percent kept per language; others 100
 
 
