@@ -255,3 +255,56 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "asof_join_clicks_purchases",
+    """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts_us
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, epoch_us(ts) AS purchase_ts_us,
+         MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, epoch_us(ts))
+SELECT c.user_id, c.click_id, c.click_ts_us,
+       p.purchase_ts_us, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.click_ts_us >= p.purchase_ts_us
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/asof.py): each click event joined to the
+    same user's most recent purchase at-or-before the click instant —
+    the point-in-time lookup the reference's equi/range joins cannot
+    express (§2.12). One key+ts sort shuffle, zero row explosion; the
+    oracle is DuckDB's native ASOF LEFT JOIN, so the >=-tie and
+    no-prior-row semantics are verified against an independent
+    implementation. The build side is pre-aggregated per (user, ts) —
+    the determinism contract both engines share."""
+    from de_project_sprint_etl_spark.functions.asof import asof_join
+    from de_project_sprint_etl_spark.plans.testdata import events_df
+
+    ev = events_df(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts_us").alias("purchase_ts_us"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        probe_ts="click_ts_us",
+        build_ts="purchase_ts_us",
+        build_cols=["purchase_value"],
+    )

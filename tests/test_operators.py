@@ -161,3 +161,32 @@ def test_order_stamp_detects_lost_sort(spark):
 
     unsorted_pos = stamp_physical_order(hashed).collect()
     assert any(r.pos != r.period for r in unsorted_pos)
+
+
+def test_asof_join_semantics(spark):
+    """>=-tie visibility, latest-wins, and no-prior-row null — pinned
+    against hand-computed expectations (the registered query also
+    verifies against DuckDB's native ASOF LEFT JOIN)."""
+    from de_project_sprint_etl_spark.functions.asof import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 10, "p10"), (1, 20, "p20"), (1, 5, "p5"), (2, 15, "p15")],
+        "k int, pts int, tag string",
+    )
+    build = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 18, 180.0), (2, 30, 300.0)],
+        "k int, bts int, val double",
+    )
+    got = {
+        (r.k, r.pts): (r.bts, r.val)
+        for r in asof_join(
+            probe, build, on=["k"], probe_ts="pts",
+            build_ts="bts", build_cols=["val"],
+        ).collect()
+    }
+    assert got == {
+        (1, 5): (None, None),        # no build row at-or-before ts=5
+        (1, 10): (10, 100.0),        # equal-ts build row IS visible (>=)
+        (1, 20): (18, 180.0),        # latest preceding, not first
+        (2, 15): (None, None),       # build row is in the future
+    }

@@ -215,3 +215,25 @@ def test_minhash_signatures_single_aggregation(spark, docs):
     plan = plan_of(dedup.minhash_signatures(docs, num_hashes=8))
     assert n_exchanges(plan) == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_asof_join_is_one_shuffle_no_join(spark):
+    """asof_join must compile to ONE key-partition exchange feeding a
+    window — never a physical join node (the naive equi-join+window
+    emulation explodes |probe|x|build| rows per key before cutting)."""
+    from de_project_sprint_etl_spark.functions.asof import asof_join
+
+    probe = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("pts"),
+        F.col("id").alias("pid"),
+    )
+    build = spark.range(50).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 2).alias("bts"),
+        (F.col("id") * 10.0).alias("bval"),
+    )
+    out = asof_join(probe, build, on=["k"], probe_ts="pts",
+                    build_ts="bts", build_cols=["bval"])
+    plan = plan_of(out)
+    assert "Join" not in plan, plan
+    assert n_exchanges(plan) == 1, plan
+    assert "Window" in plan, plan
