@@ -263,3 +263,161 @@ def with_fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> Da
             "fp_minhash1"
         ),
     ).drop("shingle_arr")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 500,
+    overlap: int = 100,
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    overlap — the context-window packing step of a training pipeline
+    (no reference analog; its unit is the whole CSV row).
+
+    Chunk ``i`` covers ``[i*stride, i*stride + size)`` with
+    ``stride = size - overlap``; every doc yields at least one chunk,
+    and the chunk count is ``ceil((len - overlap) / stride)`` so the
+    final chunk is the only one shorter than ``size`` and no chunk
+    starts beyond the text.
+
+    Scale shape: ``explode(sequence(...))`` is a narrow map-only
+    operation — chunking a 100 TB corpus is one codegen'd scan, no
+    shuffle, and the fan-out factor (~len/stride) is bounded per row,
+    so partition sizes grow predictably.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap=} {size=}")
+    stride = size - overlap
+    n = F.length(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1), F.expr(f"(length({text_col}) - {overlap} + {stride - 1}) div {stride}")
+    ).cast("int")
+    return (
+        docs.withColumn("__n_chunks", n_chunks)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.col("__n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            *[c for c in docs.columns if c != text_col],
+            "chunk_id",
+            (F.col("chunk_id") * stride).alias("chunk_start"),
+            F.substring(F.col(text_col), F.col("chunk_id") * stride + 1, size).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+def sql_chunk_documents(
+    rel: str, text_col: str = "text", size: int = 500, overlap: int = 100
+) -> str:
+    """DuckDB mirror of :func:`chunk_documents` (same chunk-count
+    formula; ``substr`` is 1-based on both engines)."""
+    stride = size - overlap
+    return f"""
+WITH n AS (
+  SELECT *, GREATEST(1, (LENGTH({text_col}) - {overlap} + {stride - 1}) // {stride})
+            AS __n_chunks
+  FROM {rel}),
+c AS (
+  SELECT n.*, CAST(u.i AS INT) AS chunk_id
+  FROM n, UNNEST(range(0, __n_chunks)) AS u(i))
+SELECT doc_id, lang, source, n_chars, chunk_id,
+       CAST(chunk_id * {stride} AS INT) AS chunk_start,
+       SUBSTR({text_col}, chunk_id * {stride} + 1, {size}) AS chunk_text,
+       CAST(LENGTH(SUBSTR({text_col}, chunk_id * {stride} + 1, {size})) AS INT)
+         AS chunk_len
+FROM c
+"""
+
+
+def with_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition / boilerplate signals per document: distinct-token
+    ratio and the fraction of duplicated token trigrams (the
+    Gopher-style "repetitious document" filters). Pure array
+    expressions over the token stream — map-only, no shuffle, no
+    Python; a 100 TB corpus pays one codegen'd scan.
+    """
+    toks = tokens(F.col(text_col))
+    tris = F.expr(
+        "CASE WHEN size(__toks) >= 3 THEN "
+        "transform(sequence(0, size(__toks) - 3),"
+        " i -> concat_ws(' ', slice(__toks, i + 1, 3))) "
+        "ELSE array() END"
+    )
+    return (
+        docs.withColumn("__toks", toks)
+        .withColumn("__tris", tris)
+        .select(
+            "*",
+            F.size("__toks").alias("n_tokens"),
+            F.round(
+                F.size(F.array_distinct("__toks"))
+                / F.greatest(F.size("__toks"), F.lit(1)),
+                6,
+            ).alias("distinct_token_ratio"),
+            F.when(F.size("__tris") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    1 - F.size(F.array_distinct("__tris")) / F.size("__tris"), 6
+                )
+            )
+            .alias("dup_trigram_frac"),
+        )
+        .drop("__toks", "__tris")
+    )
+
+
+def sql_repetition(rel: str, text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`with_repetition`."""
+    toks = SQL_TOKENS.format(c=text_col)
+    tris = (
+        f"CASE WHEN len(__toks) >= 3 THEN "
+        f"list_transform(range(1, len(__toks) - 1), "
+        f"i -> array_to_string(__toks[i:i+2], ' ')) "
+        f"ELSE [] END"
+    )
+    return f"""
+WITH t AS (SELECT *, {toks} AS __toks FROM {rel}),
+x AS (SELECT *, {tris} AS __tris FROM t)
+SELECT doc_id, CAST(len(__toks) AS INT) AS n_tokens,
+       ROUND(len(list_distinct(__toks)) / GREATEST(len(__toks), 1), 6)
+         AS distinct_token_ratio,
+       CASE WHEN len(__tris) = 0 THEN 0.0
+            ELSE ROUND(1 - len(list_distinct(__tris)) / CAST(len(__tris) AS DOUBLE), 6)
+       END AS dup_trigram_frac
+FROM x
+"""
+
+
+# PII patterns, restricted to syntax Java regex and RE2 share (no
+# lookaround, no backreferences) so the Spark and DuckDB forms are the
+# same string. Order matters: IPs are redacted before phone numbers so
+# a dotted quad isn't half-eaten as a digit run.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tags. Pure ``regexp_replace`` chain — map-only,
+    codegen'd, no shuffle at any corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def sql_redact_pii(expr: str) -> str:
+    """DuckDB mirror of :func:`redact_pii` (same patterns, 'g' flag;
+    backslashes stay single — DuckDB string literals are
+    standard-conforming)."""
+    for pat, tag in PII_PATTERNS:
+        expr = f"REGEXP_REPLACE({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{tag}', 'g')"
+    return expr

@@ -302,6 +302,59 @@ def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_topk_terms(docs_fanned(spark, sf_dir), k=3)
 
 
+_SQL_PII_INJECT = (
+    "CONCAT(text, ' reach user', CAST(doc_id AS VARCHAR),"
+    " '@example.com or +1 555-000-',"
+    " LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+    " ' node 10.0.', CAST(doc_id % 256 AS VARCHAR), '.7')"
+)
+
+
+@register(
+    "pii_redaction",
+    f"SELECT doc_id, {text.sql_redact_pii(_SQL_PII_INJECT)} AS redacted\nFROM documents",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails / IPv4s / phone-like digit runs replaced
+    with typed tags (extension op; map-only regexp_replace chain). The
+    corpus has no PII, so the query injects a deterministic synthetic
+    email+phone+IP per doc_id before redacting — the hash check then
+    proves all three patterns fire identically on both engines."""
+    docs = docs_fanned(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-000-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" node 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    return docs.select(
+        "doc_id", text.redact_pii(injected).alias("redacted")
+    )
+
+
+@register("doc_repetition", text.sql_repetition("documents"))
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate quality signals (distinct-token ratio,
+    duplicated-trigram fraction) — the Gopher-style filters (extension
+    op; map-only array expressions, see functions/text.with_repetition)."""
+    return text.with_repetition(docs_fanned(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "distinct_token_ratio", "dup_trigram_frac"
+    )
+
+
+@register(
+    "chunk_documents",
+    text.sql_chunk_documents("documents", size=500, overlap=100),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: overlapping 500-char chunks (stride 400)
+    per document (extension op; map-only explode — zero shuffles on a
+    100 TB corpus, see functions/text.chunk_documents)."""
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    return text.chunk_documents(docs, size=500, overlap=100)
+
+
 SAMPLE_RATES = {"en": 40}  # percent kept per language; others 100
 
 

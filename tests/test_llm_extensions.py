@@ -167,3 +167,78 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark):
     # rate 100 keeps everything; rate 0 keeps nothing
     assert text.stratified_sample(lang, {"en": 100}).count() == 400
     assert text.stratified_sample(lang, {"en": 0}).count() == 0
+
+
+def test_chunk_documents_boundaries(spark):
+    """One chunk for short docs; overlap honoured; final partial chunk;
+    no chunk starts past the text."""
+    from de_project_sprint_etl_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 400), (2, "b" * 500), (3, "c" * 501), (4, "d" * 901)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, size=500, overlap=100).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_start, r.chunk_len))
+    assert by_doc == {
+        1: [(0, 400)],
+        2: [(0, 500)],
+        3: [(0, 500), (400, 101)],   # 100-char overlap with chunk 0
+        4: [(0, 500), (400, 500), (800, 101)],  # 3 strides to cover 901
+    }
+    # chunk text is the substring it claims to be
+    r3 = [r for r in rows if r.doc_id == 3 and r.chunk_id == 1][0]
+    assert r3.chunk_text == "c" * 101
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from de_project_sprint_etl_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=100, overlap=100)
+
+
+def test_repetition_metrics(spark):
+    from de_project_sprint_etl_spark.functions.text import with_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),     # 1 distinct token, 1 distinct trigram of 3
+            (2, "all tokens here are unique"),   # fully distinct
+            (3, "ab"),                           # < 3 tokens -> no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.distinct_token_ratio, r.dup_trigram_frac)
+        for r in with_repetition(docs).collect()
+    }
+    assert got[1] == (5, 0.2, round(1 - 1 / 3, 6))
+    assert got[2] == (5, 1.0, 0.0)
+    assert got[3] == (1, 1.0, 0.0)
+
+
+def test_redact_pii_patterns(spark):
+    from de_project_sprint_etl_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.org now"),
+            (2, "call +44 20 7946-0958 today"),
+            (3, "host 192.168.0.1 up"),
+            (4, "clean text stays clean"),
+        ],
+        "id long, s string",
+    )
+    got = {r.id: r.red for r in df.select("id", redact_pii("s").alias("red")).collect()}
+    assert got == {
+        1: "mail <EMAIL> now",
+        2: "call <PHONE> today",
+        3: "host <IP> up",
+        4: "clean text stays clean",
+    }
