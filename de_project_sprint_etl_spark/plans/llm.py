@@ -23,7 +23,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_sprint_etl_spark.functions import dedup, media, similarity, text
+from de_project_sprint_etl_spark.functions import dedup, embeddings, media, similarity, text
 from de_project_sprint_etl_spark.functions.text import SQL_NORM, sql_h64
 from de_project_sprint_etl_spark.plans.registry import register
 from de_project_sprint_etl_spark.plans.testdata import events_df, t
@@ -826,6 +826,80 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb_with_copies(spark, sf_dir), PLANES, min_cos=0.95
     )
     return dedup.dup_groups(pairs)
+
+
+# --- embedding preprocessing ------------------------------------------------
+
+_EMB_D = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+
+@register(
+    "embedding_normalize",
+    f"""
+WITH e AS ({_EMB_D}),
+n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e)
+SELECT vec_id, CAST(u.i AS INT) AS pos,
+       ROUND(v[CAST(u.i AS INT) + 1] /
+             (CASE WHEN nrm = 0 THEN 1 ELSE nrm END), 6) AS unit_val
+FROM n, UNNEST(range(0, len(v))) AS u(i)
+""",
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column (extension op; map-only
+    array fold + transform, functions/embeddings.l2_normalize). Output
+    exploded to scalars for the cross-engine hash check."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    return embeddings.l2_normalize(emb).select(
+        "vec_id", F.posexplode("unit_vec").alias("pos", "__u")
+    ).select("vec_id", "pos", F.round("__u", 6).alias("unit_val"))
+
+
+@register(
+    "embedding_quantize",
+    f"""
+WITH e AS ({_EMB_D}),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> ABS(x))) / 127.0 AS scale
+      FROM e)
+SELECT vec_id, CAST(u.i AS INT) AS pos,
+       CASE WHEN scale = 0 THEN 0
+            ELSE CAST(ROUND(v[CAST(u.i AS INT) + 1] / scale) AS INT) END AS q,
+       ROUND(scale, 6) AS scale_r
+FROM s, UNNEST(range(0, len(v))) AS u(i)
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (extension op; map-only,
+    functions/embeddings.quantize_int8) — the 4x storage/bandwidth cut
+    before shipping vectors to an ANN index."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    return embeddings.quantize_int8(emb).select(
+        "vec_id",
+        F.posexplode("q_vec").alias("pos", "q"),
+        F.round("scale", 6).alias("scale_r"),
+    ).select("vec_id", "pos", "q", "scale_r")
+
+
+@register(
+    "embedding_label_centroids",
+    f"""
+WITH e AS ({_EMB_D})
+SELECT label, CAST(u.i AS INT) AS pos,
+       ROUND(AVG(v[CAST(u.i AS INT) + 1]), 6) AS centroid,
+       COUNT(*) AS n_vectors
+FROM e, UNNEST(range(0, len(v))) AS u(i)
+GROUP BY label, CAST(u.i AS INT)
+""",
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector / class centroids (extension op;
+    functions/embeddings.label_centroids — posexplode + hash agg, the
+    shuffle carries G x D partial-combined rows, never N x D raw)."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    cent = embeddings.label_centroids(emb)
+    return cent.select(
+        "label", "pos", F.round("centroid", 6).alias("centroid"), "n_vectors"
+    )
 
 
 # --- events: windowed / sessionized / JSON ----------------------------------

@@ -242,3 +242,47 @@ def test_redact_pii_patterns(spark):
         3: "host <IP> up",
         4: "clean text stays clean",
     }
+
+
+def test_l2_normalize_unit_norm_and_zero_vector(spark):
+    from de_project_sprint_etl_spark.functions.embeddings import l2_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.unit_vec for r in l2_normalize(df).collect()}
+    assert got[1] == [0.6, 0.8]
+    assert got[2] == [0.0, 0.0]  # zero vector passes through, no NaN
+
+
+def test_quantize_int8_roundtrip(spark):
+    from de_project_sprint_etl_spark.functions.embeddings import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert rows[1].q_vec == [127, -64, 32]  # max-abs maps to +/-127
+    assert abs(rows[1].scale - 1.0 / 127) < 1e-12
+    assert rows[2].q_vec == [0, 0, 0] and rows[2].scale == 0.0
+    # dequantized error bounded by scale/2 per component
+    deq = [q * rows[1].scale for q in rows[1].q_vec]
+    assert all(abs(d - x) <= rows[1].scale / 2 + 1e-12
+               for d, x in zip(deq, [1.0, -0.5, 0.25]))
+
+
+def test_label_centroids_mean(spark):
+    from de_project_sprint_etl_spark.functions.embeddings import label_centroids
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 2.0]), (2, 0, [3.0, 6.0]), (3, 1, [5.0, 5.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {(r.label, r.pos): (r.centroid, r.n_vectors)
+           for r in label_centroids(df).collect()}
+    assert got == {
+        (0, 0): (2.0, 2), (0, 1): (4.0, 2),
+        (1, 0): (5.0, 1), (1, 1): (5.0, 1),
+    }
