@@ -570,3 +570,33 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination_hits(train_sh: DataFrame, bench_sh: DataFrame) -> DataFrame:
+    """Train/eval contamination check: per training doc, how many of its
+    shingles also appear in the benchmark shingle set, and what fraction
+    of the doc that covers.
+
+    Inputs are ``(id, shingle)`` streams distinct per doc (see
+    :func:`_exploded_shingles`); output is ``(id, n_sh, n_hits,
+    overlap_frac)`` for docs with at least one hit. ``overlap_frac``
+    near 1 is a leaked eval document; a few stray hits on a small
+    vocabulary is chance — threshold on the fraction, not the count.
+
+    Scale shape: the benchmark set is distinct-reduced and explicitly
+    ``broadcast`` — eval suites are tiny next to a training corpus, so
+    the corpus-side shingle stream is NEVER shuffled: one broadcast
+    LEFT hash join marks hits in place, and a single partial-aggregated
+    groupBy on doc id produces size, hit count, and fraction together.
+    """
+    bench = bench_sh.select("shingle").distinct().withColumn("__hit", F.lit(1))
+    return (
+        train_sh.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count("__hit").alias("n_hits"),
+            F.round(F.count("__hit") / F.count(F.lit(1)), 6).alias("overlap_frac"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )

@@ -828,6 +828,51 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_groups(pairs)
 
 
+BENCH_MOD = 20  # doc_id % 20 == 0 <=> source 'src0' — the held-out eval set
+
+
+@register(
+    "contamination_check",
+    f"""
+WITH d AS ({SQL_DOCS_MUT}),
+tr AS (
+  SELECT id, shingle FROM (
+    SELECT id, UNNEST(sh_arr) AS shingle FROM (
+      SELECT doc_id AS id, {_SH3} AS sh_arr FROM d) s0
+  ) s WHERE LENGTH(shingle) > 0
+    AND NOT (id < {MUT_OFFSET} AND id % {BENCH_MOD} = 0)
+),
+b AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT UNNEST({text.sql_shingles('d.text', n=3)}) AS shingle
+    FROM documents d WHERE doc_id % {BENCH_MOD} = 0) x
+  WHERE LENGTH(shingle) > 0
+)
+SELECT id, COUNT(*) AS n_sh, COUNT(b.shingle) AS n_hits,
+       ROUND(COUNT(b.shingle) / CAST(COUNT(*) AS DOUBLE), 6) AS overlap_frac
+FROM tr LEFT JOIN b ON tr.shingle = b.shingle
+GROUP BY id
+HAVING COUNT(b.shingle) > 0
+""",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: per training doc, the count of its
+    trigram shingles that appear anywhere in the benchmark set (source
+    src0), via a broadcast semi-side join — the corpus stream is never
+    shuffled (extension op, functions/dedup.contamination_hits). The
+    mutant copies of src0 docs are the planted leaks the check must
+    light up on."""
+    sh = mutant_shingles(spark, sf_dir)
+    train = sh.filter(
+        ~((F.col("id") < MUT_OFFSET) & (F.col("id") % BENCH_MOD == 0))
+    )
+    bench_docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % BENCH_MOD == 0
+    )
+    bench_sh = dedup._exploded_shingles(bench_docs, "text", "doc_id", 3)
+    return dedup.contamination_hits(train, bench_sh)
+
+
 # --- embedding preprocessing ------------------------------------------------
 
 _EMB_D = "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"

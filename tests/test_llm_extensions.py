@@ -286,3 +286,25 @@ def test_label_centroids_mean(spark):
         (0, 0): (2.0, 2), (0, 1): (4.0, 2),
         (1, 0): (5.0, 1), (1, 1): (5.0, 1),
     }
+
+
+def test_contamination_hits_fraction_and_broadcast(spark):
+    from de_project_sprint_etl_spark.functions.dedup import contamination_hits
+
+    train = spark.createDataFrame(
+        [(1, "a b c"), (1, "b c d"), (2, "x y z"), (3, "a b c"), (3, "q r s")],
+        "id long, shingle string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "a b c"), (99, "b c d"), (99, "zz zz zz")], "id long, shingle string"
+    )
+    got = {r.id: (r.n_sh, r.n_hits, r.overlap_frac)
+           for r in contamination_hits(train, bench).collect()}
+    assert got == {1: (2, 2, 1.0), 3: (2, 1, 0.5)}  # doc 2: zero hits -> dropped
+    # the plan must broadcast the benchmark side, never shuffle the corpus
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        contamination_hits(train, bench).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
