@@ -828,6 +828,54 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_groups(pairs)
 
 
+_QP = [0.25, 0.5, 0.75, 0.95]
+
+
+@register(
+    "quality_percentiles",
+    f"""
+WITH q AS ({_sql_text_quality('documents')}),
+d AS (SELECT doc_id, lang FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       {", ".join(f"ROUND(quantile_cont(quality_score, {p}), 6) AS p{int(p * 100)}"
+                  for p in _QP)}
+FROM q JOIN d USING (doc_id)
+GROUP BY lang
+""",
+)
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quality-score percentiles (extension op).
+    Spark's `percentile` and DuckDB's `quantile_cont` share the linear
+    interpolation rule, so this hash-matches exactly — the distribution
+    profile that sets corpus-curation thresholds."""
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    q = text.with_text_stats(docs, "text")
+    aggs = [
+        F.round(F.expr(f"percentile(quality_score, {p})"), 6).alias(f"p{int(p * 100)}")
+        for p in _QP
+    ]
+    return q.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+
+
+@register("quality_percentiles_approx")  # t-digest sketch ≠ DuckDB's → rows-only
+def q_quality_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of quality_percentiles via percentile_approx —
+    bounded memory per group at any corpus size (the 100 TB path when
+    exact order statistics would shuffle the full value stream).
+    Spark's QuantileSummaries sketch is not bit-compatible with
+    DuckDB's, so this takes the driver's rows-only check;
+    quality_percentiles above is the exact hash-matched twin."""
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    q = text.with_text_stats(docs, "text")
+    aggs = [
+        F.round(F.expr(f"percentile_approx(quality_score, {p}, 1000)"), 6).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in _QP
+    ]
+    return q.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+
+
 BENCH_MOD = 20  # doc_id % 20 == 0 <=> source 'src0' — the held-out eval set
 
 

@@ -258,6 +258,44 @@ def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_revenue",
+    f"""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order status through a 16-way salted join
+    (functions/skew.salted_join) — the explicit skew-mitigation path
+    for a hot join key when the build side exceeds broadcast and AQE is
+    unavailable. Row-identical to the plain join (the oracle IS the
+    plain join), so the hash check proves salting changes the physical
+    distribution and nothing else."""
+    from de_project_sprint_etl_spark.functions.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, orders, on=["l_orderkey"], n_salts=16)
+    return joined.groupBy("o_orderstatus").agg(
+        # decimal arithmetic BEFORE the product: a double product cast
+        # to decimal rounds differently across engines at the cent level
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
     "asof_join_clicks_purchases",
     """
 WITH clicks AS (

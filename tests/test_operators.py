@@ -190,3 +190,36 @@ def test_asof_join_semantics(spark):
         (1, 20): (18, 180.0),        # latest preceding, not first
         (2, 15): (None, None),       # build row is in the future
     }
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must change distribution only: row-identical to the
+    plain join for inner and left, including unmatched-probe nulls."""
+    from de_project_sprint_etl_spark.functions.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(k, i) for k in (1, 1, 1, 2, 3) for i in range(10)],
+        "k int, payload int",
+    )
+    build = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], "k int, tag string")
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(probe, build, ["k"], n_salts=8, how=how).collect()
+        )
+        want = sorted(tuple(r) for r in probe.join(build, ["k"], how).collect())
+        assert got == want, how
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A hot key's probe rows must scatter across many salt buckets —
+    the whole point of the operator."""
+    from pyspark.sql import functions as F
+
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(500)], "k int, payload int"
+    )
+    salted = probe.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in probe.columns]), F.lit(16))
+    )
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets >= 12  # 500 distinct rows over 16 buckets
