@@ -166,3 +166,25 @@ def run_foreach_batch(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact deduplication via
+    ``dropDuplicatesWithinWatermark``: the first arrival of each key
+    wins; re-deliveries within the watermark horizon are dropped, and
+    per-key state is evicted once the watermark passes it — so state is
+    bounded by (arrival rate x watermark), not stream length.
+
+    This is the streaming twin of the batch exact-dedup operator
+    (functions/dedup.py): same first-wins-per-key semantics, with the
+    watermark as the explicit re-delivery horizon an at-least-once
+    source (file arrivals, Kafka) actually needs. Plain
+    ``dropDuplicates`` on a stream would keep every key seen forever —
+    unbounded state, the thing that kills a long-lived 100 TB-scale
+    pipeline.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -293,3 +293,22 @@ def test_streaming_watermark_drops_late_events(spark, tmp_path):
     assert emitted["2024-01-01 12:00:00"] == [2]
     # the 15:00 window holds both its on-time events
     assert emitted["2024-01-01 15:00:00"] == [2]
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival of each
+    event_id and drops exact re-deliveries arriving in later
+    micro-batches (the at-least-once source contract)."""
+    src = str(tmp_path / "dup_arrivals")
+    ev = events(spark, 200).cache()
+    # batch 1: the events; batch 2 (separate file): redelivered copies
+    ev.coalesce(1).write.mode("append").parquet(src)
+    ev.limit(80).coalesce(1).write.mode("append").parquet(src)
+
+    stream = jobs.read_event_stream(spark, src)
+    deduped = jobs.dedup_stream(stream, keys=["event_id"], watermark="10 days")
+    jobs.run_to_memory(deduped, "dedup_out", complete=False)
+
+    got = [r.event_id for r in spark.table("dedup_out").collect()]
+    assert sorted(got) == sorted(r.event_id for r in ev.select("event_id").collect())
+    assert len(got) == len(set(got)), "a redelivered id got through twice"
