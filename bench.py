@@ -67,6 +67,13 @@ HEADLINE = [
     "topk_customers_by_revenue",
     "window_frames_customer_orders",
     "count_distinct_customers",
+    "asof_join_clicks_purchases",
+    "chunk_documents",
+    "doc_repetition",
+    "contamination_check",
+    "embedding_label_centroids",
+    "quality_percentiles",
+    "salted_join_revenue",
 ]
 
 

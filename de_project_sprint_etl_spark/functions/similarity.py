@@ -185,14 +185,39 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Bucket id = sign bits of the dots against each hyperplane."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(v) for v in p])) >= 0, F.lit(2**i)).otherwise(
-            F.lit(0)
-        )
-        for i, p in enumerate(planes)
-    ]
-    return sum(bits).cast("long")
+    """Bucket id = sign bits of the dots against each hyperplane.
+
+    The planes ship as ONE nested-array literal (a single Catalyst
+    ``Literal`` node) folded with ``zip_with``/``aggregate`` — the
+    naive per-plane ``F.array(*[F.lit(v) ...])`` form builds an
+    expression tree of #planes × dim nodes, and with multiple tables
+    on both join sides the *driver* burned seconds per run just
+    analyzing/optimizing the tree (measured ~3 s of the old
+    ``ann_lsh_topk`` wall). Arithmetic is unchanged bit-for-bit: same
+    left-fold dot per plane, same ``>= 0`` test, same power-of-two
+    weights, same summation order — the DuckDB oracle mirror is
+    untouched."""
+    bits = F.zip_with(
+        _cached_lit(tuple(tuple(p) for p in planes)),
+        _cached_lit(tuple(2**i for i in range(len(planes)))),
+        lambda p, w: F.when(dot(vec, p) >= 0, w).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, b: a + b).cast("long")
+
+
+# Building a literal from a Python list costs one py4j round trip PER
+# ELEMENT (PySpark expands list literals element-wise), so a 24-plane x
+# 64-dim table is ~1.5k JVM calls — ~2 s of driver time per query build
+# when done on both join sides. Column objects are immutable unresolved
+# expressions, so the literal is built once per distinct constant and
+# reused across queries/sessions in the JVM.
+_LIT_CACHE: dict[tuple, Column] = {}
+
+
+def _cached_lit(key: tuple) -> Column:
+    if key not in _LIT_CACHE:
+        _LIT_CACHE[key] = F.lit([list(v) if isinstance(v, tuple) else v for v in key])
+    return _LIT_CACHE[key]
 
 
 def lsh_topk(
