@@ -223,3 +223,23 @@ def test_salted_join_spreads_hot_key(spark):
     )
     n_buckets = salted.select("__salt").distinct().count()
     assert n_buckets >= 12  # 500 distinct rows over 16 buckets
+
+
+def test_salted_join_hot_threshold_matches_plain_join(spark):
+    """Hot-key-only salting must also be row-identical to the plain
+    join — hot keys spread, cold keys single-copy, nothing lost."""
+    from de_project_sprint_etl_spark.functions.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(100)]          # hot key
+        + [(k, 0) for k in range(2, 30)],     # cold keys
+        "k int, payload int",
+    )
+    build = spark.createDataFrame(
+        [(k, f"t{k}") for k in range(0, 30)], "k int, tag string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(tuple(r) for r in salted_join(
+            probe, build, ["k"], n_salts=8, how=how, hot_threshold=10).collect())
+        want = sorted(tuple(r) for r in probe.join(build, ["k"], how).collect())
+        assert got == want, how
