@@ -20,6 +20,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
@@ -56,4 +57,58 @@ def save_as_table(
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(name)
+
+
+def overwrite_layout(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Layout-aware materialization: hive-style ``partitionBy``
+    directories (so later reads with a partition predicate PRUNE at
+    file-listing time — never touch the other partitions' bytes), rows
+    clustered inside each file via ``sortWithinPartitions`` (tight
+    min/max column statistics per parquet row group -> row-group skip
+    on range predicates, the poor man's Z-order for one sort axis), and
+    an optional file-size cap so a 100 TB table lands as many
+    splittable files instead of a few giants.
+
+    ``sortWithinPartitions`` (not ``orderBy``): clustering must not pay
+    a global range-exchange — the sort is per task, which is what
+    row-group statistics need anyway.
+    """
+    out = df.repartition(*[F.col(c) for c in partition_by])
+    if sort_by:
+        out = out.sortWithinPartitions(*[*partition_by, *sort_by])
+    writer = out.write.mode("overwrite").partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def save_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into ``n_buckets``
+    files by ``bucket_by`` at WRITE time. A join or aggregation of two
+    tables bucketed the same way on the join key runs with ZERO
+    exchanges — the shuffle was paid once at materialization and is
+    amortized over every subsequent query (the classic warehouse
+    pattern for a fact table joined daily on the same key).
+    Spark only supports bucketing through the catalog
+    (``saveAsTable``), not path-based writes."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
     writer.saveAsTable(name)

@@ -237,3 +237,57 @@ def test_asof_join_is_one_shuffle_no_join(spark):
     assert "Join" not in plan, plan
     assert n_exchanges(plan) == 1, plan
     assert "Window" in plan, plan
+
+
+def test_partitioned_layout_prunes_at_scan(spark, tmp_path):
+    """overwrite_layout + a partition predicate must show partition
+    pruning in the scan (PartitionFilters), reading only the matching
+    directory."""
+    from de_project_sprint_etl_spark.sources import writers
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    writers.overwrite_layout(
+        orders, path, partition_by=["o_year"], sort_by=["o_orderdate"]
+    )
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1998)
+    plan = plan_of(back)
+    assert "PartitionFilters: [" in plan and "o_year" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
+    n_total = spark.read.parquet(path).count()
+    n_1998 = back.count()
+    assert 0 < n_1998 < n_total
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with
+    ZERO exchanges — the write-time shuffle is amortized across reads."""
+    from de_project_sprint_etl_spark.sources import writers
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        writers.save_bucketed_table(orders, "b_orders", ["o_orderkey"], 8)
+        writers.save_bucketed_table(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem",
+            ["o_orderkey"],
+            8,
+        )
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = plan_of(joined)
+        assert n_exchanges(plan) == 0, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
