@@ -24,6 +24,7 @@ from de_project_sprint_etl_spark.plans import registry  # noqa: E402
 from de_project_sprint_etl_spark.plans import testdata  # noqa: E402,F401 — registers core queries
 from de_project_sprint_etl_spark.plans import llm  # noqa: E402,F401 — registers dedup/similarity/text ops
 from de_project_sprint_etl_spark.plans import relational  # noqa: E402,F401 — registers §2.12 extension ops
+from de_project_sprint_etl_spark.plans import tpch  # noqa: E402,F401 — registers TPC-H Q1/Q3/Q5/Q6
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

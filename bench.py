@@ -74,6 +74,10 @@ HEADLINE = [
     "embedding_label_centroids",
     "quality_percentiles",
     "salted_join_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
 ]
 
 

@@ -291,3 +291,32 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_tpch_q6_filters_reach_the_scan(spark):
+    """Q6 must push its predicates into the parquet reader and contain
+    no join and at most the single-row final combine exchange."""
+    from de_project_sprint_etl_spark.plans import tpch
+
+    plan = plan_of(tpch.q_tpch_q6(spark, SF))
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed, pushed
+    assert "Join" not in plan, plan
+
+
+def test_tpch_q5_broadcasts_all_dims(spark):
+    """Q5's five-way star join must broadcast every dim — the fact
+    table is exchanged exactly once, for the final group-by."""
+    from de_project_sprint_etl_spark.plans import tpch
+
+    plan = plan_of(tpch.q_tpch_q5(spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # lineitem side: one shuffle total (the aggregation exchange);
+    # broadcast exchanges don't move the fact table
+    non_broadcast = [
+        seg for seg in plan.splitlines()
+        if ") Exchange" in seg and "broadcast" not in seg.lower()
+    ]
+    assert len(non_broadcast) == 1, plan
