@@ -421,3 +421,51 @@ def sql_redact_pii(expr: str) -> str:
     for pat, tag in PII_PATTERNS:
         expr = f"REGEXP_REPLACE({expr}, '{pat.replace(chr(39), chr(39) * 2)}', '{tag}', 'g')"
     return expr
+
+
+def with_token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy of the per-document token distribution (bits) —
+    the cheap perplexity proxy: low entropy = repetitive/templated text,
+    high entropy = diverse vocabulary. Complements
+    :func:`with_repetition` (which counts exact repeats; entropy also
+    sees skewed-but-not-identical distributions).
+
+    Pure array expressions: for each distinct token, its in-doc
+    frequency is one ``filter`` pass over the token array — O(n·d) per
+    doc (n tokens, d distinct), fine for document-sized n and free of
+    shuffles at any corpus size.
+    """
+    return (
+        docs.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn(
+            "token_entropy",
+            F.round(
+                F.expr(
+                    "CASE WHEN size(__toks) = 0 THEN 0.0 ELSE "
+                    "aggregate(array_distinct(__toks), 0.0d, (acc, tk) -> "
+                    " acc - (size(filter(__toks, x -> x = tk)) / CAST(size(__toks) AS DOUBLE))"
+                    "       * log2(size(filter(__toks, x -> x = tk)) / CAST(size(__toks) AS DOUBLE))"
+                    ") END"
+                ),
+                6,
+            ),
+        )
+        .drop("__toks")
+    )
+
+
+def sql_token_entropy(rel: str, text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`with_token_entropy` (same left-fold over
+    the distinct-token list, same log2)."""
+    toks = SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS __toks FROM {rel})
+SELECT doc_id,
+       CASE WHEN len(__toks) = 0 THEN 0.0 ELSE ROUND(
+         list_reduce(
+           list_prepend(0.0, list_transform(list_distinct(__toks), tk ->
+             -(len(list_filter(__toks, x -> x = tk)) / CAST(len(__toks) AS DOUBLE))
+              * log2(len(list_filter(__toks, x -> x = tk)) / CAST(len(__toks) AS DOUBLE)))),
+           (acc, v) -> acc + v), 6) END AS token_entropy
+FROM t
+"""

@@ -333,6 +333,16 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("token_entropy", text.sql_token_entropy("documents"))
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution Shannon entropy — the cheap
+    perplexity proxy for quality filtering (extension op; pure array
+    expressions, map-only, see functions/text.with_token_entropy)."""
+    return text.with_token_entropy(docs_fanned(spark, sf_dir)).select(
+        "doc_id", "token_entropy"
+    )
+
+
 @register("doc_repetition", text.sql_repetition("documents"))
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition/boilerplate quality signals (distinct-token ratio,

@@ -308,3 +308,25 @@ def test_contamination_hits_fraction_and_broadcast(spark):
     with redirect_stdout(buf):
         contamination_hits(train, bench).explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_token_entropy_values(spark):
+    import math
+
+    from de_project_sprint_etl_spark.functions.text import with_token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one token -> 0 bits
+            (2, "a b a b"),          # uniform over 2 -> 1 bit
+            (3, "a a a b"),          # 3/4, 1/4
+            (4, ""),                 # empty -> 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.token_entropy for r in with_token_entropy(docs).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    want3 = round(-(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25)), 6)
+    assert got[3] == want3
+    assert got[4] == 0.0
