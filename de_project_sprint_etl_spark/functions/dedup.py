@@ -35,6 +35,8 @@ the loop it serves).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -202,11 +204,17 @@ def minhash_signatures(
     )
     x = F.pmod(h64(F.col("shingle")), F.lit(MINHASH_P))
     base = sh.select("id", x.alias("x"))
-    aggs = [
+    return base.groupBy("id").agg(*_minhash_aggs(num_hashes))
+
+
+@functools.lru_cache(maxsize=None)
+def _minhash_aggs(num_hashes: int):
+    """The k min-expressions, built once per k (same Column-reuse
+    rationale as _simhash_exprs)."""
+    return tuple(
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    return base.groupBy("id").agg(*aggs)
+    )
 
 
 def minhash_lsh_pairs(
@@ -503,19 +511,45 @@ def simhash(
             .filter(F.length("tok") > 0)
         )
     toks = toks.withColumn("th", h64(F.col("tok")))
-    bit_sums = [
+    bit_sums, sig = _simhash_exprs(bits)
+    sums = toks.groupBy("id").agg(*bit_sums)
+    return sums.select("id", sig.cast("long").alias("simhash"))
+
+
+@functools.lru_cache(maxsize=None)
+def _simhash_exprs(bits: int):
+    """Per-bit sum + signature-reassembly Columns, built once per bit
+    width: constructing ``bits`` x several py4j expression calls cost
+    ~0.5 s of driver time per QUERY build before caching (Columns are
+    immutable unresolved expressions keyed only on input column names,
+    so reuse across queries/sessions is safe)."""
+    bit_sums = tuple(
         F.sum(
             F.when(
                 F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
             ).otherwise(F.lit(-1))
         ).alias(f"s{b}")
         for b in range(bits)
-    ]
-    sums = toks.groupBy("id").agg(*bit_sums)
+    )
     sig = sum(
         F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0)) for b in range(bits)
     )
-    return sums.select("id", sig.cast("long").alias("simhash"))
+    return bit_sums, sig
+
+
+@functools.lru_cache(maxsize=None)
+def _simhash_blocks(nblocks: int, width: int):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("blk_idx"),
+                F.shiftright(F.col("simhash"), k * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("blk_val"),
+            )
+            for k in range(nblocks)
+        ]
+    )
 
 
 def simhash_pairs(
@@ -530,17 +564,7 @@ def simhash_pairs(
     nblocks = 4
     width = bits // nblocks
     sig = sig.persist()  # both join sides; signature agg is the cost
-    block_structs = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("blk_idx"),
-                F.shiftright(F.col("simhash"), k * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("blk_val"),
-            )
-            for k in range(nblocks)
-        ]
-    )
+    block_structs = _simhash_blocks(nblocks, width)
     blocked = sig.select("id", "simhash", F.explode(block_structs).alias("bv")).select(
         "id",
         "simhash",

@@ -48,13 +48,31 @@ def fan_out(
     target = spark.sparkContext.defaultParallelism
     if min_splits is None:
         min_splits = max(2, target // 2)
-    if df.rdd.getNumPartitions() >= min_splits:
+    # memoize per input plan object: df.rdd.getNumPartitions() forces
+    # physical planning (~0.1 s of driver time per call), and the same
+    # cached scan (plans/testdata.t) flows through here in every query.
+    # The cache holds the df reference so its id() can't be recycled.
+    key = (id(df), min_splits)
+    hit = _FAN_CACHE.get(key)
+    if hit is None or hit[0] is not df:
+        hit = (df, df.rdd.getNumPartitions() >= min_splits)
+        _FAN_CACHE[key] = hit
+    if hit[1]:
         return df
     return df.repartition(target)
 
 
+_FAN_CACHE: dict[tuple, tuple] = {}
+_DOCS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fan_out(spark, t(spark, sf_dir, "documents").select("doc_id", "text"))
+    key = (id(spark), sf_dir)
+    if key not in _DOCS_CACHE:
+        _DOCS_CACHE[key] = fan_out(
+            spark, t(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    return _DOCS_CACHE[key]
 
 
 # --- once-per-corpus materialization ----------------------------------------
@@ -73,6 +91,9 @@ def docs_fanned(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CACHE_ROOT = str(Path(__file__).resolve().parents[2] / ".cache" / "derived")
 
 
+_READ_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _materialized(
     spark: SparkSession, sf_dir: str, name: str, build
 ) -> DataFrame:
@@ -81,7 +102,11 @@ def _materialized(
     path = Path(_CACHE_ROOT) / f"{key}-{src.st_mtime_ns}-{src.st_size}" / name
     if not (path / "_SUCCESS").exists():
         build().write.mode("overwrite").parquet(str(path))
-    return fan_out(spark, spark.read.parquet(str(path)))
+        _READ_CACHE.pop((id(spark), str(path)), None)
+    rkey = (id(spark), str(path))
+    if rkey not in _READ_CACHE:
+        _READ_CACHE[rkey] = fan_out(spark, spark.read.parquet(str(path)))
+    return _READ_CACHE[rkey]
 
 
 def _docs_with_mutants_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
