@@ -20,16 +20,47 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
+#: Unwrapped implementations (no prepared-plan cache). bench.py times
+#: these: a reused plan object re-executing lets Spark serve its
+#: exchanges from the previous run's shuffle files ("skipped stages"),
+#: which would time incremental work, not the engine.
+RAW_QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+
+# Prepared-plan cache (every warehouse's prepared-statement cache, done
+# at the engine layer since Spark has none): a DataFrame is an immutable
+# logical plan, so re-invoking a query for the same (session, sf_dir)
+# can return the SAME plan object. Building a cohort/dedup plan costs
+# 0.2–0.6 s of driver-side py4j/analysis work per call — pure overhead
+# on the second and every later invocation. Cache entries hold the
+# session object, so a restarted session gets fresh plans.
+_PLAN_CACHE: dict[tuple[str, int, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _prepared(name: str, fn: QueryFn) -> QueryFn:
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (name, id(spark), sf_dir)
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
+        df = fn(spark, sf_dir)
+        _PLAN_CACHE[key] = (spark, df)
+        return df
+
+    wrapper.__name__ = getattr(fn, "__name__", name)
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query implementation (and its DuckDB oracle, when the
     semantics are SQL-expressible — ops that aren't get a rows-only check
-    per the driver contract)."""
+    per the driver contract). The registered form is wrapped in the
+    prepared-plan cache above."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        QUERIES[name] = _prepared(name, fn)
+        RAW_QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
