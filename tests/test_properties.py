@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): random inputs vs pure-Python
+reference implementations.
+
+Example-based tests pin the cases we thought of; these sweep the ones
+we didn't — tie timestamps, empty sides, all-duplicate keys, texts
+landing exactly on chunk boundaries. Examples are kept small and few
+(each example pays a Spark createDataFrame/collect round trip).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts) rows with deliberately tiny domains so collisions and ties
+# are common rather than rare.
+_probe_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=25
+)
+_build_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=25
+)
+
+
+@SETTINGS
+@given(probe=_probe_rows, build=_build_rows)
+def test_asof_join_matches_python_reference(spark, probe, build):
+    from de_project_sprint_etl_spark.functions.asof import asof_join
+
+    # build side must be unique per (key, ts) — the operator's contract
+    build = sorted({(k, ts) for k, ts in build})
+    bvals = {(k, ts): float(k * 100 + ts) for k, ts in build}
+
+    pdf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(probe)], "rid long, k int, pts int"
+    )
+    bdf = spark.createDataFrame(
+        [(k, ts, v) for (k, ts), v in sorted(bvals.items())],
+        "k int, bts int, val double",
+    )
+    got = {
+        r.rid: (r.bts, r.val)
+        for r in asof_join(
+            pdf, bdf, on=["k"], probe_ts="pts", build_ts="bts", build_cols=["val"]
+        ).collect()
+    }
+    for i, (k, ts) in enumerate(probe):
+        cands = [(bts, v) for (bk, bts), v in bvals.items() if bk == k and bts <= ts]
+        want = max(cands) if cands else (None, None)
+        assert got[i] == want, (i, k, ts, got[i], want)
+
+
+@SETTINGS
+@given(
+    probe=_probe_rows,
+    build=_build_rows,
+    n_salts=st.integers(1, 8),
+    hot=st.one_of(st.none(), st.integers(0, 5)),
+)
+def test_salted_join_matches_plain_join_property(spark, probe, build, n_salts, hot):
+    from de_project_sprint_etl_spark.functions.skew import salted_join
+
+    pdf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(probe)], "rid long, k int, x int"
+    )
+    bdf = spark.createDataFrame(
+        [(k, ts) for k, ts in build], "k int, y int"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in salted_join(
+                pdf, bdf, ["k"], n_salts=n_salts, how=how, hot_threshold=hot
+            ).collect()
+        )
+        want = sorted(tuple(r) for r in pdf.join(bdf, ["k"], how).collect())
+        assert got == want, (how, n_salts, hot)
+
+
+@SETTINGS
+@given(
+    texts=st.lists(st.text(alphabet="abc ", max_size=40), min_size=1, max_size=8),
+    size=st.integers(2, 12),
+    overlap=st.integers(0, 6),
+)
+def test_chunking_reassembles_to_original(spark, texts, size, overlap):
+    from de_project_sprint_etl_spark.functions.text import chunk_documents
+
+    if overlap >= size:
+        overlap = size - 1
+    stride = size - overlap
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(texts):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        # expected chunk count
+        n = len(text)
+        want_chunks = max(1, -(-(max(n - overlap, 0)) // stride)) if n > 0 else 1
+        assert len(chunks) == want_chunks, (text, size, overlap)
+        # stitching chunk[0] + tail-past-overlap of each later chunk
+        # reassembles the original text exactly
+        rebuilt = ""
+        for r in chunks:
+            rebuilt = rebuilt[: r.chunk_start] + r.chunk_text
+        assert rebuilt == text, (text, size, overlap)
+        # every chunk is the substring it claims to be
+        for r in chunks:
+            assert r.chunk_text == text[r.chunk_start : r.chunk_start + size]
+
+
+@SETTINGS
+@given(texts=st.lists(st.text(alphabet="ab c.9", max_size=30), min_size=1, max_size=8))
+def test_quality_signal_bounds(spark, texts):
+    import math
+
+    from de_project_sprint_etl_spark.functions.text import (
+        with_repetition,
+        with_token_entropy,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rep = {r.doc_id: r for r in with_repetition(docs).collect()}
+    ent = {r.doc_id: r.token_entropy for r in with_token_entropy(docs).collect()}
+    for i in range(len(texts)):
+        assert 0.0 <= rep[i].distinct_token_ratio <= 1.0
+        assert 0.0 <= rep[i].dup_trigram_frac <= 1.0
+        assert ent[i] >= 0.0
+        if rep[i].n_tokens > 0:
+            # entropy of n tokens is at most log2(n) (+ rounding slack)
+            assert ent[i] <= math.log2(rep[i].n_tokens) + 1e-6 or rep[i].n_tokens == 1
