@@ -80,6 +80,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume_customers",
+    "near_dedup_filter",
 ]
 
 

@@ -587,6 +587,47 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(sigs, num_hashes=16, bands=4, min_est_jaccard=0.5)
 
 
+@register(
+    "near_dedup_filter",
+    f"""
+WITH RECURSIVE mh AS ({_sql_minhash_lsh()}),
+edges AS (SELECT id_a AS s, id_b AS d FROM mh
+          UNION SELECT id_b, id_a FROM mh),
+reach(id, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+lab AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id),
+drop_ids AS (SELECT id FROM lab WHERE id <> group_id)
+SELECT d.doc_id FROM ({SQL_DOCS_MUT}) d
+WHERE NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.id = d.doc_id)
+""",
+)
+def q_near_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup removal — THE canonical training-corpus
+    pass: MinHash+LSH near-dup pairs → connected components → drop
+    every non-canonical group member (keep the min-id representative),
+    via a broadcast anti join of the (skew-small) drop set against the
+    corpus. Composes three already-verified operators; the oracle
+    recomputes the same thing with a recursive CTE."""
+    pairs = dedup.minhash_lsh_pairs(
+        dedup.minhash_signatures(
+            shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
+        ),
+        num_hashes=16,
+        bands=4,
+        min_est_jaccard=0.5,
+    )
+    groups = dedup.dup_groups(pairs)
+    drop = groups.filter(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs_with_mutants(spark, sf_dir).join(
+        F.broadcast(drop), "doc_id", "left_anti"
+    ).select("doc_id")
+
+
 def _sql_simhash(bits: int = 32) -> str:
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"
