@@ -81,6 +81,14 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume_customers",
     "near_dedup_filter",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q12_shipping_lateness",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 
