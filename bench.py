@@ -89,6 +89,15 @@ HEADLINE = [
     "tpch_q16_parts_supplier_counts",
     "tpch_q19_discounted_revenue",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_suppliers_kept_waiting",
 ]
 
 

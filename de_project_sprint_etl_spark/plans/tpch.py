@@ -665,3 +665,546 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part
+JOIN pairs ON p_partkey = l_partkey
+JOIN eu ON l_suppkey = s_suppkey
+WHERE p_type = 'LARGE'
+  AND s_acctbal = (
+    SELECT MAX(eu2.s_acctbal)
+    FROM pairs p2 JOIN eu eu2 ON p2.l_suppkey = eu2.s_suppkey
+    WHERE p2.l_partkey = p_partkey)
+ORDER BY s_acctbal DESC, p_partkey
+LIMIT 100
+""",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier; the synthetic schema has no
+    partsupp, so part↔supplier pairs are the ones observed in lineitem
+    and "best" = highest account balance rather than lowest supply
+    cost). The correlated MAX subquery becomes a per-part aggregate
+    joined back on (part, acctbal) — ties survive, matching SQL
+    semantics. The distinct pair set is the only fact shuffle; supplier
+    ⋈nation⋈region and part both broadcast."""
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    eu = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "LARGE"
+    ).select("p_partkey", "p_name")
+    pairs = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = pairs.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.max("s_acctbal").alias("best_bal")
+    )
+    return (
+        pairs.join(
+            F.broadcast(best),
+            (pairs.p_partkey == F.col("bp"))
+            & (pairs.s_acctbal == F.col("best_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+       CAST(SUM(volume) AS DOUBLE) AS total_volume
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         {_D.format(c='l_extendedprice')} * (1 - {_D.format(c='l_discount')}) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+GROUP BY o_year
+""",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share of NATION_5 suppliers inside
+    AMERICA-region demand for ECONOMY parts): a five-dim star join —
+    every dimension broadcasts, the fact table is scanned once, and the
+    share is a conditional-sum / sum pair folded into one
+    partial-combined aggregate per year."""
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("long").alias("o_year"))
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.sum("volume").cast("double").alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    f"""
+SELECT n_name AS nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         {_D.format(c='l_extendedprice')} * (1 - {_D.format(c='l_discount')})
+           - {_D.format(c='p_retailprice')} * {_D.format(c='l_quantity')} AS amount
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%bolt%') profit
+GROUP BY n_name, o_year
+""",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit; no partsupp → the cost leg uses
+    p_retailprice × quantity as the supply-cost proxy): profit per
+    supplier nation per order year for parts matching a name pattern.
+    All dims broadcast; the amount expression is pure decimal (2-dp ×
+    2-dp → exact 4-dp) so both engines agree to the bit."""
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey", "p_retailprice")
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    amount = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("amount", amount)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+WITH nat_value AS (
+  SELECT l_partkey,
+         SUM({_D.format(c='l_extendedprice')} * (1 - {_D.format(c='l_discount')}))
+           AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+FROM nat_value
+WHERE CAST(value AS DOUBLE) > (
+  SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM nat_value)
+""",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock; no partsupp → "stock value" is the
+    discounted revenue each part generated through NATION_3 suppliers):
+    a HAVING-against-global-scalar shape. The per-part aggregate is
+    computed once, reused for both the scalar total (second pass over
+    the tiny agg output, broadcast as a one-row cross join) and the
+    filter — the fact table is scanned and shuffled exactly once."""
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .alias("dec_value")
+        )
+        .persist()
+    )
+    total = per_part.agg(
+        (F.sum("dec_value").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("dec_value").cast("double") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("dec_value").cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+  GROUP BY c_custkey) c_orders
+GROUP BY c_count
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution, including
+    zero-order customers): instead of a customer⊐orders left outer join
+    followed by a count (which shuffles every order row), the orders
+    side pre-aggregates to one row per customer and joins back
+    broadcast — the histogram then needs only the customer scan.
+    COUNT(o_orderkey) over the outer join ≡ coalesce(pre-agg count, 0)."""
+    per_cust = (
+        t(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderpriority").like("%URGENT%"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(F.broadcast(per_cust), cust.c_custkey == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM({_D.format(c='l_extendedprice')} * (1 - {_D.format(c='l_discount')}))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier of the quarter): the revenue view is
+    computed once and reused for both the scalar MAX (one-row broadcast
+    cross join) and the equality filter; supplier broadcasts for the
+    name lookup. Both engines compare the identical decimal-sum-cast-
+    double value, so the float equality is deterministic."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("total_revenue")
+        )
+        .persist()
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    f"""
+SELECT ROUND(CAST(SUM({_D.format(c='l_extendedprice')}) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#5' AND p_size = 3
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(SUM({_D.format(c='l_quantity')}) AS DOUBLE) / COUNT(*))
+    FROM lineitem WHERE l_partkey = p_partkey)
+""",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue; p_size stands in for
+    the absent p_container): the correlated AVG subquery becomes a
+    per-part aggregate over the full lineitem scan, broadcast back into
+    the brand-filtered scan. The average is decimal-sum / count in
+    double (module docstring rule) so the 0.2× threshold is
+    bit-identical across engines."""
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_size") == 3)
+    ).select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    per_part_avg = (
+        li.groupBy(F.col("l_partkey").alias("ap"))
+        .agg(
+            (
+                F.lit(0.2)
+                * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            ).alias("qty_cut")
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    f"""
+SELECT s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING CAST(SUM({_D.format(c='l_quantity')}) AS DOUBLE) > 40.0)
+ORDER BY s_name
+""",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion; no partsupp availqty → a
+    supplier qualifies by having shipped >40 units of some small-named
+    part in 2000): nested IN-subqueries become a chain — part-name
+    filter broadcasts into the year slice, the (supplier, part)
+    aggregate keeps the heavy lifting in one partial-combined shuffle,
+    and the surviving supplier keys broadcast as a semi join into the
+    nation-filtered supplier dim."""
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy_suppliers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+        .filter(F.col("qty") > 40.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        supp.join(
+            F.broadcast(heavy_suppliers),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_suppliers_kept_waiting",
+    """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_2'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting; "late" = shipped
+    >90 days after the order date of a finalized order, standing in for
+    the absent commit/receipt dates). The EXISTS / NOT EXISTS pair is
+    rewritten as per-order supplier statistics: aggregate lineitem to
+    one row per (order, supplier) with its late-line count, then a
+    window over the order computes how many distinct suppliers the
+    order has and how many of them were late — a supplier's late lines
+    qualify iff the order has other suppliers (EXISTS) and no OTHER
+    supplier was late (NOT EXISTS ≡ exactly one late supplier). One
+    fact shuffle on (orderkey, suppkey); the window reuses the same
+    partitioning, so no second exchange."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("long")
+    pair = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late).alias("late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = pair.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late_supp", F.sum((F.col("late_lines") > 0).cast("long")).over(w)
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        stats.filter(
+            (F.col("late_lines") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
