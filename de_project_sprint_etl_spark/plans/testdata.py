@@ -63,12 +63,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a proper timestamp (µs, truncated from the
-    parquet file's nanos — day/second-grained consumers are unaffected)."""
+    """events with ``ts`` as a session-zone TIMESTAMP regardless of how the
+    fixture generator serialized it: int64 nanos (read as LONG via
+    nanosAsLong), parquet timestamp[us] without UTC adjustment (read as
+    TIMESTAMP_NTZ), or a plain TIMESTAMP. Under the UTC session zone set
+    in ``t()`` the NTZ→TZ cast is a wall-clock identity, so all three
+    forms yield identical downstream dates/windows."""
     ev = t(spark, sf_dir, "events")
-    return ev.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    )
+    ts_type = ev.schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        ev = ev.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    elif ts_type != "timestamp":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 # --- shared builders (Spark side) ------------------------------------------

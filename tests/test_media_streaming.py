@@ -12,12 +12,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def events(spark, n):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
-        .limit(n)
-    )
+    from de_project_sprint_etl_spark.plans.testdata import events_df
+
+    return events_df(spark, SF).limit(n)
 
 
 def docs(spark, n=60):
