@@ -98,6 +98,11 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q20_potential_promotion",
     "tpch_q21_suppliers_kept_waiting",
+    "dataset_split_sizes",
+    "pivot_status_revenue",
+    "unpivot_lineitem_measures",
+    "levenshtein_near_dup",
+    "range_window_user_value",
 ]
 
 

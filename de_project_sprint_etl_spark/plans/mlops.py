@@ -1,0 +1,278 @@
+"""Training-data-pipeline + reshaping operators, round 3 additions.
+
+Five op families the earlier rounds didn't cover, each Spark-first with
+an exact DuckDB oracle:
+
+- deterministic dataset split (train/val/test) — content-hash bucketing,
+  the reproducible alternative to ``randomSplit`` (whose assignment
+  depends on partitioning). md5 is computed engine-side on both systems
+  and the first 8 hex chars interpreted as an integer → bucket 0..99.
+  Pure narrow projection: no shuffle, scales linearly at 100 TB.
+- pivot (long→wide): one shuffle (groupBy year), pivot values pinned
+  up-front so Spark skips its values-discovery job — the form to use at
+  scale when the pivot domain is known (here: order status F/O/P).
+- unpivot/melt (wide→long): zero-shuffle row explosion via
+  ``DataFrame.unpivot`` (Catalyst Expand — each input row emits 4
+  measure rows map-side; no exchange anywhere).
+- edit-distance near-dup verification: suffix-block candidate pairs
+  (the mutant corpus drops *leading* tokens, so originals and mutants
+  share suffixes), length-band prefilter, then exact
+  ``levenshtein`` only on survivors — the standard
+  block → cheap-filter → expensive-verify shape; all JVM expressions.
+- time-range rolling window (RANGE frame): per-user 1-hour trailing
+  event-value sum ordered by event time — the windowed analytics form
+  that needs a RANGE (not ROWS) frame; one shuffle on user_id. Values
+  go through DECIMAL so the frame sum is addition-order independent
+  across engines.
+
+Reference parity note: none of these exist in the reference (see
+SURVEY.md §2.12 — its SQL surface stops at equi/range joins and plain
+grouped aggregation); they are extension ops for the 100 TB
+training-data use case, same as plans/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.functions.text import SQL_NORM, norm_text
+from de_project_sprint_etl_spark.plans.llm import SQL_DOCS_MUT, docs_with_mutants
+from de_project_sprint_etl_spark.plans.registry import register
+from de_project_sprint_etl_spark.plans.testdata import events_df, t
+
+# --- deterministic dataset split -------------------------------------------
+
+TRAIN_PCT, VAL_PCT = 80, 10  # remaining 10% = test
+
+
+def split_bucket(col: F.Column) -> F.Column:
+    """Stable 0..99 bucket from md5 of the column's string form.
+
+    conv() parses the first 8 hex chars (32 bits — fits a BIGINT, no
+    overflow wrap ambiguity) identically to DuckDB's '0x..' cast."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+
+
+@register(
+    "dataset_split_assign",
+    f"""
+SELECT doc_id,
+       CAST(bucket AS INT) AS bucket,
+       CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM documents) b
+""",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-key hash —
+    reproducible across runs, partitionings, and engines (unlike
+    randomSplit, whose per-row assignment depends on partition layout).
+    Narrow projection only: the 100 TB cost is one scan."""
+    bucket = split_bucket(F.col("doc_id"))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "dataset_split_sizes",
+    f"""
+SELECT split, COUNT(*) AS n_docs
+FROM (SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+                  WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents) b) s
+GROUP BY split
+""",
+)
+def q_dataset_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-size audit over the assignment above (the check a pipeline
+    runs before training: did the hash split land near 80/10/10?)."""
+    return (
+        q_dataset_split(spark, sf_dir)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- pivot / unpivot --------------------------------------------------------
+
+_DEC_SUM = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+ORDER_STATUSES = ("F", "O", "P")
+
+
+@register(
+    "pivot_status_revenue",
+    f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       {", ".join(
+           _DEC_SUM.format(c=f"CASE WHEN o_orderstatus = '{s}' THEN o_totalprice END")
+           + f" AS rev_{s.lower()}"
+           for s in ORDER_STATUSES
+       )}
+FROM orders
+GROUP BY 1
+""",
+)
+def q_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: revenue per year × order status as one row per
+    year. Pivot values are pinned (no discovery pass over the data),
+    so the whole op is ONE hash-aggregate shuffle on year — the same
+    cost as a plain groupBy at any scale."""
+    piv = (
+        t(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+    return piv.select(
+        "o_year", *[F.col(s).alias(f"rev_{s.lower()}") for s in ORDER_STATUSES]
+    )
+
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "unpivot_lineitem_measures",
+    "\nUNION ALL\n".join(
+        f"SELECT l_orderkey, l_linenumber, '{m}' AS measure,"
+        f" CAST({m} AS DOUBLE) AS value FROM lineitem WHERE l_orderkey % 10 = 0"
+        for m in _MEASURES
+    ),
+)
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of the four lineitem measures via
+    ``DataFrame.unpivot`` — compiles to a single map-side Expand (4
+    output rows per input row, zero shuffles, no UNION re-scan; the
+    oracle's UNION ALL form scans the table 4 times, ours once). The
+    %10 key filter only bounds the differential-compare row count; the
+    melt itself is scale-free."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_linenumber", *_MEASURES)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            [F.col(m).cast("double").alias(m) for m in _MEASURES],
+            "measure",
+            "value",
+        )
+    )
+
+
+# --- edit-distance near-dup verification ------------------------------------
+
+_SUFFIX = 16  # suffix block width
+_LEN_BAND = 40  # candidate length-difference cap
+_LEV_MAX = 30  # accept pairs within this edit distance
+
+_SQL_LEV_PAIRS = f"""
+WITH mut AS ({SQL_DOCS_MUT}),
+n AS (SELECT doc_id, {SQL_NORM.format(c="text")} AS ntext FROM mut)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.ntext, b.ntext) AS INT) AS edit_dist
+FROM n a JOIN n b
+  ON right(a.ntext, {_SUFFIX}) = right(b.ntext, {_SUFFIX})
+ AND a.doc_id < b.doc_id
+WHERE abs(length(a.ntext) - length(b.ntext)) <= {_LEN_BAND}
+  AND levenshtein(a.ntext, b.ntext) <= {_LEV_MAX}
+"""
+
+
+@register("levenshtein_near_dup", _SQL_LEV_PAIRS)
+def q_levenshtein_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over the mutant corpus:
+    block on the last {16} normalized chars (mutants drop LEADING
+    tokens, so true pairs share suffixes), prefilter by length band,
+    then exact levenshtein ≤ {30} on survivors only.
+
+    Scale shape: the equi-join on the suffix key is a hash join (no
+    all-pairs), the length band is a cheap JVM filter ahead of the
+    O(len²) DP, and levenshtein runs only on candidates — the
+    block → filter → verify cascade every fuzzy-match pipeline uses.
+    All engine-side expressions; no Python."""
+    n = docs_with_mutants(spark, sf_dir).select(
+        "doc_id", norm_text(F.col("text")).alias("ntext")
+    )
+    a = n.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("ntext").alias("text_a"),
+        F.expr(f"right(ntext, {_SUFFIX})").alias("blk"),
+        F.length("ntext").alias("len_a"),
+    )
+    b = n.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("ntext").alias("text_b"),
+        F.expr(f"right(ntext, {_SUFFIX})").alias("blk"),
+        F.length("ntext").alias("len_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= _LEN_BAND)
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("text_a"), F.col("text_b")).cast("int")
+        )
+        .filter(F.col("edit_dist") <= _LEV_MAX)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+# --- time-range rolling window ----------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "range_window_user_value",
+    f"""
+SELECT user_id, event_id, ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+            PARTITION BY user_id ORDER BY ts_us
+            RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS value_1h
+FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events) e
+""",
+)
+def q_range_window_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user event-value sum — a RANGE frame over
+    event time (rows at identical timestamps share a frame, unlike a
+    ROWS frame). One shuffle on user_id, streaming frame evaluation
+    within each partition; values aggregate as DECIMAL so the result
+    is addition-order independent (double summation order differs
+    between engines)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_HOUR_US, Window.currentRow)
+    )
+    return events_df(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.sum("v").over(w).cast("double").alias("value_1h"),
+    )

@@ -168,6 +168,24 @@ def run_foreach_batch(
     q.awaitTermination()
 
 
+def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a slowly-changing
+    user dimension (the classic fact-stream × dim-table shape).
+
+    The static side is re-resolved per micro-batch — a dim refreshed by
+    a batch job is picked up on the next trigger without restarting the
+    stream. Spark broadcasts the dim when it fits (same planning as the
+    batch join), so the stream side never shuffles: state-free,
+    append-mode, scales with stream throughput alone. Inner joins on a
+    static side need no watermark; only stream-stream joins do.
+    """
+    dim = F.broadcast(user_dim)
+    return events.join(dim, "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        *[c for c in user_dim.columns if c != "user_id"],
+    )
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

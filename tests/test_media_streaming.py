@@ -124,6 +124,35 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_static_join_enriches(spark, tmp_path):
+    """Stream-static join: events enriched against a static user dim;
+    result equals the batch left join of the same data, and the stream
+    side stays append-mode (no state, no watermark needed)."""
+    src = str(tmp_path / "enrich_arrivals")
+    ev = events(spark, 300)
+    ev.repartition(2).write.parquet(src)
+    user_dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "tier", F.when(F.col("user_id") % 2 == 0, "paid").otherwise("free")
+        )
+    )
+
+    enriched = jobs.enrich_stream(jobs.read_event_stream(spark, src), user_dim)
+    assert enriched.isStreaming
+    jobs.run_to_memory(enriched, "enriched_events", complete=False)
+    got = {
+        (r.event_id, r.tier) for r in spark.table("enriched_events").collect()
+    }
+    want = {
+        (r.event_id, r.tier)
+        for r in ev.join(F.broadcast(user_dim), "user_id", "left").collect()
+    }
+    assert got == want
+    assert len(got) == 300
+
+
 def test_streaming_foreach_batch_merge(spark, tmp_path):
     """Increment flow under streaming: each micro-batch of arriving
     order rows is merged via the pure batch operator (C5 semantics)."""
