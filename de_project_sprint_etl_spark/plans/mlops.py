@@ -131,18 +131,34 @@ GROUP BY 1
 )
 def q_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long→wide pivot: revenue per year × order status as one row per
-    year. Pivot values are pinned (no discovery pass over the data),
-    so the whole op is ONE hash-aggregate shuffle on year — the same
-    cost as a plain groupBy at any scale."""
-    piv = (
+    year, lowered to conditional aggregation (one SUM(CASE WHEN) per
+    pinned status value) — ONE hash-aggregate shuffle on year, same
+    cost as a plain groupBy at any scale.
+
+    Deliberately NOT ``groupBy().pivot(col, values).agg()``: even with
+    pinned values Spark lowers that to two stacked aggregates (shuffle
+    on (year, status), then shuffle on year). Conditional aggregation
+    is the strictly-better plan when the pivot domain is known, and
+    pinning the domain is the only pivot form that's sane at 100 TB
+    anyway (unpinned pivot adds a values-discovery pass over the
+    corpus). Plan shape pinned in tests/test_plans.py."""
+    return (
         t(spark, sf_dir, "orders")
         .withColumn("o_year", F.year("o_orderdate").cast("int"))
         .groupBy("o_year")
-        .pivot("o_orderstatus", list(ORDER_STATUSES))
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
-    )
-    return piv.select(
-        "o_year", *[F.col(s).alias(f"rev_{s.lower()}") for s in ORDER_STATUSES]
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == s,
+                        F.col("o_totalprice").cast("decimal(18,2)"),
+                    )
+                )
+                .cast("double")
+                .alias(f"rev_{s.lower()}")
+                for s in ORDER_STATUSES
+            ]
+        )
     )
 
 

@@ -320,3 +320,52 @@ def test_tpch_q5_broadcasts_all_dims(spark):
         if ") Exchange" in seg and "broadcast" not in seg.lower()
     ]
     assert len(non_broadcast) == 1, plan
+
+
+def test_unpivot_is_map_side_expand(spark):
+    """unpivot must compile to a single Expand with ZERO exchanges —
+    the melt is map-side row emission, not a UNION re-scan."""
+    from de_project_sprint_etl_spark.plans import mlops
+
+    plan = plan_of(mlops.q_unpivot_lineitem(spark, SF))
+    assert "Expand" in plan, plan
+    assert n_exchanges(plan) == 0, plan
+
+
+def test_pivot_is_single_shuffle_no_discovery(spark):
+    """Pinned-values pivot is ONE hash-aggregate shuffle on the group
+    key (plus AQE's optional final coalesce) — pinning the value list
+    must also keep plan construction job-free (no values-discovery
+    collect)."""
+    from de_project_sprint_etl_spark.plans import mlops
+    from de_project_sprint_etl_spark.plans.testdata import t
+
+    t(spark, SF, "orders").schema  # warm the scan's file-listing job
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    plan = plan_of(mlops.q_pivot_status_revenue(spark, SF))
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "pivot ran a values-discovery job"
+    assert n_exchanges(plan) == 1, plan
+
+
+def test_dataset_split_is_narrow(spark):
+    """Hash-split assignment must stay a no-shuffle, no-Python narrow
+    projection (one scan at 100 TB)."""
+    from de_project_sprint_etl_spark.plans import mlops
+
+    plan = plan_of(mlops.q_dataset_split(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_levenshtein_near_dup_is_hash_join_not_cross(spark):
+    """The suffix-block candidate join must be an equi join (hash or
+    sort-merge) — never a cartesian/nested-loop all-pairs pass — and
+    the levenshtein verify must run post-join as a JVM filter."""
+    from de_project_sprint_etl_spark.plans import mlops
+
+    plan = plan_of(mlops.q_levenshtein_near_dup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
