@@ -103,6 +103,11 @@ HEADLINE = [
     "unpivot_lineitem_measures",
     "levenshtein_near_dup",
     "range_window_user_value",
+    "incremental_exact_dedup",
+    "source_capped_sample",
+    "quality_decile_filter",
+    "pack_sequences",
+    "window_rank_functions",
 ]
 
 

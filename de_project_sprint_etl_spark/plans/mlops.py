@@ -292,3 +292,192 @@ def q_range_window_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.sum("v").over(w).cast("double").alias("value_1h"),
     )
+
+
+# --- incremental dedup (increment vs snapshot) ------------------------------
+
+INC_OFFSET = 200_000
+
+_SQL_INC_DEDUP = f"""
+WITH snap_keys AS (
+  SELECT DISTINCT md5({SQL_NORM.format(c="text")}) AS dup_key FROM documents),
+increment AS (
+  SELECT doc_id + {INC_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % 7 = 0            -- re-submissions (dups)
+  UNION ALL
+  SELECT doc_id, text FROM ({SQL_DOCS_MUT}) m
+  WHERE doc_id >= {100_000}                      -- genuinely-new mutants
+)
+SELECT i.doc_id, md5({SQL_NORM.format(c="i.text")}) AS dup_key
+FROM increment i
+WHERE md5({SQL_NORM.format(c="i.text")}) NOT IN (SELECT dup_key FROM snap_keys)
+"""
+
+
+@register("incremental_exact_dedup", _SQL_INC_DEDUP)
+def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new increment (re-submitted docs + new
+    mutants) is deduplicated AGAINST the existing snapshot corpus by
+    content digest — a left-anti join on the digest, so only the
+    increment shuffles and only digests (32 bytes/row) of the snapshot
+    move. This is the daily-ingest shape at 100 TB: the snapshot's
+    digest set is a materialized by-product of its own exact-dedup
+    pass, and each day's increment anti-joins it instead of
+    re-scanning the corpus. Re-submitted texts are dropped; mutant
+    texts (near-dups, different digest) survive — exactness is the
+    contract, near-dup removal is the LSH family's job."""
+    from de_project_sprint_etl_spark.functions.text import norm_text
+    from de_project_sprint_etl_spark.plans.llm import docs_fanned
+
+    docs = docs_fanned(spark, sf_dir)
+    snap_keys = docs.select(
+        F.md5(norm_text(F.col("text"))).alias("dup_key")
+    ).distinct()
+    resub = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + INC_OFFSET).alias("doc_id"), "text"
+    )
+    new = docs_with_mutants(spark, sf_dir).filter(F.col("doc_id") >= 100_000)
+    increment = resub.unionByName(new)
+    return (
+        increment.withColumn("dup_key", F.md5(norm_text(F.col("text"))))
+        .join(snap_keys, "dup_key", "left_anti")
+        .select("doc_id", "dup_key")
+    )
+
+
+# --- per-source capping + quality-decile filtering --------------------------
+
+_SOURCE_CAP = 20
+
+
+@register(
+    "source_capped_sample",
+    f"""
+SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS INT) AS source_rank
+FROM documents
+QUALIFY source_rank <= {_SOURCE_CAP}
+""",
+)
+def q_source_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source capping: keep at most N docs per source (longest
+    first, id tiebreak) — the anti-domination guard every web-scale
+    training mix applies so one crawl domain can't swamp the corpus.
+    One shuffle on source; rank-and-filter streams within each
+    partition (no per-source materialization)."""
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("source_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("source_rank") <= _SOURCE_CAP)
+        .select("doc_id", "source", "source_rank")
+    )
+
+
+@register(
+    "quality_decile_filter",
+    """
+SELECT doc_id, lang, ROUND(pr, 6) AS length_pct_rank
+FROM (SELECT doc_id, lang,
+             PERCENT_RANK() OVER (PARTITION BY lang
+                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents) r
+WHERE pr >= 0.1
+""",
+)
+def q_quality_decile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bottom-decile drop by length percentile — quality
+    filtering relative to each language's own distribution (an absolute
+    threshold over-prunes low-resource languages). percent_rank is one
+    shuffle on lang + a streaming rank pass; ties broken by doc_id so
+    the cut is deterministic on both engines."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.1)
+        .select("doc_id", "lang", F.round("pr", 6).alias("length_pct_rank"))
+    )
+
+
+# --- token-budget sequence packing ------------------------------------------
+
+_PACK_BUDGET = 4096
+
+
+@register(
+    "pack_sequences",
+    f"""
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}) AS INT) AS bin_id
+FROM (SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT doc_id, lang,
+                   len(STRING_SPLIT({SQL_NORM.format(c="text")}, ' ')) AS n_tokens
+            FROM documents) tc) c
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in stable doc_id order, per
+    language) to training-context bins of ~{4096} tokens via a running
+    token-count window — bin_id = floor(tokens-before-this-doc /
+    budget). The streaming-window formulation packs without any
+    per-bin state or driver loop: one shuffle on lang, one ordered
+    pass. (Greedy first-fit would need stateful iteration; the
+    running-sum form is the scalable batch shape and is what
+    sequence-packing pipelines actually ship.)"""
+    from de_project_sprint_etl_spark.functions.text import tokens
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET)
+            .cast("int")
+            .alias("bin_id"),
+        )
+    )
+
+
+# --- rank-family window functions -------------------------------------------
+
+
+@register(
+    "window_rank_functions",
+    """
+SELECT o_orderkey, o_custkey,
+       CAST(NTILE(4) OVER w AS INT) AS spend_quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS spend_pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS spend_cume_dist,
+       FIRST_VALUE(o_orderkey) OVER w AS cheapest_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-family window functions (ntile / percent_rank /
+    cume_dist / first_value) in one per-customer pass — one shuffle on
+    the partition key, every function evaluated in the same sorted
+    frame (Spark fuses same-window functions into one Window node)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+    )
