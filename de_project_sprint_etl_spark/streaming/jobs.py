@@ -186,6 +186,53 @@ def enrich_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     )
 
 
+def attributed_purchases(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to the
+    same user's clicks in the preceding ``within`` interval (ad-tech
+    click attribution, done on live streams).
+
+    Both sides carry watermarks and the join condition bounds
+    purchase_ts to [click_ts, click_ts + within], so Spark can compute
+    exactly how long a buffered click can still find a matching
+    purchase — state for both sides is evicted past
+    watermark + within, which is what makes a stream-stream join
+    runnable forever. Without the time bound the state would grow with
+    the stream (Spark rejects unbounded stream-stream inner joins
+    without it). Shuffles on user_id; state scales with per-user event
+    rate × the interval, not stream length.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -153,6 +153,31 @@ def test_stream_static_join_enriches(spark, tmp_path):
     assert len(got) == 300
 
 
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (click→purchase attribution within
+    1 h) over a file-arrival backlog equals the batch interval join of
+    the same data."""
+    src = str(tmp_path / "attr_arrivals")
+    ev = events(spark, 600)
+    ev.repartition(3).write.parquet(src)
+
+    joined = jobs.attributed_purchases(
+        jobs.read_event_stream(spark, src), within="1 hour", watermark="10 hours"
+    )
+    assert joined.isStreaming
+    jobs.run_to_memory(joined, "attributed", complete=False)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.table("attributed").collect()
+    }
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in jobs.attributed_purchases(ev).collect()
+    }
+    assert got == want
+    assert got, "expected at least one attributed purchase in the fixture"
+
+
 def test_streaming_foreach_batch_merge(spark, tmp_path):
     """Increment flow under streaming: each micro-batch of arriving
     order rows is merged via the pure batch operator (C5 semantics)."""
