@@ -82,6 +82,41 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_events",
+    """
+WITH e AS (SELECT event_type, CAST(EXTRACT(year FROM ts) AS INT) AS y,
+                  value FROM events)
+SELECT event_type, y,
+       CAST(GROUPING(event_type, y) AS INT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM e
+GROUP BY GROUPING SETS ((event_type), (y), (event_type, y), ())
+""",
+)
+def q_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS over events (type / year / both / grand
+    total) with ``grouping_id()`` disambiguating which set produced each
+    row — the general form of rollup/cube (§2.12). One shuffle: Catalyst
+    lowers the four sets to a single Expand + hash aggregate, so the
+    map-side partial agg still applies at 100 TB. The gid bit order
+    (first listed column = high bit) is verified against DuckDB's
+    GROUPING(), which shares the convention."""
+    from de_project_sprint_etl_spark.plans.testdata import events_df
+
+    ev = events_df(spark, sf_dir).select(
+        "event_type", F.year("ts").cast("int").alias("y"), "value"
+    )
+    return ev.groupingSets(
+        [["event_type"], ["y"], ["event_type", "y"], []], "event_type", "y"
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        _dsum("value").alias("total_value"),
+    )
+
+
+@register(
     "semi_join_urgent_customers",
     """
 SELECT c_custkey, c_name
