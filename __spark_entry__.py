@@ -26,6 +26,7 @@ from de_project_sprint_etl_spark.plans import llm  # noqa: E402,F401 — registe
 from de_project_sprint_etl_spark.plans import relational  # noqa: E402,F401 — registers §2.12 extension ops
 from de_project_sprint_etl_spark.plans import tpch  # noqa: E402,F401 — registers TPC-H Q1/Q3/Q5/Q6
 from de_project_sprint_etl_spark.plans import mlops  # noqa: E402,F401 — registers split/pivot/unpivot/levenshtein/range-window
+from de_project_sprint_etl_spark.plans import warehouse  # noqa: E402,F401 — registers argmax/median/mode/SCD2/gap-fill/funnel
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -108,6 +108,15 @@ HEADLINE = [
     "quality_decile_filter",
     "pack_sequences",
     "window_rank_functions",
+    "grouping_sets_events",
+    "variant_json_stats",
+    "argmax_order_per_priority",
+    "median_order_value_by_status",
+    "mode_priority_by_status",
+    "schema_evolution_union",
+    "gap_fill_daily_events",
+    "scd2_customer_priority",
+    "funnel_signup_click_purchase",
 ]
 
 

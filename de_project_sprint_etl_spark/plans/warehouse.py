@@ -1,0 +1,356 @@
+"""Warehouse / analytics operators, round 3 batch 2.
+
+Six op families a mart-building user reaches for next, none present in
+the reference (SURVEY.md §2.12 — its surface stops at equi/range joins
+and plain grouped aggregation), each Spark-first with an exact DuckDB
+oracle:
+
+- argmax aggregation (``max_by`` with a struct ordering key) — "the row
+  that achieved the max" without a join-back or a window pass; single
+  partial-aggregatable agg, deterministic under ties because the
+  ordering key includes the id.
+- exact median — Spark ``median`` = interpolated percentile_cont(0.5),
+  which hash-matches DuckDB's ``median`` on doubles (same precedent as
+  quality_percentiles).
+- two-phase mode — groupBy-count then per-group rank with a
+  deterministic tie-break. Spark HAS ``F.mode`` but its tie choice is
+  engine-arbitrary; the two-phase form is both deterministic and the
+  shape that scales (both phases partial-aggregatable / single window
+  over pre-shrunk groups).
+- schema-evolution union — ``unionByName(allowMissingColumns=True)``:
+  merging v1 rows (no column) with v2 rows (new column) NULL-fills the
+  missing side, the read-side analog of parquet mergeSchema. Map-side
+  only, zero shuffle.
+- time-series gap fill — date spine from ``sequence()`` + explode on a
+  one-row min/max frame, left join of per-day aggregates, zero-fill.
+  The spine is O(days) rows however big the fact table is, so the join
+  build side stays broadcastable at 100 TB.
+- SCD2 dimension build — change-detection (lag) → run numbering
+  (running sum) → per-run collapse → validity intervals (lead). One
+  shuffle on the entity key; every window reuses the same partitioning.
+- event funnel — per-user stage timestamps via chained conditional
+  window minima (click counted only at-or-after signup, purchase only
+  at-or-after that click); one shuffle on user_id, the three window
+  passes share the partitioning. Timestamps compared as unix micros so
+  both engines order identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.plans.registry import register
+from de_project_sprint_etl_spark.plans.testdata import events_df, t
+
+_DEC_SUM = "CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+@register(
+    "argmax_order_per_priority",
+    """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+  FROM orders)
+SELECT o_orderpriority, o_totalprice AS max_price, o_orderkey AS best_orderkey
+FROM ranked WHERE rk = 1
+""",
+)
+def q_argmax_order_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority: the priciest order's key via ``max_by`` ordered by
+    (price, orderkey) — the struct key makes ties deterministic, and the
+    whole thing is one partial-aggregatable agg (no join-back, no
+    window; at 100 TB the map-side combine ships one candidate row per
+    partition per group)."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.max("o_totalprice").alias("max_price"),
+        F.max_by(
+            "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+        ).alias("best_orderkey"),
+    )
+
+
+@register(
+    "median_order_value_by_status",
+    """
+SELECT o_orderstatus,
+       median(o_totalprice) AS median_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (interpolated percentile_cont 0.5 in both
+    engines). Exact medians buffer each group's values — the documented
+    cost; quality_percentiles_approx is the sketch-based twin for when
+    ±ε is acceptable at scale."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.median("o_totalprice").alias("median_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "mode_priority_by_status",
+    """
+SELECT o_orderstatus, o_orderpriority AS modal_priority, n
+FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+WHERE rk = 1
+""",
+)
+def q_mode_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal order priority per status, two-phase: count per (status,
+    priority) — fully partial-aggregatable — then rank within status
+    with a deterministic tie-break on the priority string. ``F.mode``
+    exists but picks ties arbitrarily; this form is reproducible across
+    engines AND the window only sees the collapsed group counts (5 rows
+    per status), not the fact rows."""
+    orders = t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            "n",
+        )
+    )
+
+
+@register(
+    "schema_evolution_union",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice, NULL AS o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL BY NAME
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 1
+""",
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution merge: v1 rows lack the column a later producer
+    added; ``unionByName(allowMissingColumns=True)`` aligns by NAME (a
+    positional union would silently mis-bind) and NULL-fills the v1
+    side. Map-side only — no shuffle, no data movement beyond the scan,
+    which is what makes schema drift survivable on a 100 TB backfill."""
+    orders = t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@register(
+    "gap_fill_daily_events",
+    f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+         {_DEC_SUM.format(c='value')} AS total_value
+  FROM events GROUP BY CAST(ts AS DATE)),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+            AS d
+          FROM bounds)
+SELECT CAST(spine.d AS VARCHAR) AS d,
+       COALESCE(daily.n, 0) AS n_events,
+       COALESCE(daily.total_value, 0.0) AS total_value
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+""",
+)
+def q_gap_fill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a continuous date spine (``sequence`` over
+    the observed min/max, exploded) left-joined to per-day aggregates,
+    missing days zero-filled. The spine is O(calendar days) — trivially
+    broadcastable — and the fact table is touched exactly once, by the
+    partial-aggregated daily rollup."""
+    ev = events_df(spark, sf_dir)
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    spine = (
+        daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.col("d").cast("string").alias("d"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "scd2_customer_priority",
+    """
+WITH daily AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         MIN(o_orderpriority) AS prio
+  FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)),
+flagged AS (
+  SELECT o_custkey, d, prio,
+         CASE WHEN prio IS DISTINCT FROM
+                   LAG(prio) OVER (PARTITION BY o_custkey ORDER BY d)
+              THEN 1 ELSE 0 END AS chg
+  FROM daily),
+runs AS (
+  SELECT o_custkey, d, prio,
+         SUM(chg) OVER (PARTITION BY o_custkey ORDER BY d) AS run_id
+  FROM flagged),
+collapsed AS (
+  SELECT o_custkey, CAST(run_id AS INT) AS run_id, prio,
+         MIN(d) AS valid_from, COUNT(*) AS n_active_days
+  FROM runs GROUP BY o_custkey, run_id, prio)
+SELECT o_custkey, run_id, prio AS priority,
+       CAST(valid_from AS VARCHAR) AS valid_from,
+       CAST(CAST(LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+                 - INTERVAL 1 DAY AS DATE) AS VARCHAR) AS valid_to,
+       CAST(LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+            IS NULL AS BOOLEAN) AS is_current,
+       n_active_days
+FROM collapsed
+""",
+)
+def q_scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the order log: track
+    each customer's order-priority attribute over time as validity
+    intervals. Change detection = lag ≠ current (null-safe), run
+    numbering = running sum of change flags, then one collapse per run
+    and ``lead`` for the closing date (open interval = current row).
+    One shuffle on o_custkey; the daily pre-aggregate, both windows,
+    and the collapse all reuse that partitioning. Same-day priority
+    conflicts resolve deterministically via MIN — the determinism
+    contract both engines share."""
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.min("o_orderpriority").alias("prio"))
+    w_seq = Window.partitionBy("o_custkey").orderBy("d")
+    runs = daily.withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                ~F.col("prio").eqNullSafe(F.lag("prio").over(w_seq)), 1
+            ).otherwise(0)
+        ).over(w_seq),
+    )
+    collapsed = runs.groupBy(
+        "o_custkey", F.col("run_id").cast("int").alias("run_id"), "prio"
+    ).agg(
+        F.min("d").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_active_days"),
+    )
+    w_run = Window.partitionBy("o_custkey").orderBy("run_id")
+    nxt = F.lead("valid_from").over(w_run)
+    return collapsed.select(
+        "o_custkey",
+        "run_id",
+        F.col("prio").alias("priority"),
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.date_sub(nxt, 1).cast("string").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_active_days",
+    )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    """
+WITH s1 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id) AS signup_us
+  FROM events),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us >= signup_us
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS click_us
+  FROM s1),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us >= click_us
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS purchase_us
+  FROM s2),
+per_user AS (
+  SELECT user_id, MAX(signup_us) AS signup_us, MAX(click_us) AS click_us,
+         MAX(purchase_us) AS purchase_us
+  FROM s3 GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+       COUNT(signup_us) AS n_signup,
+       COUNT(click_us) AS n_click_after_signup,
+       COUNT(purchase_us) AS n_purchase_after_click
+FROM per_user
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage event funnel (signup → click → purchase) with strict
+    stage ordering: a click only counts at-or-after the user's first
+    signup, a purchase only at-or-after that qualifying click. Chained
+    conditional window minima over the SAME user_id partitioning — one
+    shuffle total, three streaming window passes, then a per-user
+    collapse and a global count. No self-joins: the naive formulation
+    (events ⋈ events ⋈ events on user + ts ranges) explodes at 100 TB;
+    this stays linear."""
+    ev = events_df(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "signup_us",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "click_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") >= F.col("signup_us")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "purchase_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") >= F.col("click_us")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("signup_us").alias("signup_us"),
+        F.max("click_us").alias("click_us"),
+        F.max("purchase_us").alias("purchase_us"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("signup_us").alias("n_signup"),
+        F.count("click_us").alias("n_click_after_signup"),
+        F.count("purchase_us").alias("n_purchase_after_click"),
+    )

@@ -415,3 +415,55 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_grouping_sets_single_expand_shuffle(spark):
+    """Explicit grouping sets must lower to ONE Expand + one hash-agg
+    shuffle — four separate group-bys unioned would scan 4x and
+    shuffle 4x."""
+    from de_project_sprint_etl_spark.plans import relational
+
+    plan = plan_of(relational.q_grouping_sets_events(spark, SF))
+    assert "Expand" in plan, plan
+    assert n_exchanges(plan) == 1, plan
+
+
+def test_schema_evolution_union_is_map_side(spark):
+    """unionByName over drifted schemas is column alignment, not data
+    movement: zero exchanges."""
+    from de_project_sprint_etl_spark.plans import warehouse
+
+    plan = plan_of(warehouse.q_schema_evolution_union(spark, SF))
+    assert n_exchanges(plan) == 0, plan
+
+
+def test_argmax_is_single_partial_aggregate(spark):
+    """max_by must stay one partial-aggregatable agg (one exchange) —
+    no window pass, no join-back to find the winning row."""
+    from de_project_sprint_etl_spark.plans import warehouse
+
+    plan = plan_of(warehouse.q_argmax_order_per_priority(spark, SF))
+    assert n_exchanges(plan) == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The funnel's three stage-windows and the per-user collapse must
+    share ONE user_id shuffle; only the final global count adds its
+    single-partition exchange. No joins anywhere — the self-join funnel
+    formulation explodes at scale."""
+    from de_project_sprint_etl_spark.plans import warehouse
+
+    plan = plan_of(warehouse.q_funnel(spark, SF))
+    assert n_exchanges(plan) == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_scd2_windows_reuse_entity_shuffle(spark):
+    """SCD2 build: after the (custkey, day) pre-aggregate, the run
+    windows, per-run collapse, and validity lead must all reuse the
+    o_custkey partitioning — exactly two exchanges end-to-end."""
+    from de_project_sprint_etl_spark.plans import warehouse
+
+    plan = plan_of(warehouse.q_scd2_customer_priority(spark, SF))
+    assert n_exchanges(plan) == 2, plan
