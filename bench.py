@@ -117,6 +117,9 @@ HEADLINE = [
     "gap_fill_daily_events",
     "scd2_customer_priority",
     "funnel_signup_click_purchase",
+    "stats_moments_by_event_type",
+    "listagg_customer_years",
+    "revenue_share_by_status",
 ]
 
 

@@ -354,3 +354,109 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("click_us").alias("n_click_after_signup"),
         F.count("purchase_us").alias("n_purchase_after_click"),
     )
+
+
+@register(
+    "stats_moments_by_event_type",
+    """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       s / n AS mean_value,
+       sqrt((ss - s * s / n) / (n - 1)) AS stddev_value
+FROM m
+""",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mean/stddev via EXACT decimal moments (Σx, Σx²) with
+    the double math applied once, post-aggregation. The built-in
+    ``stddev`` streams doubles in partition order, so its low bits vary
+    run-to-run on a cluster — unusable for a reproducibility-gated
+    pipeline. Decimal Σ/Σ² are addition-order-free, partial-aggregate
+    map-side, and the identical final double expression rounds the same
+    in any engine."""
+    ev = events_df(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    return m.select(
+        "event_type",
+        "n",
+        (s / n).alias("mean_value"),
+        F.sqrt((ss - s * s / n) / (n - 1)).alias("stddev_value"),
+    )
+
+
+@register(
+    "listagg_customer_years",
+    """
+SELECT o_custkey,
+       string_agg(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT),
+                  ',' ORDER BY CAST(EXTRACT(year FROM o_orderdate) AS INT))
+         AS active_years
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def q_listagg_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg: each customer's active order years as one
+    sorted CSV cell. ``collect_set`` (bounded: ≤ #distinct years per
+    customer) → ``sort_array`` → join — the sort inside the row is what
+    makes an inherently unordered distributed collect deterministic.
+    One partial-aggregatable shuffle."""
+    orders = t(spark, sf_dir, "orders")
+    years = F.sort_array(F.collect_set(F.year("o_orderdate").cast("int")))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(years, lambda c: c.cast("string")), ","
+            ).alias("active_years")
+        )
+    )
+
+
+@register(
+    "revenue_share_by_status",
+    """
+WITH g AS (
+  SELECT o_orderstatus,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, revenue,
+       revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER () AS DOUBLE)
+         AS revenue_share
+FROM g
+""",
+)
+def q_revenue_share_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): revenue share per status via
+    an empty-frame window over the AGGREGATED groups — the single
+    partition the global window collapses to holds only one row per
+    status, never fact rows, so the 'no partition defined' shape is
+    safe at any corpus size. Decimal-summed revenue makes the shares
+    engine-identical."""
+    orders = t(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    total = (
+        F.sum(F.col("revenue").cast("decimal(18,2)"))
+        .over(Window.partitionBy())
+        .cast("double")
+    )
+    return g.select(
+        "o_orderstatus",
+        "revenue",
+        (F.col("revenue") / total).alias("revenue_share"),
+    )

@@ -467,3 +467,44 @@ def test_scd2_windows_reuse_entity_shuffle(spark):
 
     plan = plan_of(warehouse.q_scd2_customer_priority(spark, SF))
     assert n_exchanges(plan) == 2, plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: when the build side of a
+    non-broadcast join carries a selective predicate, Spark injects a
+    bloom filter of the build keys into the probe-side scan — at 100 TB
+    this drops most probe rows BEFORE the shuffle. Thresholds are tuned
+    (the local fixture is below the default 10 GB application-side
+    floor); the assert pins that the rewrite fires on this engine
+    version so an upgrade or conf regression is caught here."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
