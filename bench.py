@@ -120,6 +120,8 @@ HEADLINE = [
     "stats_moments_by_event_type",
     "listagg_customer_years",
     "revenue_share_by_status",
+    "profile_orders",
+    "winsorize_event_values",
 ]
 
 

@@ -460,3 +460,75 @@ def q_revenue_share_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("revenue") / total).alias("revenue_share"),
     )
+
+
+@register(
+    "profile_orders",
+    """
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS nulls_custkey,
+       COUNT(DISTINCT o_custkey) AS ndv_custkey,
+       COUNT(DISTINCT o_orderstatus) AS ndv_status,
+       COUNT(DISTINCT o_orderpriority) AS ndv_priority,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+       CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
+FROM orders
+""",
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling: row count, null counts, exact distinct
+    cardinalities, and min/max ranges in a SINGLE aggregate over one
+    scan (Spark lowers the multiple DISTINCTs to one Expand — still one
+    shuffle). The ingest-validation step every pipeline runs before
+    trusting a new drop; swap ``approx_count_distinct`` in at 100 TB
+    when ±2% NDV is acceptable."""
+    orders = t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nulls_custkey"),
+        F.count_distinct("o_custkey").alias("ndv_custkey"),
+        F.count_distinct("o_orderstatus").alias("ndv_status"),
+        F.count_distinct("o_orderpriority").alias("ndv_priority"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min(F.col("o_orderdate").cast("date")).cast("string").alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).cast("string").alias("max_date"),
+    )
+
+
+@register(
+    "winsorize_event_values",
+    """
+WITH q AS (SELECT quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi
+           FROM events)
+SELECT event_id, value,
+       LEAST(GREATEST(value, lo), hi) AS value_winsorized
+FROM events, q
+""",
+)
+def q_winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping (winsorize at p05/p95): global quantiles from
+    one aggregate pass, broadcast as a single row, then a map-side
+    clamp — the two-pass shape feature normalization needs. The
+    quantile row is ONE row whatever the corpus size, so the second
+    pass is a broadcast join + narrow projection; the fact table is
+    never shuffled."""
+    ev = events_df(spark, sf_dir)
+    q = ev.agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        ev.select("event_id", "value")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "event_id",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+                "value_winsorized"
+            ),
+        )
+    )

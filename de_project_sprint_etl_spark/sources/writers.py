@@ -112,3 +112,24 @@ def save_bucketed_table(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(name)
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """Training-data export: newline-delimited JSON shards — the
+    interchange format LLM training stacks ingest. Each task writes its
+    partition as one shard (embarrassingly parallel, no exchange);
+    ``maxRecordsPerFile`` caps shard size so a 100 TB corpus lands as
+    many uniform, splittable files, and ``compression='gzip'/'zstd'``
+    trades CPU for the 5-10x text ratio. Column types survive as JSON
+    scalars; binary columns should be base64-projected first."""
+    writer = df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -133,3 +133,40 @@ def test_save_as_table_round_trip(spark, tmp_path):
         assert spark.table("t_roundtrip").count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS t_roundtrip")
+
+
+def test_export_jsonl_shards(spark, tmp_path):
+    """Training-data export: JSONL shards respect the per-file record
+    cap, round-trip through spark.read.json with values intact, and
+    every data file is valid newline-delimited JSON."""
+    import glob
+    import json as jsonlib
+
+    from de_project_sprint_etl_spark.sources import writers
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .coalesce(2)
+    )
+    n = docs.count()
+    out = str(tmp_path / "jsonl_export")
+    writers.export_jsonl_shards(docs, out, max_records_per_file=100)
+
+    back = spark.read.json(out)
+    assert back.count() == n
+    assert set(back.columns) == {"doc_id", "text"}
+    # same content, not just same count
+    assert (
+        back.join(docs, ["doc_id", "text"], "inner").count() == n
+    )
+
+    files = glob.glob(f"{out}/part-*.json")
+    assert len(files) >= n // 100, files
+    for f in files:
+        with open(f, encoding="utf-8") as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln]
+        assert len(lines) <= 100
+        for ln in lines[:3]:
+            row = jsonlib.loads(ln)
+            assert "doc_id" in row and "text" in row
