@@ -122,6 +122,8 @@ HEADLINE = [
     "revenue_share_by_status",
     "profile_orders",
     "winsorize_event_values",
+    "cogroup_user_activity",
+    "chunk_documents_udtf",
 ]
 
 

@@ -390,6 +390,29 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, size=500, overlap=100)
 
 
+@register(
+    "chunk_documents_udtf",
+    text.sql_chunk_documents("documents", size=500, overlap=100),
+)
+def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking through a Spark-4 Python UDTF lateral join
+    (functions/pyudtf.ChunkText) — registered to prove the
+    escape-hatch tier end-to-end against the identical oracle as the
+    native explode form (chunk_documents). Slow path by design: row
+    transfer to a Python worker vs whole-stage codegen; use the native
+    op unless the fan-out logic needs a real Python library."""
+    from pyspark.sql.functions import col, lit
+
+    from de_project_sprint_etl_spark.functions.pyudtf import ChunkText
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    return (
+        docs.lateralJoin(ChunkText(col("text").outer(), lit(500), lit(100)))
+        .drop("text")
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
 SAMPLE_RATES = {"en": 40}  # percent kept per language; others 100
 
 

@@ -532,3 +532,64 @@ def q_winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cogroup_user_activity",
+    """
+WITH e AS (SELECT user_id AS uid, COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                    AS event_cents
+           FROM events GROUP BY user_id),
+o AS (SELECT o_custkey AS uid, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS order_cents
+      FROM orders GROUP BY o_custkey)
+SELECT COALESCE(e.uid, o.uid) AS user_id,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(event_cents, 0) AS event_cents,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(order_cents, 0) AS order_cents
+FROM e FULL OUTER JOIN o ON e.uid = o.uid
+""",
+)
+def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map (``groupBy().cogroup().applyInPandas``): both
+    tables hash-shuffle ONCE on the entity key, then each key's two
+    row groups land in the same Python worker as two Arrow-backed
+    pandas frames — the plumbing for per-entity custom feature logic
+    (model scoring, library calls) that SQL can't express. The logic
+    here (counts + cent-exact sums) is deliberately SQL-expressible so
+    the full-outer cogroup semantics and the Arrow round-trip are
+    hash-verified against a DuckDB FULL OUTER JOIN of two aggregates.
+    Per-element cent conversion BEFORE summing keeps the pandas-side
+    sums integer (addition-order-free)."""
+    import pandas as pd
+
+    ev = events_df(spark, sf_dir).select("user_id", "value")
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+
+    def stats(key: tuple, e: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        e_cents = (e["value"] * 100).round().astype("int64") if len(e) else None
+        o_cents = (
+            (o["o_totalprice"] * 100).round().astype("int64") if len(o) else None
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(e)],
+                "event_cents": [int(e_cents.sum()) if e_cents is not None else 0],
+                "n_orders": [len(o)],
+                "order_cents": [int(o_cents.sum()) if o_cents is not None else 0],
+            }
+        )
+
+    return ev.groupBy("user_id").cogroup(orders.groupBy("user_id")).applyInPandas(
+        stats,
+        schema=(
+            "user_id long, n_events long, event_cents long, "
+            "n_orders long, order_cents long"
+        ),
+    )

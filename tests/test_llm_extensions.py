@@ -330,3 +330,24 @@ def test_token_entropy_values(spark):
     want3 = round(-(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25)), 6)
     assert got[3] == want3
     assert got[4] == 0.0
+
+
+def test_udtf_chunker_matches_native(spark):
+    """The Python-UDTF chunker must be row-identical to the native
+    explode form — same oracle, same answer, different execution tier."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col, lit
+
+    from de_project_sprint_etl_spark.functions import text
+    from de_project_sprint_etl_spark.functions.pyudtf import ChunkText
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    native = text.chunk_documents(docs, size=500, overlap=100)
+    via_udtf = (
+        docs.lateralJoin(ChunkText(col("text").outer(), lit(500), lit(100)))
+        .drop("text")
+        .withColumn("chunk_len", F.length("chunk_text"))
+        .select(native.columns)
+    )
+    assert native.exceptAll(via_udtf).count() == 0
+    assert via_udtf.exceptAll(native).count() == 0

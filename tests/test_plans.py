@@ -508,3 +508,54 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_zorder_clusters_both_axes(spark, tmp_path):
+    """Z-order write must give BOTH filter axes tight per-file bounds:
+    each output file's x-range AND y-range stay well under the global
+    range (a lexicographic sort on x leaves y scattered across the
+    full range in every file). Verified from the written parquet
+    footers — the same stats a scan's row-group skipping reads."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from de_project_sprint_etl_spark.functions.layout import overwrite_zorder
+
+    n_side = 128  # x, y in [0, 128): 16384 rows on a full grid
+    grid = spark.range(n_side * n_side).select(
+        (F.col("id") % n_side).alias("x"),
+        (F.col("id") / n_side).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # shuffle the natural order so clustering is the writer's doing
+    scrambled = grid.orderBy(F.md5(F.col("id").cast("string")))
+
+    out = str(tmp_path / "zorder")
+    overwrite_zorder(scrambled, out, zorder_by=["x", "y"], bits=7, n_files=16)
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= 8, files
+    spans = {"x": [], "y": []}
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            cols = {
+                md.row_group(rg).column(i).path_in_schema: md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+            }
+            for ax in spans:
+                st = cols[ax].statistics
+                spans[ax].append(st.max - st.min)
+    for ax, sp in spans.items():
+        mean_span = sum(sp) / len(sp)
+        # a contiguous Morton block of 1/16th of the key space is a
+        # tile with side ~ n_side/4 on each axis; allow 2x slack
+        assert mean_span <= n_side / 2, (ax, mean_span, sorted(sp)[-3:])
+
+    # round-trip integrity
+    back = spark.read.parquet(out)
+    assert back.count() == n_side * n_side
+    assert back.agg(F.sum("payload")).collect()[0][0] == sum(
+        range(n_side * n_side)
+    )
