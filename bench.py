@@ -124,6 +124,10 @@ HEADLINE = [
     "winsorize_event_values",
     "cogroup_user_activity",
     "chunk_documents_udtf",
+    "impute_event_values",
+    "one_hot_event_types",
+    "feature_hash_docs",
+    "label_encode_sources",
 ]
 
 

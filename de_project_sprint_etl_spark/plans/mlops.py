@@ -481,3 +481,148 @@ def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
         F.first("o_orderkey").over(w).alias("cheapest_order"),
     )
+
+
+# --- feature engineering (round 3 batch) -----------------------------------
+
+
+@register(
+    "impute_event_values",
+    """
+WITH masked AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS value
+  FROM events),
+med AS (SELECT event_type, median(value) AS type_median
+        FROM masked GROUP BY event_type)
+SELECT m.event_id, m.event_type,
+       CAST(m.value IS NULL AS BOOLEAN) AS was_missing,
+       COALESCE(m.value, med.type_median) AS value_imputed
+FROM masked m JOIN med USING (event_type)
+""",
+)
+def q_impute_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation with the per-group median: one
+    aggregate pass computes each group's median over the non-null
+    values, the group→median map (one row per group — always tiny)
+    broadcasts back, and the fill is a map-side COALESCE. The fact
+    table is scanned twice but never shuffled. Nulls are synthesized
+    deterministically (event_id % 10) since the fixture has none —
+    the imputation shape is the op under test."""
+    ev = events_df(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.median("value").alias("type_median")
+    )
+    return ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("value").isNull().alias("was_missing"),
+        F.coalesce("value", "type_median").alias("value_imputed"),
+    )
+
+
+@register(
+    "one_hot_event_types",
+    """
+SELECT event_id, user_id,
+       CAST(event_type = 'click' AS INT) AS is_click,
+       CAST(event_type = 'view' AS INT) AS is_view,
+       CAST(event_type = 'purchase' AS INT) AS is_purchase,
+       CAST(event_type = 'signup' AS INT) AS is_signup,
+       CAST(event_type = 'error' AS INT) AS is_error
+FROM events
+""",
+)
+def q_one_hot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encoding over a PINNED category vocabulary — pure
+    narrow projection (zero shuffle, zero discovery pass; an unpinned
+    encoder needs a distinct scan first, same trade as pivot's
+    values list)."""
+    ev = events_df(spark, sf_dir)
+    cats = ["click", "view", "purchase", "signup", "error"]
+    return ev.select(
+        "event_id",
+        "user_id",
+        *[
+            (F.col("event_type") == c).cast("int").alias(f"is_{c}")
+            for c in cats
+        ],
+    )
+
+
+from de_project_sprint_etl_spark.functions.text import sql_h64  # noqa: E402
+
+_SQL_FEATURE_HASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(STRING_SPLIT({SQL_NORM.format(c='text')}, ' ')) AS tok
+  FROM documents)
+SELECT doc_id,
+       CAST({sql_h64('tok')} % 64 AS INT) AS feature_bucket,
+       COUNT(*) AS n
+FROM toks
+WHERE tok <> ''
+GROUP BY doc_id, CAST({sql_h64('tok')} % 64 AS INT)
+"""
+
+
+@register("feature_hash_docs", _SQL_FEATURE_HASH)
+def q_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization: token → stable hash → fixed 64-dim
+    bucket, counts aggregated per (doc, bucket). No vocabulary build,
+    no dictionary broadcast, bounded output width at any corpus size —
+    the classic scale answer when a full vocab is too big. Explode +
+    one partial-aggregatable shuffle; the hash is the package's shared
+    cross-engine 60-bit md5 (functions/text.h64)."""
+    from de_project_sprint_etl_spark.functions.text import h64, tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.select(
+            "doc_id", (h64(F.col("tok")) % 64).cast("int").alias("feature_bucket")
+        )
+        .groupBy("doc_id", "feature_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "label_encode_sources",
+    """
+WITH vocab AS (
+  SELECT source,
+         CAST(DENSE_RANK() OVER (ORDER BY source) AS INT) - 1 AS source_id
+  FROM (SELECT DISTINCT source FROM documents))
+SELECT d.doc_id, d.source, v.source_id
+FROM documents d JOIN vocab v USING (source)
+""",
+)
+def q_label_encode_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label (dictionary) encoding: distinct category values get dense
+    contiguous ids by sorted order — reproducible across runs and
+    engines, unlike hash- or arrival-order ids. The vocab is built
+    with ONE distinct aggregate (cardinality = #categories, tiny) and
+    broadcast back; the single-partition window only ever sees the
+    distinct values, never fact rows."""
+    docs = t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    vocab = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "source_id",
+            (F.dense_rank().over(W.partitionBy().orderBy("source")) - 1).cast(
+                "int"
+            ),
+        )
+    )
+    return docs.select("doc_id", "source").join(F.broadcast(vocab), "source")
