@@ -128,6 +128,7 @@ HEADLINE = [
     "one_hot_event_types",
     "feature_hash_docs",
     "label_encode_sources",
+    "cdc_apply_orders",
 ]
 
 

@@ -593,3 +593,70 @@ def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders long, order_cents long"
         ),
     )
+
+
+@register(
+    "cdc_apply_orders",
+    """
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(-1 AS BIGINT) AS seq, 'I' AS op
+  FROM orders),
+chg AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice,
+         CAST(1 AS BIGINT) AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(2 AS BIGINT) AS seq, 'D' AS op
+  FROM orders WHERE o_orderkey % 7 = 3
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'N' AS o_orderstatus, o_totalprice,
+         CAST(1 AS BIGINT) AS seq, 'I' AS op
+  FROM orders WHERE o_orderkey % 13 = 0),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY seq DESC) AS rk
+  FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg))
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM ranked WHERE rk = 1 AND op <> 'D'
+""",
+)
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (functions/cdc.py): a
+    synthesized changelog — updates (status→'X', seq 1), deletes
+    (seq 2), and new-key inserts — applied latest-wins onto the orders
+    snapshot. Keys hit by both a U and a later D resolve to the D
+    (sequencing verified). One shuffle, no join: the snapshot is
+    tagged seq=-1 and unioned with the changelog, then a single
+    per-key row_number picks the newest version."""
+    from de_project_sprint_etl_spark.functions.cdc import apply_changes
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit(2).cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(1).cast("long").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return apply_changes(
+        orders, changes, keys=["o_orderkey"], seq_col="seq", op_col="op"
+    )

@@ -243,3 +243,38 @@ def test_salted_join_hot_threshold_matches_plain_join(spark):
             probe, build, ["k"], n_salts=8, how=how, hot_threshold=10).collect())
         want = sorted(tuple(r) for r in probe.join(build, ["k"], how).collect())
         assert got == want, how
+
+
+def test_cdc_apply_changes_semantics(spark):
+    """Latest-wins CDC apply: update overrides snapshot, delete wins
+    over an earlier update, insert of a new key lands, delete of a
+    key with no later change removes it, untouched rows pass through
+    — and the plan is ONE shuffle (no join)."""
+    from de_project_sprint_etl_spark.functions.cdc import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    chg = spark.createDataFrame(
+        [
+            (1, "a2", 1, "U"),   # plain update
+            (2, "b2", 1, "U"),   # update then...
+            (2, "b3", 2, "D"),   # ...later delete -> gone
+            (3, None, 1, "D"),   # delete with no later change -> gone
+            (5, "e", 1, "I"),    # brand-new key
+            (6, "f1", 1, "I"),   # insert then updated in same batch
+            (6, "f2", 2, "U"),
+        ],
+        "k int, v string, seq long, op string",
+    )
+    out = apply_changes(snap, chg, keys=["k"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "a2", 4: "d", 5: "e", 6: "f2"}
+
+    plan_str = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_str
+    # one key shuffle (AQE final plans render it as a ShuffleQueryStage);
+    # WindowGroupLimit = Spark pre-filters each map partition to its
+    # per-key top-1 BEFORE the exchange, so only candidate winners shuffle
+    assert plan_str.count("ShuffleQueryStage") == 1, plan_str
+    assert "WindowGroupLimit" in plan_str, plan_str
