@@ -555,43 +555,58 @@ FROM e FULL OUTER JOIN o ON e.uid = o.uid
 )
 def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-map (``groupBy().cogroup().applyInPandas``): both
-    tables hash-shuffle ONCE on the entity key, then each key's two
-    row groups land in the same Python worker as two Arrow-backed
-    pandas frames — the plumbing for per-entity custom feature logic
-    (model scoring, library calls) that SQL can't express. The logic
-    here (counts + cent-exact sums) is deliberately SQL-expressible so
-    the full-outer cogroup semantics and the Arrow round-trip are
-    hash-verified against a DuckDB FULL OUTER JOIN of two aggregates.
-    Per-element cent conversion BEFORE summing keeps the pandas-side
-    sums integer (addition-order-free)."""
+    tables hash-shuffle ONCE, then each group's two row sets land in
+    the same Python worker as Arrow-backed pandas frames — the
+    plumbing for per-entity custom feature logic (model scoring,
+    library calls) that SQL can't express.
+
+    Scale-critical detail: the cogroup key is a BUCKET of the entity
+    (user_id % 256), not the entity itself. applyInPandas invokes the
+    Python function once per group — cogrouping millions of raw
+    entities means millions of per-key Python calls on tiny frames
+    (measured here: 19.4 s vs 1–2 s at sf0.1). Bucketing amortizes
+    each call over ~n_entities/256 rows and the per-entity work runs
+    vectorized INSIDE pandas (groupby + outer join); co-location per
+    entity is preserved because bucket(user) is a function of user.
+    The logic (counts + cent-exact sums) is deliberately
+    SQL-expressible so the full-outer semantics and Arrow round-trip
+    are hash-verified against a DuckDB FULL OUTER JOIN of two
+    aggregates; per-element cent conversion keeps the pandas sums
+    integer (addition-order-free)."""
     import pandas as pd
 
     ev = events_df(spark, sf_dir).select("user_id", "value")
     orders = t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_totalprice"
     )
+    bucket = (F.col("user_id") % 256).alias("bucket")
 
     def stats(key: tuple, e: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
-        e_cents = (e["value"] * 100).round().astype("int64") if len(e) else None
-        o_cents = (
-            (o["o_totalprice"] * 100).round().astype("int64") if len(o) else None
+        ec = (
+            e.assign(cents=(e["value"] * 100).round().astype("int64"))
+            .groupby("user_id")
+            .agg(n_events=("value", "size"), event_cents=("cents", "sum"))
         )
-        return pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [len(e)],
-                "event_cents": [int(e_cents.sum()) if e_cents is not None else 0],
-                "n_orders": [len(o)],
-                "order_cents": [int(o_cents.sum()) if o_cents is not None else 0],
-            }
+        oc = (
+            o.assign(cents=(o["o_totalprice"] * 100).round().astype("int64"))
+            .groupby("user_id")
+            .agg(n_orders=("o_totalprice", "size"), order_cents=("cents", "sum"))
         )
+        m = ec.join(oc, how="outer").fillna(0).reset_index()
+        for c in ("n_events", "event_cents", "n_orders", "order_cents"):
+            m[c] = m[c].astype("int64")
+        return m[["user_id", "n_events", "event_cents", "n_orders", "order_cents"]]
 
-    return ev.groupBy("user_id").cogroup(orders.groupBy("user_id")).applyInPandas(
-        stats,
-        schema=(
-            "user_id long, n_events long, event_cents long, "
-            "n_orders long, order_cents long"
-        ),
+    return (
+        ev.groupBy(bucket)
+        .cogroup(orders.groupBy(bucket))
+        .applyInPandas(
+            stats,
+            schema=(
+                "user_id long, n_events long, event_cents long, "
+                "n_orders long, order_cents long"
+            ),
+        )
     )
 
 
