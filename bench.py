@@ -129,6 +129,8 @@ HEADLINE = [
     "feature_hash_docs",
     "label_encode_sources",
     "cdc_apply_orders",
+    "events_sliding_agg",
+    "standard_scale_event_values",
 ]
 
 

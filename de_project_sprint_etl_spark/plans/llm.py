@@ -1109,6 +1109,47 @@ FROM events
 GROUP BY 1, 2
 """,
 )
+@register(
+    "events_sliding_agg",
+    """
+WITH offs AS (SELECT unnest([0, 30]) AS off_min),
+w AS (SELECT e.ts, e.value, e.event_type,
+             DATE_TRUNC('hour', e.ts - (off_min * INTERVAL 1 MINUTE))
+               + (off_min * INTERVAL 1 MINUTE) AS win_start
+      FROM events e, offs)
+SELECT CAST(win_start AS VARCHAR) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM w GROUP BY win_start, event_type
+""",
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: 1 h span, 30 min hop via
+    ``F.window(ts, '1 hour', '30 minutes')`` — each event lands in
+    span/hop = 2 windows (Catalyst Expand, map-side) and the counts
+    aggregate in ONE shuffle, identical machinery to the streaming
+    form. The oracle reproduces Spark's epoch-aligned window start
+    arithmetic with an explicit 2-offset unnest."""
+    ev = events_df(spark, sf_dir)
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window aggregation — the batch form of
     the Structured Streaming job in streaming/jobs.py (same logical

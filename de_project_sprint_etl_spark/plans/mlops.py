@@ -626,3 +626,49 @@ def q_label_encode_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return docs.select("doc_id", "source").join(F.broadcast(vocab), "source")
+
+
+@register(
+    "standard_scale_event_values",
+    """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.s / m.n) / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1))
+         AS value_scaled
+FROM events e JOIN m USING (event_type)
+""",
+)
+def q_standard_scale_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-scaler (per-group z-score) feature normalization: the
+    per-type mean/stddev come from ONE exact-decimal moments aggregate
+    (order-free, map-side partial — see stats_moments_by_event_type),
+    broadcast back as a row-per-group map, and the scaling itself is a
+    narrow projection. Two scans, zero fact-table shuffles — the same
+    two-pass shape as winsorize. The final double expression is written
+    identically in both engines so every scaled value hash-matches."""
+    ev = events_df(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    return (
+        ev.select("event_id", "event_type", "value")
+        .join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                (F.col("value") - s / n)
+                / F.sqrt((ss - s * s / n) / (n - 1))
+            ).alias("value_scaled"),
+        )
+    )
