@@ -1098,18 +1098,6 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_windowed_agg",
-    """
-SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
-       event_type,
-       COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-       COUNT(DISTINCT user_id) AS n_users
-FROM events
-GROUP BY 1, 2
-""",
-)
-@register(
     "events_sliding_agg",
     """
 WITH offs AS (SELECT unnest([0, 30]) AS off_min),
@@ -1150,6 +1138,18 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_windowed_agg",
+    """
+SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window aggregation — the batch form of
     the Structured Streaming job in streaming/jobs.py (same logical

@@ -62,3 +62,70 @@ def test_representative_queries_execute(spark, name):
 def test_oracle_keys_subset():
     orphans = set(entry_mod.oracle_sql()) - set(_QUERIES)
     assert not orphans, f"oracle entries without queries: {orphans}"
+
+
+def test_oracle_columns_match_spark_columns(spark):
+    """Bidirectional column-name parity, analysis-only: the driver's
+    compare sorts columns BY NAME before hashing values, so a Spark
+    alias drifting from its oracle alias hash-mismatches even with
+    identical values. DuckDB binds each oracle with LIMIT 0 (no
+    execution) and Spark analyzes each plan (no jobs) — the whole
+    sweep is seconds, vs minutes for the value-level differential."""
+    import duckdb
+
+    from de_project_sprint_etl_spark.schemas import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for tname in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS "
+            f"SELECT * FROM read_parquet('{SF}/{tname}.parquet')"
+        )
+    oracles = entry_mod.oracle_sql()
+    mismatches = []
+    for name, sql in sorted(oracles.items()):
+        spark_cols = sorted(_QUERIES[name](spark, SF).columns)
+        rel = con.execute(f"SELECT * FROM ({sql}) q LIMIT 0")
+        duck_cols = sorted(d[0] for d in rel.description)
+        if spark_cols != duck_cols:
+            mismatches.append((name, spark_cols, duck_cols))
+    assert not mismatches, mismatches
+
+
+def test_events_ts_decode_adapts_to_physical_type(spark, tmp_path):
+    """events_df must yield identical wall-clock timestamps whichever
+    physical form a testdata regeneration serializes: int64
+    epoch-nanos, timestamp[us] (TIMESTAMP_NTZ), or tz-aware
+    timestamp[us, UTC]. This is the drift class that broke round 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from de_project_sprint_etl_spark.plans import testdata as td
+
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 11],
+        "event_type": ["click", "view"],
+        "value": [1.5, 2.5],
+        "props": ['{"k":1}', '{"k":2}'],
+    }
+    micros = [1_704_067_200_000_000, 1_704_070_800_000_000]  # 2024-01-01 UTC
+
+    variants = {
+        "nanos_long": pa.array([m * 1000 for m in micros], pa.int64()),
+        "ts_ntz": pa.array(micros, pa.timestamp("us")),
+        "ts_utc": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    seen = {}
+    for vname, arr in variants.items():
+        d = tmp_path / vname
+        d.mkdir()
+        tbl = pa.table({**{k: pa.array(v) for k, v in base.items()}, "ts": arr})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        ev = td.events_df(spark, str(d))
+        assert ev.schema["ts"].dataType.typeName() == "timestamp", vname
+        seen[vname] = sorted(
+            (r.event_id, r.ts.isoformat()) for r in ev.select("event_id", "ts").collect()
+        )
+        td._SCAN_CACHE.clear()
+    assert seen["nanos_long"] == seen["ts_ntz"] == seen["ts_utc"], seen
