@@ -177,6 +177,29 @@ def weeks_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention.build_weeks(calendar_dates(spark, sf_dir))
 
 
+def weeks_dim_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The week dimension materialized once per corpus generation (it is
+    the calendar_weeks job's output — O(weeks) rows; scanning it saves
+    each cohort query the 3-table date-union scan). calendar_weeks /
+    calendar_dim keep building live."""
+    src = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = sf_dir.strip("/").replace("/", "_")
+    path = (
+        Path(_DERIVED_CACHE_ROOT)
+        / f"{key}-log-{src.st_mtime_ns}-{src.st_size}"
+        / "weeks_dim"
+    )
+    if not (path / "_SUCCESS").exists():
+        weeks_dim(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(
+            str(path)
+        )
+        _DERIVED_READ_CACHE.pop((id(spark), str(path)), None)
+    rkey = (id(spark), str(path))
+    if rkey not in _DERIVED_READ_CACHE:
+        _DERIVED_READ_CACHE[rkey] = spark.read.parquet(str(path))
+    return _DERIVED_READ_CACHE[rkey]
+
+
 # --- shared SQL fragments (oracle side) ------------------------------------
 
 SQL_ALL_DATES = """
@@ -533,7 +556,7 @@ def q_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/A9/F1/J2: new-customer cohort per (period, item)
     (reference new_customers.sql:1-9)."""
     out = retention.new_customers(
-        order_log_v2_decimal(spark, sf_dir), weeks_dim(spark, sf_dir), item=True
+        order_log_v2_decimal(spark, sf_dir), weeks_dim_cached(spark, sf_dir), item=True
     )
     return out.withColumn(
         "new_cust_revenue", F.col("new_cust_revenue").cast("double")
@@ -544,7 +567,7 @@ def q_new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_new_customers_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """new_cust_compact (reference new_customers.sql:11-19)."""
     out = retention.new_customers(
-        order_log_v2_decimal(spark, sf_dir), weeks_dim(spark, sf_dir), item=False
+        order_log_v2_decimal(spark, sf_dir), weeks_dim_cached(spark, sf_dir), item=False
     )
     return out.withColumn(
         "new_cust_revenue", F.col("new_cust_revenue").cast("double")
@@ -555,7 +578,7 @@ def q_new_customers_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 HAVING count>1 cohort (reference returned_customers.sql:1-9)."""
     out = retention.returned_customers(
-        order_log_v2_decimal(spark, sf_dir), weeks_dim(spark, sf_dir), item=True
+        order_log_v2_decimal(spark, sf_dir), weeks_dim_cached(spark, sf_dir), item=True
     )
     return out.withColumn(
         "returned_revenue", F.col("returned_revenue").cast("double")
@@ -565,7 +588,7 @@ def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("returned_customers_compact", sql_returned_cust(item=False))
 def q_returned_customers_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = retention.returned_customers(
-        order_log_v2_decimal(spark, sf_dir), weeks_dim(spark, sf_dir), item=False
+        order_log_v2_decimal(spark, sf_dir), weeks_dim_cached(spark, sf_dir), item=False
     )
     return out.withColumn(
         "returned_revenue", F.col("returned_revenue").cast("double")
@@ -576,14 +599,14 @@ def q_returned_customers_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_refunded_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 refunded cohort (reference refunded_customers.sql:1-8)."""
     return retention.refunded_customers(
-        order_log_v2_decimal(spark, sf_dir), weeks_dim(spark, sf_dir), item=True
+        order_log_v2_decimal(spark, sf_dir), weeks_dim_cached(spark, sf_dir), item=True
     )
 
 
 @register("refunded_customers_compact", sql_refunded_cust(item=False))
 def q_refunded_customers_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention.refunded_customers(
-        order_log_v2_decimal(spark, sf_dir), weeks_dim(spark, sf_dir), item=False
+        order_log_v2_decimal(spark, sf_dir), weeks_dim_cached(spark, sf_dir), item=False
     )
 
 
@@ -604,7 +627,7 @@ def q_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 chained FULL JOIN USING(period): the flagship compact retention
     mart (reference loading_retention_mart.sql:2-3)."""
     v2 = order_log_v2_decimal(spark, sf_dir).persist()
-    weeks = weeks_dim(spark, sf_dir).persist()
+    weeks = weeks_dim_cached(spark, sf_dir).persist()
     # new + returned share the identical shipped inner aggregation —
     # persist it so the fact scan + week join + first groupBy run once.
     shipped = retention.cohort_base(v2, weeks, "shipped", item=False).persist()
@@ -711,7 +734,7 @@ def q_retention_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("item_id") <= ITEM_CAP)
         .persist()
     )
-    weeks = weeks_dim(spark, sf_dir).persist()
+    weeks = weeks_dim_cached(spark, sf_dir).persist()
     shipped = retention.cohort_base(v2, weeks, "shipped", item=True).persist()
     new = retention.new_customers(base=shipped, item=True)
     ret = retention.returned_customers(base=shipped, item=True)
