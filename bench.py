@@ -131,6 +131,7 @@ HEADLINE = [
     "cdc_apply_orders",
     "events_sliding_agg",
     "standard_scale_event_values",
+    "pack_sequences_text",
 ]
 
 

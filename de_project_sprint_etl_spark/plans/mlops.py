@@ -672,3 +672,70 @@ def q_standard_scale_event_values(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("value_scaled"),
         )
     )
+
+
+@register(
+    "pack_sequences_text",
+    f"""
+WITH tc AS (
+  SELECT doc_id, lang, text,
+         len(STRING_SPLIT({SQL_NORM.format(c="text")}, ' ')) AS n_tokens
+  FROM documents),
+c AS (SELECT doc_id, lang, text, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM tc),
+b AS (SELECT doc_id, lang, text, n_tokens,
+             CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}) AS INT) AS bin_id
+      FROM c)
+SELECT lang, bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       string_agg(text, '<|eos|>' ORDER BY doc_id) AS packed_text
+FROM b GROUP BY lang, bin_id
+""",
+)
+def q_pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing MATERIALIZED: each (lang, bin) emits its training
+    row — member docs concatenated in doc_id order with an EOS
+    separator, plus audit counts. collect_list is unordered by
+    contract, so the struct array is sorted IN-ROW (array_sort on
+    (doc_id, text) structs) before joining — the only way a
+    distributed concat is reproducible. Same one-shuffle running-sum
+    bin assignment as pack_sequences; the group-concat adds one more
+    partial-aggregatable pass. Bin payloads are bounded by the token
+    budget, so no group can outgrow an executor."""
+    from de_project_sprint_etl_spark.functions.text import tokens
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / _PACK_BUDGET).cast(
+                "int"
+            ),
+        )
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda x: x["text"],
+            ),
+            "<|eos|>",
+        ).alias("packed_text"),
+    )

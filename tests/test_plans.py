@@ -559,3 +559,16 @@ def test_zorder_clusters_both_axes(spark, tmp_path):
     assert back.agg(F.sum("payload")).collect()[0][0] == sum(
         range(n_side * n_side)
     )
+
+
+def test_source_capping_gets_rank_limit_pushdown(spark):
+    """The per-source row_number ≤ N cap must trigger Spark's
+    WindowGroupLimit rewrite: each map task pre-filters its partition
+    to the per-key top-N BEFORE the shuffle (partial) and again after
+    (final), so a source with a billion rows ships ~N rows per task
+    instead of all of them — the difference between a cap that works
+    at 100 TB and one that shuffles the whole corpus."""
+    from de_project_sprint_etl_spark.plans import mlops
+
+    plan = plan_of(mlops.q_source_capped_sample(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
