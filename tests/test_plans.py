@@ -572,3 +572,17 @@ def test_source_capping_gets_rank_limit_pushdown(spark):
 
     plan = plan_of(mlops.q_source_capped_sample(spark, SF))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_cohort_status_filter_pushes_into_materialized_log(spark):
+    """The cohort status filter must reach the materialized order-log
+    parquet scan as a PushedFilter — at 100 TB the refunded cohort
+    reads ~the refunded fraction of the log, not all of it. Guards the
+    order_log_v2_cached indirection against swallowing pushdown."""
+    from de_project_sprint_etl_spark.operators import retention
+    from de_project_sprint_etl_spark.plans import testdata as td
+
+    v2 = td.order_log_v2_decimal(spark, SF)
+    weeks = td.weeks_dim_cached(spark, SF)
+    plan = plan_of(retention.cohort_base(v2, weeks, "shipped", item=False))
+    assert "EqualTo(status,shipped)" in plan, plan

@@ -139,3 +139,25 @@ def test_quality_signal_bounds(spark, texts):
         if rep[i].n_tokens > 0:
             # entropy of n tokens is at most log2(n) (+ rounding slack)
             assert ent[i] <= math.log2(rep[i].n_tokens) + 1e-6 or rep[i].n_tokens == 1
+
+
+def test_cdc_apply_is_idempotent(spark):
+    """Replaying the SAME changelog onto an already-updated state is a
+    no-op (latest-wins with equal seqs re-selects the same rows minus
+    the already-gone deletes) — the crash-retry safety property of the
+    C5-style incremental flow."""
+    from de_project_sprint_etl_spark.functions.cdc import apply_changes
+
+    snap = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k int, v string"
+    )
+    chg = spark.createDataFrame(
+        [(i, f"u{i}", 1, "U") for i in range(0, 40, 3)]
+        + [(i, None, 2, "D") for i in range(0, 40, 5)]
+        + [(100 + i, f"n{i}", 1, "I") for i in range(4)],
+        "k int, v string, seq long, op string",
+    )
+    once = apply_changes(snap, chg, keys=["k"])
+    twice = apply_changes(once, chg, keys=["k"])
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
