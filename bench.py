@@ -132,6 +132,7 @@ HEADLINE = [
     "events_sliding_agg",
     "standard_scale_event_values",
     "pack_sequences_text",
+    "media_resize",
 ]
 
 

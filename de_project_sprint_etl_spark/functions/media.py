@@ -196,3 +196,71 @@ def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
         "digest",
         F.posexplode(offsets).alias("frame_idx", "offset_ms"),
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "out_width int, out_height int, resized_digest string"
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 224, real_decode: bool = False
+) -> DataFrame:
+    """Aspect-preserving image resize via the same Arrow-batched
+    ``mapInPandas`` path as extract_features (one Python pass, no
+    shuffle): the long side is scaled to ``max_side`` (never upscaled),
+    the short side rounds down proportionally with a 1 px floor. The
+    pixel transform itself is STUBBED like decode (no PIL/ffmpeg in
+    this environment): output dims are computed for real from the
+    decoded dims, and the resized payload is represented by a
+    deterministic digest of (payload, out dims) so the plumbing is
+    testable end-to-end. Non-image rows are filtered JVM-side before
+    any Python is paid."""
+    if real_decode:
+        raise NotImplementedError(
+            "real image resizing requires codec libraries not present in "
+            "this environment; only the deterministic fake path is available"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                _, w, h, _, _ = _fake_decode(kind, bytes(payload))
+                # integer scaling: the long side lands EXACTLY on the
+                # target (float scale+truncate can undershoot by 1 px)
+                long_in = max(w, h)
+                out_long = min(max_side, long_in)
+                ow = max(1, (w * out_long) // long_in)
+                oh = max(1, (h * out_long) // long_in)
+                digest = hashlib.md5(
+                    bytes(payload) + f"|{ow}x{oh}".encode()
+                ).hexdigest()
+                rows.append((mid, kind, w, h, ow, oh, digest))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "width",
+                    "height",
+                    "out_width",
+                    "out_height",
+                    "resized_digest",
+                ],
+            ).astype(
+                {
+                    "width": "int32",
+                    "height": "int32",
+                    "out_width": "int32",
+                    "out_height": "int32",
+                }
+            )
+
+    images = media.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "payload"
+    )
+    return images.mapInPandas(batches, schema=RESIZED_SCHEMA)

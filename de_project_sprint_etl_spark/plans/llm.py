@@ -1335,3 +1335,41 @@ def q_media_from_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{MEDIA_FIXTURE_ROOT}/{sf_dir.strip('/').replace('/', '_')}",
     )
     return media.extract_features(media.read_media_files(spark, fixture))
+
+
+@register(
+    "media_resize",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         text,
+         CAST(CONCAT('0x', SUBSTR(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents),
+dims AS (
+  SELECT media_id, kind, text,
+         CAST(64 + h % 1920 AS INT) AS width,
+         CAST(64 + (h >> 11) % 1080 AS INT) AS height
+  FROM m WHERE kind = 'image'),
+scaled AS (
+  SELECT *, LEAST(224, GREATEST(width, height)) AS out_long,
+            GREATEST(width, height) AS long_in
+  FROM dims)
+SELECT media_id, kind, width, height,
+       CAST(GREATEST(1, (width * out_long) // long_in) AS INT) AS out_width,
+       CAST(GREATEST(1, (height * out_long) // long_in) AS INT) AS out_height,
+       md5(text || '|' ||
+           CAST(GREATEST(1, (width * out_long) // long_in) AS VARCHAR) || 'x' ||
+           CAST(GREATEST(1, (height * out_long) // long_in) AS VARCHAR))
+         AS resized_digest
+FROM scaled
+""",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing (functions/media.resize_images): image rows
+    filtered JVM-side, aspect-preserving integer target dims, Arrow-
+    batched stub transform. Oracle recomputes the fake-decode dims and
+    the (payload, out-dims) digest — the same cross-engine trick that
+    makes media_features hash-checkable."""
+    docs = docs_fanned(spark, sf_dir)
+    return media.resize_images(media.synth_media(docs), max_side=224)

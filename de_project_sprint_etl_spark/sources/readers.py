@@ -54,3 +54,30 @@ def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for name in TESTDATA_TABLES
     }
+
+
+def read_jsonl_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """NDJSON ingest that SURVIVES bad records: PERMISSIVE mode parses
+    what it can, NULL-fills unparseable fields, and captures each bad
+    line verbatim in ``corrupt_col`` — at web-crawl scale some fraction
+    of every drop is malformed, and FAILFAST (die) or DROPMALFORMED
+    (silently lose data) are both wrong for a pipeline that must
+    account for every input byte. Callers split on
+    ``col(corrupt_col).isNull()`` into clean rows and a quarantine
+    sink. The corrupt column must be declared in the schema (Spark
+    only populates a declared column)."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = schema.add(corrupt_col, T.StringType())
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -133,3 +133,28 @@ def export_jsonl_shards(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def compact(
+    spark,
+    path: str,
+    target_files: int,
+    sort_within: list[str] | None = None,
+) -> str:
+    """Small-file compaction: rewrite a parquet table as ``target_files``
+    files into a fresh versioned directory and return that path. Years
+    of incremental appends leave a 100 TB table as millions of
+    KB-sized files — scan cost becomes file-listing + footer reads, and
+    executors starve on open() calls. Compaction is the standard
+    maintenance job (Delta/Iceberg OPTIMIZE): ``coalesce`` avoids a
+    shuffle when shrinking the file count; an optional
+    ``sortWithinPartitions`` re-clusters rows while we're paying for
+    the rewrite anyway. The versioned output keeps readers of the old
+    path consistent (never rewrite in place — see module docstring)."""
+    df = spark.read.parquet(path)
+    out = df.coalesce(target_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    dst = versioned_path(os.path.dirname(path.rstrip("/")), "compacted")
+    out.write.mode("overwrite").parquet(dst)
+    return dst

@@ -404,3 +404,28 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 280  # 200 once + 80 once, nothing replayed
     assert out.select("event_id").distinct().count() == 280
+
+
+def test_resize_images_dims_and_determinism(spark):
+    """Resize: aspect ratio preserved (long side == max_side unless the
+    source is smaller — never upscaled), non-image rows filtered before
+    Python, output digest deterministic across runs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = media.synth_media(docs.limit(60))
+    out = media.resize_images(m, max_side=224).collect()
+    assert out and all(r.kind == "image" for r in out)
+    for r in out:
+        long_in = max(r.width, r.height)
+        long_out = max(r.out_width, r.out_height)
+        assert long_out == (224 if long_in >= 224 else long_in)
+        # aspect preserved within integer rounding
+        assert abs(
+            r.out_width / r.out_height - r.width / r.height
+        ) < 0.05 * (r.width / r.height)
+    again = {r.media_id: r.resized_digest for r in media.resize_images(m, 224).collect()}
+    assert again == {r.media_id: r.resized_digest for r in out}
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        media.resize_images(m, real_decode=True)

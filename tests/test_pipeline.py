@@ -170,3 +170,54 @@ def test_export_jsonl_shards(spark, tmp_path):
         for ln in lines[:3]:
             row = jsonlib.loads(ln)
             assert "doc_id" in row and "text" in row
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction: 64 tiny files rewritten as 4, identical content,
+    versioned destination (old path untouched)."""
+    import glob
+
+    from de_project_sprint_etl_spark.sources import writers
+
+    src = str(tmp_path / "frag" / "table")
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    dst = writers.compact(spark, src, target_files=4, sort_within=["k"])
+    assert dst != src
+    assert len(glob.glob(f"{dst}/part-*.parquet")) == 4
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64  # source intact
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_read_jsonl_permissive_quarantines_bad_records(spark, tmp_path):
+    """PERMISSIVE NDJSON ingest: clean rows parse, malformed lines are
+    captured verbatim in the corrupt column rather than killing the job
+    or silently vanishing."""
+    from de_project_sprint_etl_spark.sources import readers
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        '{"doc_id": "NOT_A_NUMBER", "text": "type mismatch"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 3, "text": "another good row"}\n'
+    )
+    df = readers.read_jsonl_permissive(
+        spark, str(p), "doc_id long, text string"
+    ).cache()
+    try:
+        clean = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert sorted(r.doc_id for r in clean.collect()) == [1, 3]
+        assert bad.count() == 2
+        assert any(
+            "not json at all" in r._corrupt_record for r in bad.collect()
+        )
+    finally:
+        df.unpersist()
