@@ -351,3 +351,47 @@ def test_udtf_chunker_matches_native(spark):
     )
     assert native.exceptAll(via_udtf).count() == 0
     assert via_udtf.exceptAll(native).count() == 0
+
+
+def test_ann_planted_neighbor_recall(spark):
+    """Index QUALITY, not just plumbing: the oracle mirrors each ANN
+    algorithm, so a useless index would still hash-match. This test
+    measures the property the indexes exist for — near-duplicate
+    retrieval: queries are COPIES of corpus vectors (cosine 1.0 planted
+    neighbour), and each index must surface the planted source in its
+    top-k for ≥90% of queries. (Recall@k against brute force on the
+    RANDOM fixture vectors is not meaningful — random points have no
+    structure for LSH buckets / IVF cells to exploit; planted-pair
+    retrieval is the contract near-dup pipelines rely on.)"""
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_q, k, offset = 10, 5, 10_000_000
+    queries = emb.limit(n_q).select(
+        (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+    )
+    planted = {r.vec_id + offset: r.vec_id for r in emb.limit(n_q).collect()}
+
+    def hits(df) -> int:
+        found = df.groupBy("query_id").agg(
+            F.collect_set("neighbor_id").alias("nbrs")
+        )
+        return sum(
+            1 for r in found.collect() if planted.get(r.query_id) in set(r.nbrs)
+        )
+
+    dim = len(emb.first().embedding)
+    tables = [similarity.hyperplanes(dim=dim, n_planes=8, seed=s) for s in (1, 2, 3)]
+    lsh_hits = hits(similarity.lsh_topk_tables(emb, queries, tables, k=k))
+    assert lsh_hits >= 0.9 * n_q, f"LSH planted recall {lsh_hits}/{n_q}"
+
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    ivf_hits = hits(similarity.ivf_topk(emb, queries, cents, nprobe=2, k=k))
+    assert ivf_hits >= 0.9 * n_q, f"IVF planted recall {ivf_hits}/{n_q}"
+
+    bf_hits = hits(similarity.brute_force_topk(emb, queries, k=k))
+    assert bf_hits == n_q, f"brute force must always find the copy: {bf_hits}"
