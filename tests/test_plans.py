@@ -582,6 +582,9 @@ def test_cohort_status_filter_pushes_into_materialized_log(spark):
     from de_project_sprint_etl_spark.operators import retention
     from de_project_sprint_etl_spark.plans import testdata as td
 
+    # other tests persist() this subtree; a CacheManager hit would swap
+    # in an InMemoryRelation and hide the scan we are asserting on
+    spark.catalog.clearCache()
     v2 = td.order_log_v2_decimal(spark, SF)
     weeks = td.weeks_dim_cached(spark, SF)
     plan = plan_of(retention.cohort_base(v2, weeks, "shipped", item=False))
