@@ -626,10 +626,11 @@ FULL JOIN ({sql_refunded_cust(item=False)}) f
 def q_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 chained FULL JOIN USING(period): the flagship compact retention
     mart (reference loading_retention_mart.sql:2-3)."""
-    v2 = order_log_v2_decimal(spark, sf_dir).persist()
-    weeks = weeks_dim_cached(spark, sf_dir).persist()
-    # new + returned share the identical shipped inner aggregation —
-    # persist it so the fact scan + week join + first groupBy run once.
+    # v2/weeks are materialized parquet scans — persisting them costs
+    # more (cache write) than re-scanning; only the shipped inner
+    # aggregation, shared by new + returned, is worth caching.
+    v2 = order_log_v2_decimal(spark, sf_dir)
+    weeks = weeks_dim_cached(spark, sf_dir)
     shipped = retention.cohort_base(v2, weeks, "shipped", item=False).persist()
     new_c = retention.new_customers(base=shipped, item=False).withColumn(
         "new_cust_revenue", F.col("new_cust_revenue").cast("double")
@@ -729,12 +730,10 @@ def q_retention_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     creating_retention.sql:2-13 DDL shape. Item space capped at ITEM_CAP
     to bound the reference's unbounded cross-combination on TPC-H
     cardinalities."""
-    v2 = (
-        order_log_v2_decimal(spark, sf_dir)
-        .filter(F.col("item_id") <= ITEM_CAP)
-        .persist()
-    )
-    weeks = weeks_dim_cached(spark, sf_dir).persist()
+    # no persist on v2: the item_id cap now pushes into the materialized
+    # log's parquet scan (a persist would cache the UNFILTERED columns)
+    v2 = order_log_v2_decimal(spark, sf_dir).filter(F.col("item_id") <= ITEM_CAP)
+    weeks = weeks_dim_cached(spark, sf_dir)
     shipped = retention.cohort_base(v2, weeks, "shipped", item=True).persist()
     new = retention.new_customers(base=shipped, item=True)
     ret = retention.returned_customers(base=shipped, item=True)
