@@ -108,6 +108,9 @@ HEADLINE = [
     "quality_decile_filter",
     "pack_sequences",
     "window_rank_functions",
+    "bigram_lm_score",
+    "bm25_topk_docs",
+    "pagerank_copurchase",
     "grouping_sets_events",
     "variant_json_stats",
     "argmax_order_per_priority",

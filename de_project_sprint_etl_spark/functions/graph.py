@@ -1,0 +1,261 @@
+"""Graph analytics over relational tables: co-occurrence graph building
+and PageRank.
+
+Reference parity: the reference (MatthewS-M/de-project-sprint-ETL) has
+no graph operators — this extends the engine's iterative-algorithm tier
+(next to ``functions.dedup.dup_groups``' connected components) with a
+*weighted* fixed-point iteration.
+
+Cross-engine determinism: ranks are scaled integers (``SCALE = 1e12``)
+and every update uses integer division only, so Spark and the DuckDB
+oracle produce bit-identical bigints — no floating-point accumulation
+order to control. The price is floor-rounding mass loss per iteration
+(~1 ulp per edge), irrelevant for ranking and shared by both engines.
+
+Scale notes: each iteration is one shuffle (edges ⋈ ranks on ``src``,
+then a partial-combined groupBy on ``dst``). Out-degrees are computed
+once. Iterations are a fixed small count (power iteration converges
+geometrically; 3–5 suffices for ranking stability). At 100 TB the
+ranks/edges co-partitioning should be pinned with bucketed storage so
+the per-iteration join does not re-shuffle edges; here AQE handles it.
+The co-purchase builder self-joins lineitem on the order key — per-order
+fan-out is bounded by items-per-order (≤7 in TPC-H-shaped data), so the
+join output is linear in lineitem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000  # 1e12: integer rank mass, bigint-safe
+PR_DAMP_NUM = 85  # damping 0.85 as a ratio of integers
+PR_DAMP_DEN = 100
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Directed co-purchase graph: an edge ``src -> dst`` for every
+    ordered pair of distinct parts appearing in the same order
+    (symmetric by construction — both directions emitted). Distinct
+    (order, part) first so multi-line parts don't multiply edges;
+    distinct edges at the end so the graph is simple."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part")
+    ).dropDuplicates(["ok", "part"])
+    other = op.select(F.col("ok"), F.col("part").alias("part2"))
+    return (
+        op.join(other, "ok")
+        .filter(F.col("part") != F.col("part2"))
+        .select(F.col("part").alias("src"), F.col("part2").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Integer-arithmetic PageRank over a simple directed graph with no
+    dangling nodes (every node has out-edges — true for symmetric
+    graphs like :func:`copurchase_edges`).
+
+    ``r0 = SCALE div N``;
+    ``r_{t+1}(v) = (15 * SCALE) div (100 * N)
+                   + sum over in-edges (u,v) of (85 * r_t(u)) div (100 * outdeg(u))``.
+
+    Output: ``node, rank`` (rank = scaled bigint). The edge set and the
+    out-degree table are reused across iterations; persist them before
+    calling when running many iterations.
+    """
+    # Adjacency with the out-degree folded in, hash-partitioned on src
+    # and persisted ONCE: every iteration's join then exchanges only the
+    # rank vector (O(nodes)) against the stationary edge partitioning —
+    # re-shuffling the edge set per iteration is the classic PageRank
+    # scale mistake. (At 100 TB the same idea is bucketed edge storage.)
+    adj = (
+        edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+        )
+        .repartition("src")
+        .persist()
+    )
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    # N is a driver-side scalar constant (same convergence-loop contract
+    # as dedup.dup_groups' per-round count): inlining it as a literal
+    # keeps the iteration plans free of a re-executed count subquery.
+    n = nodes.count()
+    # `div` (not `/` + cast): Spark's `/` on integers is DOUBLE division,
+    # whose round-to-nearest can disagree with exact integer division by
+    # one ulp on large operands — `div` matches DuckDB's `//` exactly.
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // n).cast("long").alias("rank")
+    )
+    base = F.lit((15 * PR_SCALE) // (100 * n)).cast("long")
+    for i in range(iterations):
+        contribs = (
+            adj.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(CAST({PR_DAMP_NUM} AS BIGINT) * rank)"
+                    f" div (CAST({PR_DAMP_DEN} AS BIGINT) * outdeg)"
+                ).alias("contrib"),
+            )
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("contrib").alias("__in"))
+            .select("node", (base + F.col("__in")).alias("rank"))
+        )
+        # The rank vector is O(nodes) — tiny next to the edge set.
+        # Truncating its lineage each round keeps iteration t from
+        # replanning (and under AQE re-running) iterations 1..t-1.
+        if i < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def sql_copurchase_pagerank(
+    lineitem_rel: str, iterations: int = 3, top_k: int | None = 100
+) -> str:
+    """DuckDB mirror of ``pagerank(copurchase_edges(lineitem))`` —
+    iterations unrolled as CTEs, identical integer arithmetic. With
+    ``top_k``, emits the k highest-ranked nodes (rank desc, node asc)
+    stamped with a rank position."""
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(
+            f"""r{i} AS (
+  SELECT e.dst AS node,
+         -- DuckDB SUM(BIGINT) widens to HUGEINT; cast back so the
+         -- result frame stays int64 like Spark's
+         (15 * {PR_SCALE}) // (100 * (SELECT n FROM nn))
+           + CAST(SUM(({PR_DAMP_NUM} * p.rank) // ({PR_DAMP_DEN} * d.outdeg))
+                  AS BIGINT) AS rank
+  FROM edges e
+  JOIN {prev} p ON e.src = p.node
+  JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+)"""
+        )
+        prev = f"r{i}"
+    final = (
+        f"""SELECT node, rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS INT) AS pos
+FROM {prev} ORDER BY rank DESC, node LIMIT {top_k}"""
+        if top_k
+        else f"SELECT node, rank FROM {prev}"
+    )
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM {lineitem_rel}
+),
+edges AS (
+  SELECT DISTINCT a.part AS src, b.part AS dst
+  FROM op a JOIN op b ON a.ok = b.ok AND a.part <> b.part
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS rank FROM nodes),
+{",".join(its)}
+{final}
+"""
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Collapse a symmetric directed edge set to one row per undirected
+    edge (``a < b``)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count via degree orientation — each undirected
+    edge is directed from its (degree, id)-smaller endpoint, bounding
+    every node's out-degree by O(sqrt(m)) so the wedge join stays linear
+    in practice (the standard scale trick; a raw 3-way self-join
+    explodes on hub nodes). Two equi-joins, all integer, deterministic.
+
+    Input: a symmetric directed edge set (e.g. :func:`copurchase_edges`).
+    Output: one row ``(n_nodes, n_edges, n_triangles)``.
+    """
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: u -> v iff (deg(u), u) < (deg(v), v)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    # one wedge per unordered {x,y}: require x < y; close it against the
+    # oriented edge (x -> y) OR (y -> x) — orientation by degree does not
+    # preserve id order, so check the undirected closure (a=min, b=max)
+    wedges = e1.join(e2, "u").filter(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nn.crossJoin(ne).crossJoin(tri)
+
+
+def sql_copurchase_triangles(lineitem_rel: str) -> str:
+    """DuckDB mirror of ``triangle_count(copurchase_edges(lineitem))``."""
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM {lineitem_rel}
+),
+und AS (
+  SELECT DISTINCT LEAST(a.part, b.part) AS a, GREATEST(a.part, b.part) AS b
+  FROM op a JOIN op b ON a.ok = b.ok AND a.part <> b.part
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) u GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.deg, und.a) < (db.deg, und.b) THEN und.a ELSE und.b END AS u,
+         CASE WHEN (da.deg, und.a) < (db.deg, und.b) THEN und.b ELSE und.a END AS v
+  FROM und
+  JOIN deg da ON und.a = da.node
+  JOIN deg db ON und.b = db.node
+),
+wedges AS (
+  SELECT e1.v AS x, e2.v AS y
+  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM und) AS n_edges,
+       (SELECT COUNT(*) FROM wedges w
+        WHERE EXISTS (SELECT 1 FROM und WHERE und.a = w.x AND und.b = w.y))
+         AS n_triangles
+"""

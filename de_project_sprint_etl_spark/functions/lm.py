@@ -1,0 +1,298 @@
+"""Statistical language-model scoring over document tables: bigram
+log-loss (the classic KenLM-style perplexity quality filter, reduced to
+an n-gram model trainable inside the engine) and BM25 ranking.
+
+Reference parity: the reference (MatthewS-M/de-project-sprint-ETL) has
+no text operators at all — these are extension ops from the build
+brief's training-data-pipeline surface (quality scoring family, next to
+``functions/text.py``).
+
+Cross-engine determinism strategy (shared with ``text.with_token_entropy``):
+probabilities are ratios of exact integers, so both engines compute
+``log2``/``ln`` of bit-identical doubles; per-document summation folds
+over an in-row *sorted* array so addition order is fixed; final scores
+round to 6 decimals.
+
+Scale notes: training is two partial-combined aggregations (bigram and
+unigram counts) — the exact shape a 100 TB corpus wants (map-side
+combine collapses the Zipf head before the shuffle). Scoring joins the
+(doc, bigram)-type stream against the model on the bigram key: the
+per-doc stream is pre-aggregated to *types* first, so join input is
+O(distinct bigrams per doc), not O(tokens). No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.functions.text import SQL_NORM, SQL_TOKENS, tokens
+
+
+def _bigram_structs(toks: Column) -> Column:
+    """``array<struct<w1,w2>>`` of adjacent token pairs (1-based
+    ``element_at`` mirrors DuckDB's 1-based list indexing)."""
+    return F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) AS w1, element_at(__toks, i + 1) AS w2)) "
+        "ELSE array() END"
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Score each document by its average bigram negative log2
+    probability (bits per bigram) under an add-one-smoothed bigram model
+    trained on ``train`` (default: the corpus itself — self-perplexity,
+    the cheap boilerplate/gibberish detector; production quality
+    filtering trains on a held-out high-quality corpus and passes it as
+    ``train``).
+
+    Model: ``p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)`` with ``c(w1)`` the
+    unigram occurrence count and ``V`` the distinct-unigram vocabulary
+    size. Documents with fewer than two tokens are dropped (no bigrams
+    to score).
+
+    Output: ``doc_id, n_bigrams, bits_per_bigram`` — low bits =
+    predictable/templated text, high bits = rare or shuffled n-grams.
+    """
+    if train is None:
+        train = docs
+    tr_toks = (
+        train.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+    )
+    # Two partial-combined aggs: the Zipf head collapses map-side.
+    uni = tr_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    tr_big = (
+        train.select(F.col(text_col).alias("__t"))
+        .withColumn("__toks", tokens(F.col("__t")))
+        .select(F.explode(_bigram_structs(F.col("__toks"))).alias("b"))
+        .select("b.w1", "b.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    model = tr_big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+
+    doc_big = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .withColumn("__toks", tokens(F.col("__t")))
+        .select("doc_id", F.explode(_bigram_structs(F.col("__toks"))).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+        # pre-aggregate to (doc, bigram)-TYPES so the model join carries
+        # one row per distinct bigram per doc, not one per token
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    scored = (
+        doc_big.join(model, ["w1", "w2"], "inner")  # self-trained: always hits
+        .join(uni.withColumnRenamed("w", "w1"), ["w1"], "inner")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "w1",
+            "w2",
+            "cnt",
+            (
+                F.col("cnt").cast("double")
+                * -F.log2(
+                    (F.col("c12") + F.lit(1))
+                    / (F.col("c1") + F.col("__v")).cast("double")
+                )
+            ).alias("bits"),
+        )
+    )
+    # Deterministic per-doc reduction: fold the (w1,w2)-sorted term list
+    # in-row so double addition order is engine-identical.
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sort_array(
+                F.collect_list(F.struct("w1", "w2", "bits"))
+            ).alias("__terms"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.aggregate(
+                    "__terms", F.lit(0.0).cast("double"), lambda acc, x: acc + x["bits"]
+                )
+                / F.col("n_bigrams"),
+                6,
+            ).alias("bits_per_bigram"),
+        )
+    )
+
+
+def sql_bigram_lm_score(rel: str, text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`bigram_lm_score` (self-trained form):
+    same tokenization, same add-one model, same sorted-fold reduction."""
+    toks = SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {toks} AS t FROM {rel}
+),
+tr_uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT UNNEST(t) AS w FROM toked) u
+  WHERE LENGTH(w) > 0 GROUP BY w
+),
+vocab AS (SELECT COUNT(*) AS v FROM tr_uni),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toked, UNNEST(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS r(i)
+  WHERE LENGTH(t[i]) > 0 AND LENGTH(t[i + 1]) > 0
+),
+model AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+doc_big AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM big GROUP BY doc_id, w1, w2
+),
+terms AS (
+  SELECT d.doc_id, d.w1, d.w2, d.cnt,
+         CAST(d.cnt AS DOUBLE)
+           * -LOG2((m.c12 + 1) / CAST(u.c1 + vocab.v AS DOUBLE)) AS bits
+  FROM doc_big d
+  JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+  JOIN tr_uni u ON d.w1 = u.w
+  CROSS JOIN vocab
+),
+agg AS (
+  SELECT doc_id, SUM(cnt) AS n_bigrams,
+         list_sort(list({{'w1': w1, 'w2': w2, 'bits': bits}})) AS terms
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(list_aggregate(list_transform(terms, x -> x.bits), 'sum')
+             / n_bigrams, 6) AS bits_per_bigram
+FROM agg
+"""
+
+
+# --- BM25 -------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed bag of query terms.
+
+    Shape: per-doc term frequencies are in-row array filters (narrow, no
+    explode, no shuffle of the corpus); document frequencies and the
+    average document length are one-row global aggregates broadcast
+    back; the score is a *fixed-order* expression sum over the query
+    terms (written order, engine-identical); top-k via TakeOrdered.
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` (the standard
+    non-negative variant).
+
+    Output: ``doc_id, score, rank`` for the k best documents.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("dl", F.size(F.filter("__toks", lambda x: F.length(x) > 0)))
+    # closure factory, not a default-arg lambda: pyspark dispatches
+    # higher-order lambdas on ARITY, so `lambda x, t=term:` would be
+    # called as the (element, index) two-arg form
+    def _match(term: str):
+        return lambda x: x == F.lit(term)
+
+    for i, term in enumerate(query_terms):
+        base = base.withColumn(
+            f"tf{i}", F.size(F.filter("__toks", _match(term)))
+        )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("dl").alias("__dl_sum"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    joined = base.drop("__toks").crossJoin(F.broadcast(stats))
+    avgdl = F.col("__dl_sum") / F.col("__n").cast("double")
+    score = F.lit(0.0).cast("double")
+    for i in range(len(query_terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"df{i}") + F.lit(0.5))
+            / (F.col(f"df{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        score = score + idf * (
+            tf
+            * (BM25_K1 + 1)
+            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+        )
+    scored = joined.select("doc_id", F.round(score, 6).alias("score"))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+    )
+
+
+def sql_bm25_topk(
+    rel: str, query_terms: tuple[str, ...], k: int = 20, text_col: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk` — identical tf/df/avgdl
+    integers, identical fixed-order score expression."""
+    toks = SQL_TOKENS.format(c=text_col)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(__toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(query_terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(query_terms))
+    )
+    parts = []
+    for i in range(len(query_terms)):
+        idf = f"LN(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))"
+        tf = f"CAST(tf{i} AS DOUBLE)"
+        parts.append(
+            f"{idf} * ({tf} * ({BM25_K1} + 1) / ({tf} + {BM25_K1} * "
+            f"(1 - {BM25_B} + {BM25_B} * dl / avgdl)))"
+        )
+    score = " + ".join(parts) if parts else "0.0"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(__toks, x -> LENGTH(x) > 0)) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {toks} AS __toks FROM {rel}) t
+),
+stats AS (
+  SELECT COUNT(*) AS n, SUM(dl) AS dl_sum, {df_cols} FROM base
+),
+scored AS (
+  SELECT doc_id,
+         ROUND({score}, 6) AS score
+  FROM (SELECT base.*, stats.n, stats.dl_sum / CAST(stats.n AS DOUBLE) AS avgdl,
+               {", ".join(f"stats.df{i}" for i in range(len(query_terms))) or "1"}
+        FROM base CROSS JOIN stats) j
+)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""

@@ -1373,3 +1373,34 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes media_features hash-checkable."""
     docs = docs_fanned(spark, sf_dir)
     return media.resize_images(media.synth_media(docs), max_side=224)
+
+
+# --- language-model scoring (functions/lm.py) -------------------------------
+
+from de_project_sprint_etl_spark.functions import lm  # noqa: E402
+
+
+@register("bigram_lm_score", lm.sql_bigram_lm_score("documents"))
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (KenLM-style perplexity
+    filter reduced to an in-engine n-gram model): add-one-smoothed
+    self-trained bigram model, per-doc bits-per-bigram. Training is two
+    partial-combined aggs; scoring joins (doc, bigram)-TYPES against
+    the model; the per-doc double sum folds an in-row sorted array so
+    both engines add in the same order."""
+    return lm.bigram_lm_score(docs_fanned(spark, sf_dir))
+
+
+BM25_QUERY_TERMS = ("data", "model", "learning")
+
+
+@register(
+    "bm25_topk_docs",
+    lm.sql_bm25_topk("documents", BM25_QUERY_TERMS, k=20),
+)
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 retrieval for a fixed query-term bag. Per-doc
+    term frequencies are in-row array filters (the corpus never
+    shuffles); df/avgdl are a one-row broadcast aggregate; the score is
+    a fixed-order expression so double addition is engine-identical."""
+    return lm.bm25_topk(docs_fanned(spark, sf_dir), BM25_QUERY_TERMS, k=20)

@@ -675,3 +675,45 @@ def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_changes(
         orders, changes, keys=["o_orderkey"], seq_col="seq", op_col="op"
     )
+
+
+# --- graph analytics --------------------------------------------------------
+
+from de_project_sprint_etl_spark.functions import graph  # noqa: E402
+
+
+@register(
+    "pagerank_copurchase",
+    graph.sql_copurchase_pagerank("lineitem", iterations=3, top_k=100),
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, integer-scaled arithmetic) over the
+    part co-purchase graph built from lineitem — the engine's weighted
+    iterative-algorithm tier (functions/graph.py). Each iteration is one
+    edges-by-src join + one partial-combined dst aggregation; edges and
+    out-degrees are persisted once and reused across iterations. The
+    oracle unrolls the same three iterations with identical `div`
+    arithmetic, so ranks are bit-equal bigints."""
+    edges = graph.copurchase_edges(t(spark, sf_dir, "lineitem")).persist()
+    ranks = graph.pagerank(edges, iterations=3)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node").asc())
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(100)
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+    )
+
+
+@register(
+    "triangle_count_copurchase",
+    graph.sql_copurchase_triangles("lineitem"),
+)
+def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count on the part co-purchase graph via degree
+    orientation (functions/graph.triangle_count): each undirected edge
+    directed from its (degree, id)-smaller endpoint bounds per-node
+    out-degree by O(sqrt m), so the wedge self-join never explodes on a
+    hub part — the shape that survives a power-law graph at 100 TB."""
+    return graph.triangle_count(
+        graph.copurchase_edges(t(spark, sf_dir, "lineitem"))
+    )

@@ -395,3 +395,138 @@ def test_ann_planted_neighbor_recall(spark):
 
     bf_hits = hits(similarity.brute_force_topk(emb, queries, k=k))
     assert bf_hits == n_q, f"brute force must always find the copy: {bf_hits}"
+
+
+# --- language-model scoring (functions/lm.py) -------------------------------
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Two-doc corpus small enough to verify the add-one model by hand."""
+    import math
+
+    from de_project_sprint_etl_spark.functions import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in lm.bigram_lm_score(docs).collect()}
+    # unigrams: a=3 b=3 c=1, V=3
+    # bigrams: (a,b)=3 (b,a)=1 (b,c)=1
+    def p(c12, c1):
+        return (c12 + 1) / (c1 + 3)
+
+    d1 = -(2 * math.log2(p(3, 3)) + 1 * math.log2(p(1, 3))) / 3
+    d2 = -(math.log2(p(3, 3)) + math.log2(p(1, 3))) / 2
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[2]["n_bigrams"] == 2
+    assert abs(rows[1]["bits_per_bigram"] - round(d1, 6)) < 1e-9
+    assert abs(rows[2]["bits_per_bigram"] - round(d2, 6)) < 1e-9
+
+
+def test_bigram_lm_repetitive_text_scores_lower(spark):
+    """Self-perplexity quality signal: templated text = fewer bits."""
+    from de_project_sprint_etl_spark.functions import lm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat " * 20),
+            (2, "quantum veloce marimba ostrich kelvin dirge plinth oboe"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["bits_per_bigram"] for r in lm.bigram_lm_score(docs).collect()}
+    assert rows[1] < rows[2]
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from de_project_sprint_etl_spark.functions import lm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data model training data data"),
+            (2, "data only once here with many many other words to dilute"),
+            (3, "nothing relevant whatsoever in this document"),
+            (4, "model data"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = lm.bm25_topk(docs, ("data", "model"), k=4).collect()
+    ranked = [r["doc_id"] for r in out]
+    # doc 3 has no query terms -> last; multi-term docs beat single-term
+    assert ranked[-1] == 3
+    assert set(ranked[:2]) == {1, 4}
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+    # no Python in the plan (pure Catalyst expressions)
+    plan = lm.bm25_topk(docs, ("data", "model"), k=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_star_graph(spark):
+    """Hub of a star graph accumulates the most rank; leaves tie."""
+    from de_project_sprint_etl_spark.functions import graph
+
+    edges = spark.createDataFrame(
+        [(h, l) for l in (2, 3, 4) for h in (1,)]
+        + [(l, 1) for l in (2, 3, 4)],
+        ["src", "dst"],
+    )
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(edges, 3).collect()}
+    assert ranks[1] > ranks[2]
+    assert ranks[2] == ranks[3] == ranks[4]
+    # integer mass stays near SCALE (floor losses only)
+    total = sum(ranks.values())
+    assert 0.95 * graph.PR_SCALE < total <= graph.PR_SCALE
+
+
+def test_copurchase_edges_symmetric_simple(spark):
+    from de_project_sprint_etl_spark.functions import graph
+
+    li = spark.createDataFrame(
+        [(10, 100), (10, 200), (10, 100), (20, 300)],
+        ["l_orderkey", "l_partkey"],
+    )
+    edges = {(r["src"], r["dst"]) for r in graph.copurchase_edges(li).collect()}
+    # duplicate (10,100) line collapses; singleton order 20 yields no edges
+    assert edges == {(100, 200), (200, 100)}
+
+
+def test_triangle_count_known_graphs(spark):
+    from de_project_sprint_etl_spark.functions import graph
+
+    def sym(pairs):
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+            ["src", "dst"],
+        )
+
+    # K4: C(4,3) = 4 triangles, 6 edges
+    k4 = sym([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    row = graph.triangle_count(k4).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+    # star: no triangles
+    star = sym([(0, i) for i in range(1, 6)])
+    row = graph.triangle_count(star).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (6, 5, 0)
+
+
+def test_ivm_merge_equals_full_recompute(spark):
+    """combine(agg(snapshot), agg(delta)) == agg(snapshot ∪ delta)."""
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+    from de_project_sprint_etl_spark.plans.testdata import (
+        order_log_v2,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    inc = RAW_QUERIES["ivm_customer_revenue"](spark, sf)
+    full = (
+        order_log_v2(spark, sf)
+        .groupBy("customer_id")
+        .agg(
+            F.sum(F.col("payment_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))

@@ -10,6 +10,7 @@ machines; timings are not.
 from __future__ import annotations
 
 import io
+from decimal import Decimal
 from contextlib import redirect_stdout
 
 import pytest
@@ -589,3 +590,34 @@ def test_cohort_status_filter_pushes_into_materialized_log(spark):
     weeks = td.weeks_dim_cached(spark, SF)
     plan = plan_of(retention.cohort_base(v2, weeks, "shipped", item=False))
     assert "EqualTo(status,shipped)" in plan, plan
+
+
+def test_scan_coerces_drifted_fixture_types(spark, tmp_path):
+    """The fixture generator has changed physical types between rounds
+    (round 2 lost every events query to exactly this); t() must coerce
+    drifted columns back to the canonical logical schema while leaving
+    matching fixtures cast-free (pushdown test above pins the latter)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from de_project_sprint_etl_spark.plans.testdata import t
+
+    drifted = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int32()),  # was int64
+            "o_custkey": pa.array([10, 20], pa.int64()),
+            "o_orderstatus": pa.array(["O", "F"]),
+            "o_totalprice": pa.array(
+                [Decimal("1.50"), Decimal("2.25")], pa.decimal128(14, 2)
+            ),  # was double
+            "o_orderdate": pa.array([None, None], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW"]),
+        }
+    )
+    pq.write_table(drifted, tmp_path / "orders.parquet")
+    df = t(spark, str(tmp_path), "orders")
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert got["o_orderkey"] == "bigint"
+    assert got["o_totalprice"] == "double"
+    rows = {r["o_orderkey"]: r["o_totalprice"] for r in df.collect()}
+    assert rows[1] == 1.5 and rows[2] == 2.25
