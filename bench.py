@@ -111,6 +111,9 @@ HEADLINE = [
     "bigram_lm_score",
     "bm25_topk_docs",
     "pagerank_copurchase",
+    "triangle_count_copurchase",
+    "ivm_customer_revenue",
+    "kmeans_embeddings",
     "grouping_sets_events",
     "variant_json_stats",
     "argmax_order_per_priority",

@@ -186,7 +186,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Input: a symmetric directed edge set (e.g. :func:`copurchase_edges`).
     Output: one row ``(n_nodes, n_edges, n_triangles)``.
     """
-    und = undirected_edges(edges)
+    # und feeds degrees, orientation, AND the closure semi-join;
+    # oriented feeds both sides of the wedge self-join — persist both or
+    # the edge pipeline re-executes once per consumer.
+    und = undirected_edges(edges).persist()
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -209,6 +212,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.u", "e.v")
+        .persist()
     )
     e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("y"))

@@ -1404,3 +1404,20 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles); df/avgdl are a one-row broadcast aggregate; the score is
     a fixed-order expression so double addition is engine-identical."""
     return lm.bm25_topk(docs_fanned(spark, sf_dir), BM25_QUERY_TERMS, k=20)
+
+
+# --- k-means clustering (functions/clustering.py) ---------------------------
+
+from de_project_sprint_etl_spark.functions import clustering  # noqa: E402
+
+
+@register("kmeans_embeddings", clustering.sql_kmeans("embeddings", k=8, iterations=2))
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (2 Lloyd updates, k=8, deterministic lowest-id init) over
+    the embeddings table — the IVF-index training step run in-engine.
+    Assignment is a broadcast cross join (corpus never shuffles); the
+    centroid update is the one shuffle, on (cluster, dim) cells; the
+    DuckDB oracle replays the entire training run bit-identically
+    (strict-order folds + sorted-fold means)."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    return clustering.kmeans(emb, k=8, iterations=2)

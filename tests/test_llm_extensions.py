@@ -530,3 +530,36 @@ def test_ivm_merge_equals_full_recompute(spark):
         )
     )
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_kmeans_separates_two_blobs(spark):
+    """Two well-separated blobs -> 2 non-empty clusters, each pure."""
+    from de_project_sprint_etl_spark.functions import clustering
+
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(10)] + [
+        (100 + i, [0.0, 10.0 + (i % 3) * 0.1]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = clustering.kmeans(emb, k=2, iterations=2).collect()
+    assert len(out) == 20
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert len(by_cluster) == 2
+    blobs = sorted(frozenset(v) for v in by_cluster.values())
+    assert sorted(map(sorted, blobs)) == [
+        sorted(range(10)),
+        sorted(range(100, 110)),
+    ]
+
+
+def test_kmeans_assignment_is_deterministic_under_repartition(spark):
+    from de_project_sprint_etl_spark.functions import clustering
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = sorted(tuple(r) for r in clustering.kmeans(emb, k=4, iterations=1).collect())
+    b = sorted(
+        tuple(r)
+        for r in clustering.kmeans(emb.repartition(13), k=4, iterations=1).collect()
+    )
+    assert a == b
