@@ -253,3 +253,68 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+EMA_SCHEMA = "user_id long, n_events long, ema double"
+
+
+def user_value_ema(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Custom stateful operator on the Spark 4 ``transformWithState``
+    API (the successor to ``applyInPandasWithState``): per-user
+    exponential moving average of event values across micro-batches.
+
+    Compared to the legacy API, state here is TYPED and composable —
+    this processor keeps one ValueState cell (n, ema) per user; the same
+    handle can open ListState/MapState cells and register timers for
+    TTL-style eviction. Partitioned by the grouping key, so state scales
+    with |users|, and input arrives Arrow-batched.
+
+    In-batch determinism: rows are folded in (ts, event_id) order, so
+    the EMA is reproducible for a fixed micro-batch plan.
+
+    Runtime requirements (pure public API, but heavier than the legacy
+    operator): the state-server protocol is protobuf-encoded (pyspark's
+    protobuf extra), and the operator requires the RocksDB state store
+    provider (``spark.sql.streaming.stateStore.providerClass``). Tests
+    skip with a reason where protobuf is absent.
+    """
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "ema", "n long, ema double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, ema = (
+                self._state.get() if self._state.exists() else (0, None)
+            )
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for v in pdf["value"].fillna(0.0):
+                    v = float(v)
+                    ema = v if ema is None else alpha * v + (1 - alpha) * ema
+                    n += 1
+            self._state.update((n, ema))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "ema": [round(ema, 6) if ema is not None else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        EmaProcessor(),
+        outputStructType=EMA_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from de_project_sprint_etl_spark.functions import media
@@ -429,3 +430,90 @@ def test_resize_images_dims_and_determinism(spark):
 
     with _pytest.raises(NotImplementedError):
         media.resize_images(m, real_decode=True)
+
+
+def _has_protobuf() -> bool:
+    # transformWithState's state-server protocol is protobuf-encoded;
+    # the worker dies at pre-init without it. The operator itself is
+    # pure public API — it runs wherever pyspark's [connect]/protobuf
+    # extra is present.
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState requires protobuf (not in this env)",
+)
+def test_streaming_transform_with_state_ema(spark, tmp_path):
+    """transformWithState (Spark 4 typed-state API) carries the per-user
+    EMA cell across micro-batches: after draining a multi-file backlog,
+    the final update per user matches a single-pass (ts, event_id)-
+    ordered EMA computed driver-side."""
+    src = str(tmp_path / "ema_arrivals")
+    ev = events(spark, 240)
+    # one file per user bucket would interleave arbitrarily; EMA order
+    # within a batch is pinned by the processor's (ts, event_id) sort,
+    # so drain everything in ONE micro-batch for a deterministic check
+    ev.coalesce(1).write.parquet(src)
+
+    stream = jobs.read_event_stream(spark, src)
+    q = (
+        jobs.user_value_ema(stream, alpha=0.3)
+        .writeStream.format("memory")
+        .queryName("ema")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("ema").collect():  # batch order: last wins
+        got[r.user_id] = (r.n_events, r.ema)
+
+    want = {}
+    for r in sorted(
+        ev.collect(), key=lambda r: (r.ts, r.event_id)
+    ):
+        n, ema = want.get(r.user_id, (0, None))
+        v = float(r.value or 0.0)
+        ema = v if ema is None else 0.3 * v + 0.7 * ema
+        want[r.user_id] = (n + 1, ema)
+
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - round(want[u][1], 6)) < 1e-6
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState requires protobuf (not in this env)",
+)
+def test_streaming_transform_with_state_across_batches(spark, tmp_path):
+    """The EMA count survives micro-batch boundaries (state, not
+    per-batch recompute): total n_events per user equals the batch
+    count after a 3-micro-batch drain."""
+    src = str(tmp_path / "ema_multi")
+    ev = events(spark, 300)
+    ev.repartition(20).write.parquet(src)  # 20 files / 8 per trigger
+
+    stream = jobs.read_event_stream(spark, src)
+    q = (
+        jobs.user_value_ema(stream)
+        .writeStream.format("memory")
+        .queryName("ema_multi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("ema_multi").collect():
+        got[r.user_id] = r.n_events
+    want = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
