@@ -114,6 +114,7 @@ HEADLINE = [
     "triangle_count_copurchase",
     "ivm_customer_revenue",
     "kmeans_embeddings",
+    "bpe_merge_candidates",
     "grouping_sets_events",
     "variant_json_stats",
     "argmax_order_per_priority",

@@ -296,3 +296,75 @@ FROM scored
 ORDER BY score DESC, doc_id
 LIMIT {k}
 """
+
+
+# --- BPE merge-candidate counting -------------------------------------------
+
+
+def bpe_merge_candidates(
+    docs: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """One step of byte-pair-encoding tokenizer training: count adjacent
+    character-pair frequencies across the corpus and emit the top-k
+    merge candidates.
+
+    The BPE scale trick is worked in: pair counting runs over the
+    *distinct word vocabulary* weighted by word frequency — corpus-sized
+    text collapses to vocab-sized work in the first partial-combined
+    aggregation, which is why tokenizer training is feasible on a
+    100 TB corpus at all. All-integer counts; ties break on the pair.
+
+    Output: ``left, right, cnt, rank`` (rank 1 = the pair the next BPE
+    merge would fuse).
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.l").alias("left"), F.col("p.r").alias("right"), "freq")
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+    return (
+        pairs.orderBy(F.col("cnt").desc(), F.col("left").asc(), F.col("right").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
+def sql_bpe_merge_candidates(rel: str, k: int = 50, text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`bpe_merge_candidates`."""
+    toks = SQL_TOKENS.format(c=text_col)
+    return f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS freq
+  FROM (SELECT UNNEST({toks}) AS w FROM {rel}) u
+  WHERE LENGTH(w) > 0 GROUP BY w
+),
+pairs AS (
+  SELECT SUBSTR(w, i, 1) AS "left", SUBSTR(w, i + 1, 1) AS "right",
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM words, UNNEST(range(1, LENGTH(w))) AS r(i)
+  WHERE LENGTH(w) >= 2
+  GROUP BY 1, 2
+)
+SELECT "left", "right", cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, "left", "right") AS INT) AS rank
+FROM pairs
+ORDER BY cnt DESC, "left", "right"
+LIMIT {k}
+"""

@@ -1421,3 +1421,12 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (strict-order folds + sorted-fold means)."""
     emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
     return clustering.kmeans(emb, k=8, iterations=2)
+
+
+@register("bpe_merge_candidates", lm.sql_bpe_merge_candidates("documents", k=50))
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training step: top-50 adjacent character-pair merge
+    candidates, counted over the distinct word vocabulary weighted by
+    word frequency (corpus-sized text -> vocab-sized work in the first
+    partial-combined agg)."""
+    return lm.bpe_merge_candidates(docs_fanned(spark, sf_dir), k=50)

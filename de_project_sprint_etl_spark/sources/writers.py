@@ -158,3 +158,31 @@ def compact(
     dst = versioned_path(os.path.dirname(path.rstrip("/")), "compacted")
     out.write.mode("overwrite").parquet(dst)
     return dst
+
+
+def overwrite_fmt(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Format-generic overwrite for the interchange formats Spark ships
+    built-in (parquet, orc, json/NDJSON, csv). ORC matters for
+    warehouse interop (Hive/Trino ecosystems read it natively); the
+    columnar guarantees (predicate pushdown, column pruning, per-stripe
+    min/max) match the parquet path."""
+    writer = df.write.mode("overwrite").format(fmt)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_fmt(spark, path: str, fmt: str = "parquet", schema=None) -> DataFrame:
+    """Format-generic reader twin of :func:`overwrite_fmt`."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)

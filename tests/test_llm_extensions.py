@@ -563,3 +563,18 @@ def test_kmeans_assignment_is_deterministic_under_repartition(spark):
         for r in clustering.kmeans(emb.repartition(13), k=4, iterations=1).collect()
     )
     assert a == b
+
+
+def test_bpe_merge_candidates_hand_computed(spark):
+    from de_project_sprint_etl_spark.functions import lm
+
+    # vocabulary: "abab" x freq computed over 3 docs -> "abab":2, "ab":1
+    docs = spark.createDataFrame(
+        [(1, "abab ab"), (2, "abab")], ["doc_id", "text"]
+    )
+    rows = {(r["left"], r["right"]): (r["cnt"], r["rank"]) for r in
+            lm.bpe_merge_candidates(docs, k=10).collect()}
+    # pairs in "abab" (freq 2): ab, ba, ab -> ab:4, ba:2 ; "ab" (freq 1): ab:1
+    assert rows[("a", "b")] == (5, 1)
+    assert rows[("b", "a")] == (2, 2)
+    assert len(rows) == 2

@@ -221,3 +221,23 @@ def test_read_jsonl_permissive_quarantines_bad_records(spark, tmp_path):
         )
     finally:
         df.unpersist()
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink/source round-trip: values survive bit-exact and filters
+    reach the ORC scan (PushedFilters), same contract as parquet."""
+    from de_project_sprint_etl_spark.sources import writers
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    writers.overwrite_fmt(src, path, fmt="orc")
+    back = writers.read_fmt(spark, path, fmt="orc")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    plan = (
+        back.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)" in plan, plan

@@ -621,3 +621,36 @@ def test_scan_coerces_drifted_fixture_types(spark, tmp_path):
     assert got["o_totalprice"] == "double"
     rows = {r["o_orderkey"]: r["o_totalprice"] for r in df.collect()}
     assert rows[1] == 1.5 and rows[2] == 2.25
+
+
+def test_new_round3_ops_stay_jvm_side(spark):
+    """bigram LM / BM25 / BPE / k-means / PageRank plans contain no
+    row-at-a-time Python (pure Catalyst expressions + joins)."""
+    import __spark_entry__  # noqa: F401  (populates the registry)
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    for name in (
+        "bigram_lm_score",
+        "bm25_topk_docs",
+        "bpe_merge_candidates",
+        "kmeans_embeddings",
+        "pagerank_copurchase",
+        "triangle_count_copurchase",
+        "ivm_customer_revenue",
+    ):
+        plan = plan_of(RAW_QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    """The assign step must be a broadcast nested-loop against k centroid
+    rows — the corpus side never shuffles for assignment."""
+    from de_project_sprint_etl_spark.functions import clustering
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    cent = e.limit(4).select(F.lit(0).alias("cid"), F.col("ev").alias("cv"))
+    plan = plan_of(clustering.kmeans_assign(e, cent))
+    assert "BroadcastNestedLoopJoin" in plan, plan
