@@ -161,8 +161,27 @@ def main() -> None:
         )
         spark.catalog.clearCache()
 
+    def _session_hygiene() -> None:
+        # Long-lived-session hygiene, the same discipline a real cluster
+        # session needs: Spark's ContextCleaner releases broadcasts /
+        # shuffle files / checkpointed RDDs only when the driver GC
+        # collects their handles. A ~100-query session accumulates
+        # enough uncollected state to evict persisted data mid-query —
+        # measured here as the persist-dependent graph queries running
+        # 3-4x their solo time (pagerank 23.6s -> 8.2s after a forced
+        # GC). Runs BETWEEN timed queries, so it never lands in a
+        # query's own timing.
+        registry._PLAN_CACHE.clear()
+        spark.sparkContext._jvm.System.gc()
+
+    # Once, between warm and timed passes. NOT inside the timed loop:
+    # a full GC can also evict JIT state, and measured in-loop GC runs
+    # showed broad elevation (one run's first post-GC query went
+    # 3.3 s -> 13.1 s) without improving the persist-heavy queries
+    # beyond what the single post-warm collection already does.
+    _session_hygiene()
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         t0 = time.time()
         # RAW (uncached) form: a reused plan object would let Spark
         # serve exchanges from the warm pass's shuffle files (skipped

@@ -37,6 +37,15 @@ def get_spark(
         # local-mode driver hosts all executor threads; default 1g heap
         # OOMs on cached shuffles at sf0.1 (rig has 128 GiB)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # ~100 distinct queries x (warm + timed) whole-stage-codegen
+        # overflow the JVM's default 240 MB code cache; eviction then
+        # forces re-JIT of hot generated methods mid-session (measured:
+        # the widest codegen query spiking 2.2 s -> 17 s late in a
+        # bench run). 512 MB holds the whole suite.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
