@@ -115,6 +115,8 @@ HEADLINE = [
     "ivm_customer_revenue",
     "kmeans_embeddings",
     "bpe_merge_candidates",
+    "event_journeys",
+    "orders_table_checksum",
     "grouping_sets_events",
     "variant_json_stats",
     "argmax_order_per_priority",

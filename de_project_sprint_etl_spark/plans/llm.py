@@ -1430,3 +1430,82 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     word frequency (corpus-sized text -> vocab-sized work in the first
     partial-combined agg)."""
     return lm.bpe_merge_candidates(docs_fanned(spark, sf_dir), k=50)
+
+
+@register(
+    "event_journeys",
+    f"""
+WITH lagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged),
+sessions AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked),
+paths AS (
+  SELECT user_id, session_id,
+         array_to_string(list(event_type ORDER BY ts_us, event_id)[1:3], '>') AS journey
+  FROM sessions GROUP BY user_id, session_id)
+SELECT journey, COUNT(*) AS n_sessions,
+       CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, journey) AS INT) AS rank
+FROM paths GROUP BY journey
+ORDER BY n_sessions DESC, journey LIMIT 20
+""",
+)
+def q_event_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: the top-20 session-opening event-type sequences
+    (first 3 events per session). Sessions come from the same
+    lag+running-sum assignment as events_sessionize (one user_id
+    shuffle); the per-session path is an in-row (ts, event_id)-sorted
+    collect — no second ordering shuffle — and the top-k is a
+    TakeOrdered over the tiny journey-count table."""
+    from pyspark.sql import Window
+
+    ev = events_df(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                3,
+            ),
+            ">",
+        ).alias("journey")
+    )
+    counts = paths.groupBy("journey").agg(F.count(F.lit(1)).alias("n_sessions"))
+    rw = Window.orderBy(F.col("n_sessions").desc(), F.col("journey").asc())
+    return (
+        counts.orderBy(F.col("n_sessions").desc(), F.col("journey").asc())
+        .limit(20)
+        .withColumn("rank", F.row_number().over(rw).cast("int"))
+    )

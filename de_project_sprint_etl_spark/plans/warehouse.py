@@ -717,3 +717,46 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(
         graph.copurchase_edges(t(spark, sf_dir, "lineitem"))
     )
+
+
+# --- data-integrity fingerprint ---------------------------------------------
+
+_CHECKSUM_ROW = (
+    "CONCAT_WS('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),"
+    " o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),"
+    " CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)"
+)
+
+
+@register(
+    "orders_table_checksum",
+    f"""
+SELECT COUNT(*) AS n_rows,
+       BIT_XOR(CAST(CONCAT('0x', SUBSTR(md5({_CHECKSUM_ROW}), 1, 15)) AS BIGINT))
+         AS checksum
+FROM orders
+""",
+)
+def q_orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: XOR of per-row 60-bit hashes
+    over a canonical string encoding (doubles through DECIMAL so both
+    engines print identical digits). The anti-entropy primitive for
+    verifying replicated / migrated tables at 100 TB: one narrow scan,
+    one partial-combining XOR aggregate, no shuffle of data rows, and
+    two replicas can be compared by exchanging 8 bytes."""
+    from de_project_sprint_etl_spark.functions.text import h64
+
+    o = t(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h64(row)).alias("checksum"),
+    )

@@ -578,3 +578,46 @@ def test_bpe_merge_candidates_hand_computed(spark):
     assert rows[("a", "b")] == (5, 1)
     assert rows[("b", "a")] == (2, 2)
     assert len(rows) == 2
+
+
+def test_table_checksum_detects_single_value_change(spark):
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+    import __spark_entry__  # noqa: F401
+
+    base = RAW_QUERIES["orders_table_checksum"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert base["n_rows"] > 0
+    # same computation over a 1-value mutation must change the checksum
+    from de_project_sprint_etl_spark.functions.text import h64
+    from de_project_sprint_etl_spark.plans.testdata import t as scan
+
+    o = scan(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") == 1, F.lit("9-MUTATED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    mutated = o.agg(F.bit_xor(h64(row)).alias("checksum")).collect()[0]
+    assert mutated["checksum"] != base["checksum"]
+
+
+def test_event_journeys_orders_within_session(spark):
+    """Journey strings follow (ts, event_id) order, capped at 3 stages."""
+    import __spark_entry__  # noqa: F401
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    rows = RAW_QUERIES["event_journeys"](spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= 20
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert 1 <= len(r["journey"].split(">")) <= 3
