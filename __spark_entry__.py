@@ -27,6 +27,7 @@ from de_project_sprint_etl_spark.plans import relational  # noqa: E402,F401 — 
 from de_project_sprint_etl_spark.plans import tpch  # noqa: E402,F401 — registers TPC-H Q1/Q3/Q5/Q6
 from de_project_sprint_etl_spark.plans import mlops  # noqa: E402,F401 — registers split/pivot/unpivot/levenshtein/range-window
 from de_project_sprint_etl_spark.plans import warehouse  # noqa: E402,F401 — registers argmax/median/mode/SCD2/gap-fill/funnel
+from de_project_sprint_etl_spark.plans import curation  # noqa: E402,F401 — registers substring-dedup/JL-projection/recall-eval/mixture-sample
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

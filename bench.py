@@ -142,6 +142,10 @@ HEADLINE = [
     "standard_scale_event_values",
     "pack_sequences_text",
     "media_resize",
+    "substring_span_dedup",
+    "embedding_random_projection",
+    "ann_recall_eval",
+    "mixture_sample_temperature",
 ]
 
 

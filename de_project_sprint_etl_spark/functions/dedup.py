@@ -624,3 +624,71 @@ def contamination_hits(train_sh: DataFrame, bench_sh: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_hits") > 0)
     )
+
+
+def positional_shingle_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Exact-substring duplication profile: for every document, how many
+    of its ``n``-token windows also occur (verbatim) anywhere else in
+    the corpus.
+
+    This is the detection primitive of exact-substring deduplication
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): a window that appears in 2+ places marks a duplicated
+    span. The suffix-array construction of the paper is replaced by the
+    Spark-native shape — hash every fixed-width token window, count
+    occurrences per hash (partial map-side combine), and join the
+    (small) duplicated-hash set back onto the window stream.
+
+    Scale shape: the window stream is a map-only explode of the corpus
+    scan; the occurrence count is ONE hash shuffle on a 60-bit key; the
+    join back carries only hashes whose count > 1 (at web scale the
+    overwhelming majority of windows are unique and never re-shuffle).
+    Docs shorter than ``n`` tokens have no window and are excluded on
+    both engines.
+
+    Output: ``doc_id, n_shingles, dup_shingles, dup_frac``.
+    """
+    win = (
+        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t"))
+        .select(
+            "id",
+            F.explode_outer(
+                F.when(
+                    F.size("__t") >= n,
+                    F.expr(
+                        f"transform(sequence(1, size(__t) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(__t, i, {n})))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select("id", h64("shingle").alias("h"))
+        .persist()
+    )
+    totals = win.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    dup_keys = (
+        win.groupBy("h").agg(F.count(F.lit(1)).alias("__c")).filter(F.col("__c") > 1)
+    )
+    dups = (
+        win.join(dup_keys.select("h"), "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("dup_shingles"))
+    )
+    return (
+        totals.join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            F.coalesce(F.col("dup_shingles"), F.lit(0)).cast("bigint").alias(
+                "dup_shingles"
+            ),
+            F.round(
+                F.coalesce(F.col("dup_shingles"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

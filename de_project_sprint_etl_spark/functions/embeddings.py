@@ -77,3 +77,34 @@ def label_centroids(emb: DataFrame, label_col: str = "label",
         .agg(F.avg("val").alias("centroid"),
              F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+def random_projection(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: ``out_col[j] =
+    <vec, planes[j]>`` for a fixed (seeded, unit-norm Gaussian) plane
+    set — the standard dimensionality cut before LSH bucketing or
+    coarse clustering (d → len(planes) floats per row).
+
+    Map-only: the plane matrix ships as one nested-array literal (a
+    single Catalyst Literal node, same trick as
+    similarity.lsh_signature) and every output component is a
+    ``zip_with``/``aggregate`` left fold — no shuffle, no Python; a
+    100 TB embedding table pays exactly its scan cost.
+    """
+    from de_project_sprint_etl_spark.functions.similarity import _cached_lit
+
+    v = _vecd(vec_col)
+    proj = F.transform(
+        _cached_lit(tuple(tuple(p) for p in planes)),
+        lambda plane: F.aggregate(
+            F.zip_with(v, plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return df.withColumn(out_col, proj)

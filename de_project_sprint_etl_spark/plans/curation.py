@@ -1,0 +1,227 @@
+"""Round-3 curation/retrieval extension ops.
+
+Four op families on top of the round-1/2 surface, each Spark-first with
+an exact DuckDB oracle:
+
+- **exact-substring duplication profile** — the detection primitive of
+  suffix-array substring dedup (Lee et al. 2021), re-expressed as
+  fixed-width token-window hashing: windows that occur 2+ times
+  anywhere in the corpus mark duplicated spans. One map-only window
+  explode, one hash shuffle on a 60-bit key, one join-back that carries
+  only the (rare at web scale) duplicated keys.
+- **Johnson–Lindenstrauss random projection** — d→8 Gaussian projection
+  of the embedding column; map-only nested-literal fold, the
+  dimensionality cut before LSH/coarse quantization.
+- **ANN recall evaluation** — recall@5 of the 3-table LSH index against
+  the exact brute-force ranking, computed in-engine (the quality gate a
+  retrieval pipeline runs after every index build). Composes the two
+  existing index ops; the oracle composes their SQL mirrors.
+- **temperature-based mixture sampling** — per-source keep rates
+  ∝ n_s^0.5 (the multilingual-LM "temperature" rebalance), applied with
+  the deterministic 60-bit hash gate so the sample is reproducible
+  across runs, partitionings, and engines. Integer-scaled sqrt weights
+  make the tiny per-source rate table bit-identical on both engines.
+
+Reference parity note: none of these exist in the reference (SURVEY.md
+§2.12 — its surface stops at equi/range joins and grouped aggregation);
+they are extension ops for the 100 TB training-data use case, same tier
+as plans/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.functions import dedup, embeddings, similarity
+from de_project_sprint_etl_spark.functions.text import SQL_NORM, h64, sql_h64
+from de_project_sprint_etl_spark.plans.llm import (
+    LSH_TABLES,
+    N_QUERIES,
+    SQL_ANN_BRUTE,
+    SQL_ANN_LSH,
+    SQL_DOCS_MUT,
+    docs_with_mutants,
+    fan_out,
+)
+from de_project_sprint_etl_spark.plans.registry import register
+from de_project_sprint_etl_spark.plans.testdata import t
+
+# --- exact-substring duplication profile ------------------------------------
+
+SPAN_W = 8  # token-window width (the paper uses 50 BPE tokens; 8 word
+# tokens is the same detection primitive scaled to the fixture docs)
+
+_SQL_SPAN_SHINGLE = sql_h64(
+    f"array_to_string(list_slice(tks, CAST(g.i AS INT),"
+    f" CAST(g.i AS INT) + {SPAN_W - 1}), ' ')"
+)
+
+
+@register(
+    "substring_span_dedup",
+    f"""
+WITH d AS ({SQL_DOCS_MUT}),
+tk AS (SELECT doc_id, STRING_SPLIT({SQL_NORM.format(c='text')}, ' ') AS tks FROM d),
+sh AS (SELECT doc_id, {_SQL_SPAN_SHINGLE} AS h
+       FROM tk, UNNEST(generate_series(1, len(tks) - {SPAN_W - 1})) AS g(i)),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+c AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+dup AS (SELECT doc_id, COUNT(*) AS dup_shingles FROM sh JOIN c USING (h)
+        GROUP BY doc_id)
+SELECT t.doc_id, t.n_shingles,
+       CAST(COALESCE(dup.dup_shingles, 0) AS BIGINT) AS dup_shingles,
+       ROUND(CAST(COALESCE(dup.dup_shingles, 0) AS DOUBLE) / t.n_shingles, 6)
+         AS dup_frac
+FROM tot t LEFT JOIN dup USING (doc_id)
+""",
+)
+def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile over the mutant corpus
+    (extension op; functions/dedup.positional_shingle_profile). Every
+    mutant shares all its 8-token windows with its original, so the
+    profile flags exactly the duplicated spans the suffix-array method
+    would."""
+    return dedup.positional_shingle_profile(
+        docs_with_mutants(spark, sf_dir), n=SPAN_W
+    )
+
+
+# --- JL random projection ---------------------------------------------------
+
+PROJ_PLANES = similarity.hyperplanes(dim=64, n_planes=8, seed=11)
+
+_PROJ_BRANCHES = "\nUNION ALL ".join(
+    f"SELECT vec_id, {j} AS out_pos,"
+    f" ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),"
+    f" CAST([{', '.join(repr(v) for v in plane)}] AS DOUBLE[])), 6) AS proj_val"
+    f" FROM embeddings"
+    for j, plane in enumerate(PROJ_PLANES)
+)
+
+
+@register("embedding_random_projection", _PROJ_BRANCHES)
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→8 of the embedding column (extension op;
+    functions/embeddings.random_projection — map-only nested-literal
+    fold). Output exploded to scalars for the cross-engine hash check."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    return (
+        embeddings.random_projection(emb, PROJ_PLANES)
+        .select("vec_id", F.posexplode("proj").alias("out_pos", "__p"))
+        .select("vec_id", "out_pos", F.round("__p", 6).alias("proj_val"))
+    )
+
+
+# --- ANN recall evaluation --------------------------------------------------
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({SQL_ANN_BRUTE}) b),
+ap AS (SELECT query_id, neighbor_id FROM ({SQL_ANN_LSH}) a),
+tot AS (SELECT query_id, COUNT(*) AS k_true FROM bf GROUP BY query_id),
+hits AS (SELECT bf.query_id, COUNT(*) AS n_hits
+         FROM bf JOIN ap ON bf.query_id = ap.query_id
+                        AND bf.neighbor_id = ap.neighbor_id
+         GROUP BY bf.query_id)
+SELECT t.query_id, t.k_true,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.k_true, 6) AS recall_at_k
+FROM tot t LEFT JOIN hits h ON t.query_id = h.query_id
+""",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the multi-table LSH index vs the exact brute-force
+    ranking, per query, computed in-engine (extension op). The truth
+    and approx sides reuse the registered index ops; the intersection
+    is a tiny (≤ k·|Q| rows) semi-join — index evaluation costs two
+    index probes, never a new corpus pass."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    qs = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth = similarity.brute_force_topk(emb, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.lsh_topk_tables(emb, qs, LSH_TABLES, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    tot = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_true"))
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return tot.join(hits, "query_id", "left").select(
+        "query_id",
+        "k_true",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("k_true"), 6
+        ).alias("recall_at_k"),
+    )
+
+
+# --- temperature-based mixture sampling -------------------------------------
+
+MIX_TARGET = 300  # target sample size driving the per-source rates
+MIX_SEED = 1234
+
+_SQL_MIX_GATE = sql_h64("CAST(doc_id AS VARCHAR)", MIX_SEED)
+
+
+@register(
+    "mixture_sample_temperature",
+    f"""
+WITH per AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+w AS (SELECT source, n_s,
+             CAST(ROUND(SQRT(CAST(n_s AS DOUBLE)) * 1000) AS BIGINT) AS w_milli
+      FROM per),
+tot AS (SELECT SUM(w_milli) AS sum_w FROM w),
+rates AS (SELECT source, n_s,
+                 LEAST(CAST(1.0 AS DOUBLE),
+                       ({MIX_TARGET}.0 * CAST(w_milli AS DOUBLE))
+                       / (CAST(sum_w AS DOUBLE) * CAST(n_s AS DOUBLE)))
+                   AS keep_frac
+          FROM w CROSS JOIN tot)
+SELECT d.doc_id, d.source, ROUND(r.keep_frac, 6) AS keep_frac
+FROM documents d JOIN rates r USING (source)
+WHERE {_SQL_MIX_GATE} % 1000000
+      < CAST(FLOOR(keep_frac * 1000000.0) AS BIGINT)
+""",
+)
+def q_mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted (α = 0.5) source-mixture sample
+    (extension op): per-source keep rates ∝ sqrt(n_s), capped at 1,
+    applied via the deterministic hash gate — the multilingual-LM
+    rebalance that upsamples rare sources relative to their share.
+
+    Scale shape: the rate table is one tiny partial-combined groupBy
+    (|sources| rows) broadcast back onto the corpus; the corpus itself
+    never shuffles and the gate is a narrow filter. Integer milli-unit
+    sqrt weights keep the rate doubles bit-identical across engines
+    (double summation order over sources would not be).
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = per.withColumn(
+        "w_milli",
+        F.round(F.sqrt(F.col("n_s").cast("double")) * 1000, 0).cast("bigint"),
+    )
+    tot = w.agg(F.sum("w_milli").alias("sum_w"))
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(MIX_TARGET)) * F.col("w_milli").cast("double"))
+            / (F.col("sum_w").cast("double") * F.col("n_s").cast("double")),
+        ).alias("keep_frac"),
+    )
+    gate = F.pmod(h64(F.col("doc_id").cast("string"), MIX_SEED), F.lit(1000000))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            gate < F.floor(F.col("keep_frac") * F.lit(1000000.0)).cast("bigint")
+        )
+        .select("doc_id", "source", F.round("keep_frac", 6).alias("keep_frac"))
+    )

@@ -774,9 +774,7 @@ _LSH_CAND_UNION = "\nUNION ALL ".join(
 )
 
 
-@register(
-    "ann_lsh_topk",
-    f"""
+SQL_ANN_LSH = f"""
 WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
                   {_LSH_SIG_COLS}
            FROM embeddings),
@@ -794,8 +792,10 @@ SELECT query_id, neighbor_id, cos_sim,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
             ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
 FROM sim QUALIFY rank <= 5
-""",
-)
+"""
+
+
+@register("ann_lsh_topk", SQL_ANN_LSH)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH (3 tables × 8 hyperplanes) approximate top-5
     (extension op: the corpus pass becomes a (table, bucket) equi-join;
