@@ -167,8 +167,19 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     ts_type = ev.schema["ts"].dataType.typeName()
     if ts_type == "long":
+        # Magnitude-adaptive epoch decode: the generator has already
+        # changed this column's physical encoding once, so don't assume
+        # nanos — epoch nanos are ~1.7e18, micros ~1.7e15, millis
+        # ~1.7e12 for any plausible fixture date, three non-overlapping
+        # magnitude bands. Row-level CASE, still a narrow projection.
         ev = ev.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+            "ts",
+            F.expr(
+                "timestamp_micros(CAST("
+                "CASE WHEN abs(ts) >= 100000000000000000 THEN ts DIV 1000 "
+                "     WHEN abs(ts) >= 100000000000000 THEN ts "
+                "     ELSE ts * 1000 END AS LONG))"
+            ),
         )
     elif ts_type != "timestamp":
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))

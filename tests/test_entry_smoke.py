@@ -113,6 +113,8 @@ def test_events_ts_decode_adapts_to_physical_type(spark, tmp_path):
 
     variants = {
         "nanos_long": pa.array([m * 1000 for m in micros], pa.int64()),
+        "micros_long": pa.array(micros, pa.int64()),
+        "millis_long": pa.array([m // 1000 for m in micros], pa.int64()),
         "ts_ntz": pa.array(micros, pa.timestamp("us")),
         "ts_utc": pa.array(micros, pa.timestamp("us", tz="UTC")),
     }
@@ -128,4 +130,4 @@ def test_events_ts_decode_adapts_to_physical_type(spark, tmp_path):
             (r.event_id, r.ts.isoformat()) for r in ev.select("event_id", "ts").collect()
         )
         td._SCAN_CACHE.clear()
-    assert seen["nanos_long"] == seen["ts_ntz"] == seen["ts_utc"], seen
+    assert len({tuple(v) for v in seen.values()}) == 1, seen
