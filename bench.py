@@ -146,6 +146,9 @@ HEADLINE = [
     "embedding_random_projection",
     "ann_recall_eval",
     "mixture_sample_temperature",
+    "strip_duplicated_spans",
+    "incremental_minhash_dedup",
+    "streaming_windowed_counts",
 ]
 
 

@@ -650,24 +650,7 @@ def positional_shingle_profile(
 
     Output: ``doc_id, n_shingles, dup_shingles, dup_frac``.
     """
-    win = (
-        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t"))
-        .select(
-            "id",
-            F.explode_outer(
-                F.when(
-                    F.size("__t") >= n,
-                    F.expr(
-                        f"transform(sequence(1, size(__t) - {n - 1}),"
-                        f" i -> concat_ws(' ', slice(__t, i, {n})))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        .select("id", h64("shingle").alias("h"))
-        .persist()
-    )
+    win = positional_windows(docs, text_col, id_col, n).persist()
     totals = win.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     dup_keys = (
         win.groupBy("h").agg(F.count(F.lit(1)).alias("__c")).filter(F.col("__c") > 1)
@@ -691,4 +674,151 @@ def positional_shingle_profile(
                 6,
             ).alias("dup_frac"),
         )
+    )
+
+
+def positional_windows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """``(id, pos, h)`` stream of hashed ``n``-token windows with their
+    1-based start positions — shared input of the duplication profile
+    and the span-removal transform. Map-only (explode over a per-row
+    sequence); docs shorter than ``n`` tokens emit nothing."""
+    return (
+        docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t"))
+        .select(
+            "id",
+            F.posexplode_outer(
+                F.when(
+                    F.size("__t") >= n,
+                    F.expr(
+                        f"transform(sequence(1, size(__t) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(__t, i, {n})))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos0", "shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
+        .select("id", (F.col("pos0") + 1).alias("pos"), h64("shingle").alias("h"))
+    )
+
+
+def strip_duplicated_spans(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Exact-substring span REMOVAL (the transform half of Lee et al.
+    2021, next to :func:`positional_shingle_profile`'s detection half):
+    every token covered by an ``n``-token window that occurs 2+ times
+    anywhere in the corpus is dropped, and the document text is rebuilt
+    from the surviving tokens.
+
+    This removes EVERY occurrence of a duplicated span (a deterministic
+    strengthening of the paper's keep-one-occurrence rule, which needs
+    a global tie-break; the kept-canonical variant is the same plan
+    with one extra min-(id,pos) window over the duplicated keys).
+
+    Scale shape: the window stream is map-only; the occurrence count is
+    ONE partial-combined hash shuffle; the per-doc duplicated-start
+    lists ride back on an ``id`` equi-join (tiny — only docs that
+    actually contain duplicated spans); the rebuild is an in-row
+    index-aware ``filter`` + ``concat_ws``, no Python anywhere.
+
+    Output: ``doc_id, n_tokens, n_kept, text_clean``.
+    """
+    win = positional_windows(docs, text_col, id_col, n).persist()
+    dup_keys = (
+        win.groupBy("h").agg(F.count(F.lit(1)).alias("__c")).filter(F.col("__c") > 1)
+    )
+    starts = (
+        win.join(dup_keys.select("h"), "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
+    )
+    toked = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__t")
+    )
+    span_end = n - 1
+    kept = F.filter(
+        F.col("__t"),
+        lambda x, i: F.size(
+            F.filter(
+                F.col("__s"),
+                lambda s: (s <= i + 1) & (i + 1 <= s + span_end),
+            )
+        )
+        == 0,
+    )
+    return (
+        toked.join(starts, "id", "left")
+        .withColumn("__s", F.coalesce(F.col("__starts"), F.array().cast("array<int>")))
+        .select(
+            F.col("id").alias(id_col),
+            F.size("__t").cast("bigint").alias("n_tokens"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.concat_ws(" ", kept).alias("text_clean"),
+        )
+    )
+
+
+def minhash_lsh_pairs_against(
+    inc_sigs: DataFrame,
+    snap_sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental LSH: band-join the INCREMENT's MinHash signatures
+    against the SNAPSHOT's — the snapshot side is never self-joined, so
+    a daily increment pays O(|increment| + matched band posting lists)
+    instead of a full-corpus re-dedup (the near-dup analog of
+    mlops.q_incremental_exact_dedup's digest anti-join).
+
+    Output: ``id_inc, id_snap, est_jaccard`` (≥ ``min_est_jaccard``).
+    """
+    r = num_hashes // bands
+    hcols = [f"h{i}" for i in range(num_hashes)]
+
+    def banded(sig: DataFrame) -> DataFrame:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat_ws(
+                        "_",
+                        *[F.col(h).cast("string") for h in hcols[b * r : (b + 1) * r]],
+                    ).alias("band_val"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select("id", *hcols, F.explode(band_structs).alias("bv")).select(
+            "id",
+            *hcols,
+            F.col("bv.band_idx").alias("band_idx"),
+            F.col("bv.band_val").alias("band_val"),
+        )
+
+    a = banded(inc_sigs).alias("a")
+    b = banded(snap_sigs).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.id").alias("id_inc"),
+            F.col("b.id").alias("id_snap"),
+            *[F.col(f"a.{h}").alias(f"a_{h}") for h in hcols],
+            *[F.col(f"b.{h}").alias(f"b_{h}") for h in hcols],
+        )
+        .dropDuplicates(["id_inc", "id_snap"])
+    )
+    matches = sum(
+        F.when(F.col(f"a_{h}") == F.col(f"b_{h}"), 1).otherwise(0) for h in hcols
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(matches / F.lit(num_hashes), 6))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_inc", "id_snap", "est_jaccard")
     )

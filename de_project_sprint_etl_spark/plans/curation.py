@@ -225,3 +225,90 @@ def q_mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.round("keep_frac", 6).alias("keep_frac"))
     )
+
+
+# --- exact-substring span removal -------------------------------------------
+
+
+@register(
+    "strip_duplicated_spans",
+    f"""
+WITH d AS ({SQL_DOCS_MUT}),
+tk AS (SELECT doc_id, STRING_SPLIT({SQL_NORM.format(c='text')}, ' ') AS tks FROM d),
+sh AS (SELECT doc_id, CAST(g.i AS INT) AS pos, {_SQL_SPAN_SHINGLE} AS h
+       FROM tk, UNNEST(generate_series(1, len(tks) - {SPAN_W - 1})) AS g(i)),
+c AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > 1),
+st AS (SELECT doc_id, LIST(pos) AS starts FROM sh JOIN c USING (h) GROUP BY doc_id),
+k AS (SELECT t.doc_id, t.tks,
+             list_filter(t.tks,
+                 (x, p) -> len(list_filter(COALESCE(st.starts, CAST([] AS INT[])),
+                                           s -> s <= p AND p <= s + {SPAN_W - 1})) = 0)
+               AS kept
+      FROM tk t LEFT JOIN st ON t.doc_id = st.doc_id)
+SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       -- DuckDB's array_to_string returns NULL for an empty list where
+       -- Spark's concat_ws returns '' — align on ''
+       COALESCE(array_to_string(kept, ' '), '') AS text_clean
+FROM k
+""",
+)
+def q_strip_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span removal over the mutant corpus (extension
+    op; functions/dedup.strip_duplicated_spans — the transform half of
+    Lee et al. 2021 next to substring_span_dedup's detection half).
+    Every mutant's token range reappears verbatim in its original, so
+    both lose exactly the shared span."""
+    return dedup.strip_duplicated_spans(docs_with_mutants(spark, sf_dir), n=SPAN_W)
+
+
+# --- incremental near-dedup (increment vs snapshot) -------------------------
+
+
+def _sql_incremental_minhash(num_hashes: int = 16, bands: int = 4,
+                             thresh: float = 0.5) -> str:
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET, _sql_minhash
+
+    r = num_hashes // bands
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    band_defs = ", ".join(
+        "CONCAT_WS('_', " + ", ".join(hcols[b * r : (b + 1) * r]) + f") AS band{b}"
+        for b in range(bands)
+    )
+    cand_union = "\nUNION\n".join(
+        f"SELECT a.id AS id_inc, b.id AS id_snap FROM bi a "
+        f"JOIN bs b ON a.band{b} = b.band{b}"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.{h} = sb.{h} THEN 1 ELSE 0 END" for h in hcols
+    )
+    return f"""
+WITH sig AS ({_sql_minhash(num_hashes)}),
+bi AS (SELECT *, {band_defs} FROM sig WHERE id >= {MUT_OFFSET}),
+bs AS (SELECT *, {band_defs} FROM sig WHERE id < {MUT_OFFSET}),
+cand AS ({cand_union})
+SELECT id_inc, id_snap, ROUND(({matches}) / {num_hashes}.0, 6) AS est_jaccard
+FROM cand JOIN sig sa ON sa.id = id_inc JOIN sig sb ON sb.id = id_snap
+WHERE ROUND(({matches}) / {num_hashes}.0, 6) >= {thresh}
+"""
+
+
+@register("incremental_minhash_dedup", _sql_incremental_minhash())
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup: the increment's (mutants') MinHash bands
+    join only against the snapshot's (originals') — the snapshot is
+    never self-joined, so a daily increment costs O(|increment| +
+    matched posting lists), not a full-corpus re-dedup (extension op;
+    functions/dedup.minhash_lsh_pairs_against, the near-dup analog of
+    incremental_exact_dedup)."""
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET, mutant_shingles
+
+    sigs = dedup.minhash_signatures(
+        shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
+    ).persist()
+    inc = sigs.filter(F.col("id") >= MUT_OFFSET)
+    snap = sigs.filter(F.col("id") < MUT_OFFSET)
+    return dedup.minhash_lsh_pairs_against(
+        inc, snap, num_hashes=16, bands=4, min_est_jaccard=0.5
+    )

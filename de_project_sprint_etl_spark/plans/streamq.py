@@ -1,0 +1,101 @@
+"""Structured-Streaming-executed registry queries.
+
+The other streaming jobs are verified against their batch twins in
+pytest (a stream can't be replayed inside the DuckDB harness) — but a
+*bounded* stream can: with a single-file source and
+``Trigger.AvailableNow`` the whole fixture arrives in ONE micro-batch,
+the watermark never advances past data already aggregated, and the
+final state of the windowed aggregation equals the batch plan exactly.
+That makes the full streaming execution path (FileStreamSource →
+watermark → stateful window agg → memory sink) hash-checkable against
+a plain SQL oracle, not just rows-only.
+
+The events source is materialized once per corpus as one parquet file
+(decoded ``ts``, see plans/testdata.events_df) — single file ⇒ single
+micro-batch ⇒ deterministic result. At production scale the same job
+runs unbounded with the watermark bounding state; the harness-local
+single-batch contract is only what makes it oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.plans.llm import _CACHE_ROOT
+from de_project_sprint_etl_spark.plans.registry import register
+from de_project_sprint_etl_spark.plans.testdata import events_df
+from de_project_sprint_etl_spark.streaming import jobs
+
+_SINK_SEQ = itertools.count()
+#: last memory-sink table per session — dropped on the NEXT invocation
+#: (the caller still holds a plan over the current one), so a
+#: long-lived session re-running the query doesn't accumulate sinks.
+_LAST_SINK: dict[int, str] = {}
+
+
+def _events_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """One-file parquet copy of the decoded events table, cached per
+    corpus generation (same keying as plans/llm._materialized)."""
+    src = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = sf_dir.strip("/").replace("/", "_")
+    path = (
+        Path(_CACHE_ROOT)
+        / f"{key}-events-{src.st_mtime_ns}-{src.st_size}"
+        / "stream_src"
+    )
+    if not (path / "_SUCCESS").exists():
+        events_df(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(
+            str(path)
+        )
+    return str(path)
+
+
+@register(
+    "streaming_windowed_counts",
+    """
+SELECT CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event counts executed BY THE STREAMING ENGINE:
+    readStream over the materialized single-file events copy,
+    watermarked stateful window aggregation, AvailableNow trigger into
+    a memory sink, then the sink's table is returned for the hash
+    check. Exercises the real streaming path end-to-end (source →
+    state store → sink) with a batch-equal answer (see module
+    docstring for why single-batch makes that exact)."""
+    src = _events_stream_src(spark, sf_dir)
+    prev = _LAST_SINK.pop(id(spark), None)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
+    name = f"stream_win_sink_{next(_SINK_SEQ)}"
+    _LAST_SINK[id(spark)] = name
+    stream = jobs.windowed_event_counts(
+        jobs.read_event_stream(spark, src), window="1 hour", watermark="2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strq_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

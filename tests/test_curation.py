@@ -128,3 +128,88 @@ def test_mixture_sample_broadcasts_rates(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- span removal -----------------------------------------------------------
+
+
+def test_strip_duplicated_spans_removes_shared_run(spark):
+    a = " ".join(f"w{i}" for i in range(12))
+    b = "x1 x2 " + " ".join(f"w{i}" for i in range(2, 10)) + " x3 x4"
+    c = " ".join(f"z{i}" for i in range(12))
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r for r in dedup.strip_duplicated_spans(docs, n=8).collect()
+    }
+    # the shared window w2..w9 is removed from BOTH docs
+    assert out[1]["n_tokens"] == 12 and out[1]["n_kept"] == 4
+    assert out[1]["text_clean"] == "w0 w1 w10 w11"
+    assert out[2]["n_kept"] == 4
+    assert out[2]["text_clean"] == "x1 x2 x3 x4"
+    # untouched doc passes through whole
+    assert out[3]["n_kept"] == 12 and out[3]["text_clean"].startswith("z0 z1")
+
+
+def test_strip_duplicated_spans_is_jvm_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    plan = plan_of(dedup.strip_duplicated_spans(docs, n=8))
+    assert "BatchEvalPython" not in plan
+    assert ") Window" not in plan
+
+
+# --- incremental minhash ----------------------------------------------------
+
+
+def test_incremental_minhash_never_selfjoins_snapshot(spark):
+    """Every emitted pair must be increment x snapshot — no
+    snapshot-snapshot or increment-increment pairs."""
+    from de_project_sprint_etl_spark.plans.curation import (
+        q_incremental_minhash_dedup,
+    )
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET
+
+    rows = q_incremental_minhash_dedup(spark, SF).collect()
+    assert rows, "no incremental near-dup pairs found"
+    for r in rows:
+        assert r["id_inc"] >= MUT_OFFSET and r["id_snap"] < MUT_OFFSET
+        assert 0.5 <= r["est_jaccard"] <= 1.0
+
+
+# --- streaming-executed registry query --------------------------------------
+
+
+def test_streaming_windowed_counts_equals_batch(spark):
+    import de_project_sprint_etl_spark.plans.streamq  # noqa: F401 — registers
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    stream_fn = RAW_QUERIES["streaming_windowed_counts"]
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in stream_fn(spark, SF).collect()
+    }
+    from de_project_sprint_etl_spark.plans.testdata import events_df
+
+    ev = events_df(spark, SF)
+    want = {
+        (r["ws"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("ws"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    }
+    assert got == want
+    # a second invocation starts a fresh stream and drops the old sink
+    again = stream_fn(spark, SF)
+    assert again.count() == len(want)
