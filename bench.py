@@ -149,6 +149,7 @@ HEADLINE = [
     "strip_duplicated_spans",
     "incremental_minhash_dedup",
     "streaming_windowed_counts",
+    "streaming_sessionize",
 ]
 
 

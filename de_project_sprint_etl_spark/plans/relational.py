@@ -307,12 +307,15 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per order status through a 16-way salted join
     (functions/skew.salted_join) — the explicit skew-mitigation path
     for a hot join key when the build side exceeds broadcast and AQE is
-    unavailable. hot_threshold=4 exercises the production mode: only
-    keys with >4 lineitems are salted (and spread over 16 buckets);
-    the rest join unsalted with a single build copy. Row-identical to
-    the plain join (the oracle IS the plain join), so the hash check
-    proves salting changes the physical distribution and nothing
-    else."""
+    unavailable. hot_threshold=6 exercises the production mode: only
+    keys in the per-key-row-count tail (>6 lineitems, ~14% of orders
+    on this data) are salted and spread over 16 buckets; the rest join
+    unsalted with a single build copy — salting cost must track the
+    actual skew tail, not the table (threshold 4 salted 43% of keys
+    and doubled the query's bench time for zero distribution benefit).
+    Row-identical to the plain join (the oracle IS the plain join), so
+    the hash check proves salting changes the physical distribution
+    and nothing else."""
     from de_project_sprint_etl_spark.functions.skew import salted_join
 
     li = t(spark, sf_dir, "lineitem").select(
@@ -321,7 +324,7 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
     )
-    joined = salted_join(li, orders, on=["l_orderkey"], n_salts=16, hot_threshold=4)
+    joined = salted_join(li, orders, on=["l_orderkey"], n_salts=16, hot_threshold=6)
     return joined.groupBy("o_orderstatus").agg(
         # decimal arithmetic BEFORE the product: a double product cast
         # to decimal rounds differently across engines at the cent level

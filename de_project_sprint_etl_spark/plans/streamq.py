@@ -99,3 +99,58 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "streaming_sessionize",
+    f"""
+WITH lagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged),
+sessions AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization executed BY THE STREAMING ENGINE via the built-in
+    ``session_window`` (30-min gap), AvailableNow into a memory sink —
+    hash-checked against the lag+running-sum SQL formulation, proving
+    the two sessionization formulations AND the batch/stream engines
+    agree on every session boundary. Single-batch contract as in
+    streaming_windowed_counts."""
+    src = _events_stream_src(spark, sf_dir)
+    prev = _LAST_SINK.pop((id(spark), "sess"), None)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
+    name = f"stream_sess_sink_{next(_SINK_SEQ)}"
+    _LAST_SINK[(id(spark), "sess")] = name
+    stream = jobs.sessionize_stream(
+        jobs.read_event_stream(spark, src), gap="30 minutes", watermark="2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strq_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+    )
