@@ -150,6 +150,7 @@ HEADLINE = [
     "incremental_minhash_dedup",
     "streaming_windowed_counts",
     "streaming_sessionize",
+    "bucketed_join_revenue",
 ]
 
 

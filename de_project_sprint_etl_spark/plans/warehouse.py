@@ -37,6 +37,8 @@ oracle:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -759,4 +761,91 @@ def q_orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.bit_xor(h64(row)).alias("checksum"),
+    )
+
+
+# --- bucketed co-located join (write-time shuffle, amortized) ---------------
+
+_BUCKETS = 8
+_BK_READY: set[tuple[int, str]] = set()
+
+
+def _bucketed_order_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Bucketed managed twins of orders/lineitem, keyed by the order key
+    and created once per (session, corpus) — Spark's in-memory catalog
+    is session-scoped, so the first invocation pays the write-time
+    shuffle and every later query in the session joins them with ZERO
+    exchanges (the classic warehouse layout for a fact table joined
+    daily on one key; at cluster scale this is a persistent metastore +
+    bucketed parquet on shared storage)."""
+    from de_project_sprint_etl_spark.sources import writers
+
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    to, tl = f"bk_orders_{key}", f"bk_lineitem_{key}"
+    ck = (id(spark), sf_dir)
+    if ck not in _BK_READY:
+        # The in-memory catalog is session-scoped but the warehouse
+        # DIRECTORY persists: a table written by a previous session is
+        # unknown to this catalog yet its location exists, and
+        # saveAsTable refuses to reuse it. Clear stale locations first.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for name in (to, tl):
+            loc = os.path.join(wh, name)
+            if not spark.catalog.tableExists(name) and os.path.exists(loc):
+                shutil.rmtree(loc)
+        if not spark.catalog.tableExists(to):
+            writers.save_bucketed_table(
+                t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+                to,
+                ["o_orderkey"],
+                _BUCKETS,
+                sort_by=["o_orderkey"],
+            )
+        if not spark.catalog.tableExists(tl):
+            writers.save_bucketed_table(
+                t(spark, sf_dir, "lineitem").select(
+                    F.col("l_orderkey").alias("o_orderkey"),
+                    "l_extendedprice",
+                    "l_discount",
+                ),
+                tl,
+                ["o_orderkey"],
+                _BUCKETS,
+                sort_by=["o_orderkey"],
+            )
+        _BK_READY.add(ck)
+    return to, tl
+
+
+@register(
+    "bucketed_join_revenue",
+    """
+SELECT o_orderstatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order status through BUCKETED managed tables joined
+    on their bucket key: the join itself runs with zero exchanges (the
+    shuffle was paid once at materialization — pinned by
+    tests/test_plans.py::test_bucketed_join_has_no_exchange). The
+    ``merge`` hint keeps the plan on the co-located sort-merge path
+    instead of broadcasting the (locally small) orders side, since the
+    bucketed layout is exactly what replaces broadcast at 100 TB.
+    Row-identical to the plain join — the oracle IS the plain join."""
+    to, tl = _bucketed_order_tables(spark, sf_dir)
+    joined = spark.table(tl).join(spark.table(to).hint("merge"), "o_orderkey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
     )

@@ -213,3 +213,21 @@ def test_streaming_windowed_counts_equals_batch(spark):
     # a second invocation starts a fresh stream and drops the old sink
     again = stream_fn(spark, SF)
     assert again.count() == len(want)
+
+
+def test_bucketed_join_query_is_exchange_free_when_warm(spark):
+    """The registry's bucketed-join query must run the join itself with
+    zero exchanges once the bucketed tables exist (write-time shuffle
+    amortized — the 100 TB layout the salted/broadcast demos contrast
+    with)."""
+    from de_project_sprint_etl_spark.plans.warehouse import (
+        _bucketed_order_tables,
+        q_bucketed_join_revenue,
+    )
+
+    assert q_bucketed_join_revenue(spark, SF).count() == 3
+    to, tl = _bucketed_order_tables(spark, SF)
+    joined = spark.table(tl).join(spark.table(to).hint("merge"), "o_orderkey")
+    plan = plan_of(joined)
+    assert ") Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
