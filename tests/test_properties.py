@@ -161,3 +161,69 @@ def test_cdc_apply_is_idempotent(spark):
     twice = apply_changes(once, chg, keys=["k"])
     assert once.exceptAll(twice).count() == 0
     assert twice.exceptAll(once).count() == 0
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_doc = st.lists(_word, min_size=0, max_size=14).map(" ".join)
+
+
+@SETTINGS
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+def test_substring_profile_matches_python_reference(spark, docs):
+    """positional_shingle_profile vs a brute-force Python window count
+    (n=3 so short random docs still produce windows)."""
+    from collections import Counter
+
+    from de_project_sprint_etl_spark.functions.dedup import (
+        positional_shingle_profile,
+    )
+
+    n = 3
+    toks = {i: d.split(" ") if d else [""] for i, d in enumerate(docs)}
+    wins = {
+        i: [" ".join(t[j : j + n]) for j in range(len(t) - n + 1)]
+        for i, t in toks.items()
+    }
+    counts = Counter(w for ws in wins.values() for w in ws)
+    sdf = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.dup_shingles)
+        for r in positional_shingle_profile(sdf, n=n).collect()
+    }
+    want = {
+        i: (len(ws), sum(1 for w in ws if counts[w] > 1))
+        for i, ws in wins.items()
+        if ws
+    }
+    assert got == want, (got, want)
+
+
+@SETTINGS
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+def test_strip_spans_matches_python_reference(spark, docs):
+    from collections import Counter
+
+    from de_project_sprint_etl_spark.functions.dedup import strip_duplicated_spans
+
+    n = 3
+    toks = {i: d.split(" ") if d else [""] for i, d in enumerate(docs)}
+    wins = {
+        i: [" ".join(t[j : j + n]) for j in range(len(t) - n + 1)]
+        for i, t in toks.items()
+    }
+    counts = Counter(w for ws in wins.values() for w in ws)
+    sdf = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_clean
+        for r in strip_duplicated_spans(sdf, n=n).collect()
+    }
+    for i, t in toks.items():
+        dup_starts = [
+            j for j, w in enumerate(wins[i]) if counts[w] > 1
+        ]  # 0-based starts
+        kept = [
+            tok
+            for p, tok in enumerate(t)
+            if not any(s <= p <= s + n - 1 for s in dup_starts)
+        ]
+        assert got[i] == " ".join(kept), (i, t, dup_starts, got[i])
