@@ -29,6 +29,7 @@ from de_project_sprint_etl_spark.plans import mlops  # noqa: E402,F401 — regis
 from de_project_sprint_etl_spark.plans import warehouse  # noqa: E402,F401 — registers argmax/median/mode/SCD2/gap-fill/funnel
 from de_project_sprint_etl_spark.plans import curation  # noqa: E402,F401 — registers substring-dedup/JL-projection/recall-eval/mixture-sample
 from de_project_sprint_etl_spark.plans import streamq  # noqa: E402,F401 — registers streaming-executed windowed counts
+from de_project_sprint_etl_spark.plans import sqlapi  # noqa: E402,F401 — registers the SQL-text front door
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

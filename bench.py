@@ -151,6 +151,7 @@ HEADLINE = [
     "streaming_windowed_counts",
     "streaming_sessionize",
     "bucketed_join_revenue",
+    "retention_compact_sqltext",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Spark SQL text API: the reference's user surface.
+
+The reference's marts are literal ``.sql`` files executed against named
+tables (``src/dags/sql/*.sql``); its users write SQL, not DataFrames.
+This module gives the engine the same front door: ``create_views``
+registers every testdata table (drift-coerced through the scan layer)
+plus the derived staging tables as temp views, and queries can then be
+plain ``spark.sql(...)`` text. Catalyst compiles SQL text and DataFrame
+code to the same plans — ``retention_compact_sqltext`` below proves it
+by hash-matching the DataFrame pipeline's oracle from pure SQL.
+
+Scale note: views are lazy names over the same cached scans/materialized
+parquet the DataFrame queries use — registering them adds no work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from de_project_sprint_etl_spark.plans.registry import register
+from de_project_sprint_etl_spark.plans.testdata import (
+    SQL_RETENTION_COMPACT,
+    events_df,
+    order_log_v2_decimal,
+    t,
+    weeks_dim_cached,
+)
+from de_project_sprint_etl_spark.schemas import TESTDATA_TABLES
+
+
+def create_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the base tables (+ decoded events, + the two staging
+    tables the reference's mart SQL builds on) as temp views for
+    ``spark.sql`` text queries."""
+    for name in TESTDATA_TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    events_df(spark, sf_dir).createOrReplaceTempView("events_decoded")
+    order_log_v2_decimal(spark, sf_dir).createOrReplaceTempView("order_log_v2")
+    weeks_dim_cached(spark, sf_dir).createOrReplaceTempView("weeks")
+
+
+#: The compact weekly retention mart as Spark SQL TEXT — the same
+#: semantics as operators/retention.py (reference
+#: loading_retention_mart.sql:2-3 over new/returned/refunded cohorts),
+#: expressed the way a reference user would write it.
+SPARK_SQL_RETENTION_COMPACT = """
+WITH wk AS (
+  SELECT date_trunc('week', start_date) AS wkk, start_date, end_date, period
+  FROM weeks),
+shipped AS (
+  SELECT customer_id, date_time, period,
+         COUNT(*) AS cnt, SUM(payment_amount) AS revenue
+  FROM (
+    SELECT v.customer_id, v.date_time, v.payment_amount,
+           CASE WHEN CAST(v.date_time AS DATE)
+                     BETWEEN w.start_date AND w.end_date
+                THEN w.period END AS period
+    FROM order_log_v2 v
+    LEFT JOIN wk w ON date_trunc('week', v.date_time) = w.wkk
+    WHERE v.status = 'shipped') s
+  GROUP BY customer_id, date_time, period),
+refunded AS (
+  SELECT customer_id, date_time, period, COUNT(*) AS cnt
+  FROM (
+    SELECT v.customer_id, v.date_time,
+           CASE WHEN CAST(v.date_time AS DATE)
+                     BETWEEN w.start_date AND w.end_date
+                THEN w.period END AS period
+    FROM order_log_v2 v
+    LEFT JOIN wk w ON date_trunc('week', v.date_time) = w.wkk
+    WHERE v.status = 'refunded') s
+  GROUP BY customer_id, date_time, period),
+n AS (SELECT period, COUNT(customer_id) AS new_cust_count,
+             CAST(SUM(revenue) AS DOUBLE) AS new_cust_revenue
+      FROM shipped WHERE cnt = 1 GROUP BY period),
+r AS (SELECT period, COUNT(customer_id) AS returned_cust_count,
+             CAST(SUM(revenue) AS DOUBLE) AS returned_revenue
+      FROM shipped WHERE cnt > 1 GROUP BY period),
+f AS (SELECT period, COUNT(*) AS cust_with_refunds,
+             SUM(cnt) AS total_refunds
+      FROM refunded GROUP BY period)
+SELECT COALESCE(n.period, r.period, f.period) AS period,
+       n.new_cust_count, n.new_cust_revenue,
+       r.returned_cust_count, r.returned_revenue,
+       f.cust_with_refunds, f.total_refunds
+FROM n
+FULL JOIN r ON n.period = r.period
+FULL JOIN f ON COALESCE(n.period, r.period) = f.period
+"""
+
+
+@register("retention_compact_sqltext", SQL_RETENTION_COMPACT)
+def q_retention_compact_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship retention mart via the SQL-TEXT front door: temp
+    views over the staging tables, one ``spark.sql`` statement, same
+    DuckDB oracle as the DataFrame pipeline — a reference user can
+    bring their ``.sql`` files to this engine unchanged in spirit.
+    Catalyst still broadcasts the week dim and partial-combines both
+    aggregation levels; SQL text and DataFrame code share the
+    optimizer."""
+    create_views(spark, sf_dir)
+    return spark.sql(SPARK_SQL_RETENTION_COMPACT)

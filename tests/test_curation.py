@@ -231,3 +231,17 @@ def test_bucketed_join_query_is_exchange_free_when_warm(spark):
     plan = plan_of(joined)
     assert ") Exchange" not in plan, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_sqltext_retention_broadcasts_week_dim(spark):
+    """The SQL-text retention mart must compile to the same physical
+    strategy as the DataFrame pipeline: week dim broadcast, no
+    nested-loop join, no Python."""
+    from de_project_sprint_etl_spark.plans.sqlapi import (
+        q_retention_compact_sqltext,
+    )
+
+    plan = plan_of(q_retention_compact_sqltext(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
