@@ -152,6 +152,8 @@ HEADLINE = [
     "streaming_sessionize",
     "bucketed_join_revenue",
     "retention_compact_sqltext",
+    "orders_price_histogram",
+    "events_debounce",
 ]
 
 

@@ -878,3 +878,123 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --- equi-width histogram + event debounce ----------------------------------
+
+_HIST_BINS = 20
+
+
+@register(
+    "orders_price_histogram",
+    f"""
+WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+binned AS (
+  SELECT CAST(LEAST({_HIST_BINS - 1},
+              FLOOR((o_totalprice - lo) / (hi - lo) * {_HIST_BINS})) AS INT)
+           AS bin_idx,
+         lo, hi
+  FROM orders CROSS JOIN b)
+SELECT bin_idx,
+       ROUND(lo + bin_idx * (hi - lo) / {_HIST_BINS}, 6) AS bin_lo,
+       COUNT(*) AS n_orders
+FROM binned GROUP BY bin_idx, lo, hi
+""",
+)
+def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order value — the profiling op
+    behind every data-quality dashboard. The [min, max] frame is ONE
+    partial-combined agg broadcast back (cross join of a 1-row frame);
+    binning is a narrow projection and the histogram itself is a
+    20-group aggregate — two scans, no wide shuffle of the fact
+    table. Bin arithmetic is identical IEEE double ops on both engines.
+    """
+    orders = t(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(_HIST_BINS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _HIST_BINS
+            ),
+        )
+        .cast("int")
+        .alias("bin_idx"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin_idx", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    ).select(
+        "bin_idx",
+        F.round(
+            F.col("lo") + F.col("bin_idx") * (F.col("hi") - F.col("lo")) / _HIST_BINS,
+            6,
+        ).alias("bin_lo"),
+        "n_orders",
+    )
+
+
+DEBOUNCE_GAP_US = 10 * 60 * 1_000_000
+
+
+@register(
+    "events_debounce",
+    f"""
+WITH lagged AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > {DEBOUNCE_GAP_US}
+                 THEN 1 ELSE 0 END AS new_burst
+  FROM lagged),
+bursts AS (
+  SELECT *, SUM(new_burst) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS burst_id
+  FROM marked)
+SELECT user_id, event_type, event_id, CAST(ts_us AS BIGINT) AS ts_us
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type, burst_id
+                                   ORDER BY ts_us, event_id) AS rn
+      FROM bursts)
+WHERE rn = 1
+""",
+)
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: keep the FIRST event of each (user, type) burst, where a
+    burst is a chain of events each within 10 min of the previous one —
+    the event-log dedupe for repeated clicks / retried webhooks. Chained
+    semantics (an event extends the burst even if it is > gap from the
+    burst head) need the sessionize shape: lag → burst numbering by
+    running sum → first-per-burst. One shuffle on (user, type); all
+    three windows share the partitioning."""
+    ev = events_df(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    marked = ev.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "new_burst",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > DEBOUNCE_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    bursts = marked.withColumn(
+        "burst_id",
+        F.sum("new_burst").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wb = Window.partitionBy("user_id", "event_type", "burst_id").orderBy(
+        "ts_us", "event_id"
+    )
+    return (
+        bursts.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.col("ts_us").cast("long"))
+    )
