@@ -154,6 +154,7 @@ HEADLINE = [
     "retention_compact_sqltext",
     "orders_price_histogram",
     "events_debounce",
+    "streaming_click_attribution",
 ]
 
 

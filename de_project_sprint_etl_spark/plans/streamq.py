@@ -154,3 +154,59 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_start").alias("session_start_us"),
         "n_events",
     )
+
+
+@register(
+    "streaming_click_attribution",
+    """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+       p.value AS purchase_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join executed by the streaming engine:
+    purchases attributed to same-user clicks in the preceding hour
+    (jobs.attributed_purchases — watermarks on both sides + the time
+    bound make the state evictable). Inner stream-stream joins emit on
+    match, so the AvailableNow single-batch run emits exactly the batch
+    join's rows — hash-checked against a plain equi+range SQL join (the
+    oracle keeps the user_id equi key so DuckDB plans a hash join, not
+    its parallel IEJoin). The most stateful streaming operator in the
+    engine, inside the correctness gate."""
+    src = _events_stream_src(spark, sf_dir)
+    prev = _LAST_SINK.pop((id(spark), "attr"), None)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
+    name = f"stream_attr_sink_{next(_SINK_SEQ)}"
+    _LAST_SINK[(id(spark), "attr")] = name
+    stream = jobs.attributed_purchases(
+        jobs.read_event_stream(spark, src), within="1 hour", watermark="2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strq_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )
