@@ -155,6 +155,7 @@ HEADLINE = [
     "orders_price_histogram",
     "events_debounce",
     "streaming_click_attribution",
+    "streaming_running_totals",
 ]
 
 

@@ -210,3 +210,54 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.unix_micros("purchase_ts").alias("purchase_us"),
         "purchase_value",
     )
+
+
+@register(
+    "streaming_running_totals",
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY user_id
+""",
+)
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM Python stateful operator (``applyInPandasWithState``)
+    inside the correctness gate: per-user running (count, cents-sum)
+    state updated per micro-batch, integer-cent arithmetic so the final
+    state after the AvailableNow run is bit-identical to the batch
+    GROUP BY on any engine. Covers the escape-hatch tier the built-in
+    aggregations can't express — Arrow-batched, one state row per
+    user."""
+    src = _events_stream_src(spark, sf_dir)
+    prev = _LAST_SINK.pop((id(spark), "tot"), None)
+    if prev is not None:
+        spark.catalog.dropTempView(prev)
+    name = f"stream_tot_sink_{next(_SINK_SEQ)}"
+    _LAST_SINK[(id(spark), "tot")] = name
+    stream = jobs.running_user_totals_cents(jobs.read_event_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strq_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink may hold one row per (user, batch); the LAST
+    # update per user is the final state — single-batch here, but keep
+    # the reduction general
+    from pyspark.sql import Window as W
+
+    sink = spark.table(name)
+    return (
+        sink.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "sum_cents")
+    )

@@ -318,3 +318,38 @@ def user_value_ema(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+RUNNING_CENTS_SCHEMA = "user_id long, n_events long, sum_cents long"
+
+
+def running_user_totals_cents(events: DataFrame) -> DataFrame:
+    """The cross-engine-checkable twin of :func:`running_user_totals`:
+    value is converted to integer cents (``floor(v*100 + 0.5)`` —
+    identical IEEE ops in Spark, DuckDB, and numpy, unlike ``round``
+    whose tie rule differs) BEFORE the stateful sum, so the running
+    state is exact integers and the final answer is bit-identical to a
+    batch GROUP BY on any engine. This is how a production stateful
+    aggregator should carry money anyway."""
+    import numpy as np
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            s += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_CENTS_SCHEMA,
+        stateStructType="n long, s long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
