@@ -156,6 +156,7 @@ HEADLINE = [
     "events_debounce",
     "streaming_click_attribution",
     "streaming_running_totals",
+    "pysource_user_totals",
 ]
 
 

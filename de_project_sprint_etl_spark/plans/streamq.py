@@ -261,3 +261,72 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "sum_cents")
     )
+
+
+# --- custom Python DataSource (Spark 4 extension point) ---------------------
+
+_GEN_SHARDS, _GEN_ROWS, _GEN_USERS = 8, 12_500, 1_000
+_GEN_N = _GEN_SHARDS * _GEN_ROWS
+
+
+def _graftgen(spark: SparkSession) -> DataFrame:
+    from de_project_sprint_etl_spark.sources import pysource
+
+    pysource.register(spark)
+    return (
+        spark.read.format("graftgen")
+        .option("shards", str(_GEN_SHARDS))
+        .option("rowspershard", str(_GEN_ROWS))
+        .option("users", str(_GEN_USERS))
+        .load()
+    )
+
+
+@register(
+    "pysource_user_totals",
+    f"""
+SELECT (g.k * 2654435761) % {_GEN_USERS} AS user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM((g.k * 1315423911) % 100000) AS BIGINT) AS sum_cents
+FROM generate_series(0, {_GEN_N - 1}) AS g(k)
+GROUP BY 1
+""",
+)
+def q_pysource_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user totals read through the CUSTOM Python DataSource
+    (sources/pysource.py, Spark 4 `pyspark.sql.datasource` API): 100 k
+    rows generated shard-parallel on executors, aggregated with one
+    partial-combined shuffle. The generator is pure integer arithmetic
+    on the global row index, so the DuckDB oracle reproduces the whole
+    source from `generate_series` — a from-scratch connector inside
+    the correctness gate. (`sf_dir` unused: the source IS the data.)"""
+    df = _graftgen(spark)
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+
+
+_PRUNE_SHARD = 3
+
+
+@register(
+    "pysource_shard_pruned",
+    f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM((g.k * 1315423911) % 100000) AS BIGINT) AS sum_cents
+FROM generate_series({_PRUNE_SHARD * _GEN_ROWS},
+                     {(_PRUNE_SHARD + 1) * _GEN_ROWS - 1}) AS g(k)
+""",
+)
+def q_pysource_shard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`shard = 3` against the Python source: `pushFilters` consumes the
+    equality filter and `partitions()` emits ONE shard — the other 7 are
+    never generated (Python-source partition pruning, pinned by
+    `tests/test_curation.py::test_pysource_pushdown_prunes_partitions`).
+    The oracle integrates only that shard's index range."""
+    df = _graftgen(spark)
+    return df.filter(F.col("shard") == _PRUNE_SHARD).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

@@ -245,3 +245,37 @@ def test_sqltext_retention_broadcasts_week_dim(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pysource_pushdown_prunes_partitions():
+    """pushFilters must consume shard-equality filters and partitions()
+    must emit only the matching shard — the other shards are never
+    generated."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from de_project_sprint_etl_spark.sources.pysource import GraftGenReader
+
+    r = GraftGenReader({"shards": "8", "rowspershard": "100"})
+    rest = list(r.pushFilters([EqualTo(("shard",), 5), GreaterThan(("cents",), 10)]))
+    # the non-shard filter is handed back for Spark to re-apply
+    assert len(rest) == 1 and isinstance(rest[0], GreaterThan)
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].shard == 5
+    # unpruned reader generates every shard
+    r2 = GraftGenReader({"shards": "8", "rowspershard": "100"})
+    assert len(r2.partitions()) == 8
+
+
+def test_pysource_rows_are_deterministic(spark):
+    from de_project_sprint_etl_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("graftgen")
+        .option("shards", "2").option("rowspershard", "50").load()
+    )
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b and len(a) == 100
+    k = 73  # shard 1, row 23
+    assert (1, 73, (73 * 2654435761) % 1000, (73 * 1315423911) % 100000) in a
