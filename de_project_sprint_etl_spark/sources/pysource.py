@@ -24,11 +24,16 @@ arithmetic is overflow-free in Spark longs and DuckDB BIGINTs alike.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -96,6 +101,9 @@ class GraftGenDataSource(DataSource):
     def reader(self, schema: StructType) -> GraftGenReader:
         return GraftGenReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return GraftGenStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the `graftgen` format. Python-source
@@ -103,3 +111,117 @@ def register(spark) -> None:
     as partition pruning is the point of implementing `pushFilters`."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GraftGenDataSource)
+    spark.dataSource.register(GraftSinkDataSource)
+
+
+# --- write side: JSONL-shard sink with two-phase commit ----------------------
+
+
+@dataclass
+class _SinkCommit(WriterCommitMessage):
+    temp_path: str
+    rows: int
+
+
+class GraftSinkWriter(DataSourceWriter):
+    """Per-task JSONL writer with the two-phase commit the API is built
+    around: each task streams its partition to a temp file and returns a
+    commit message; the DRIVER promotes temps to final names and writes
+    a `_MANIFEST` only if every task succeeded (failed jobs leave no
+    visible output — the custom-sink analog of the `_SUCCESS` marker)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("graftsink requires a 'path' option")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str, sort_keys=True))
+                f.write("\n")
+                n += 1
+        return _SinkCommit(temp_path=tmp, rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.temp_path, final)
+            total += m.rows
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump({"rows": total, "parts": len(messages)}, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)
+
+
+class GraftSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "graftsink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> GraftSinkWriter:
+        return GraftSinkWriter(self.options)
+
+
+# --- streaming read side: deterministic micro-batch generator ----------------
+
+
+class GraftGenStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic micro-batch stream over the same integer row model:
+    offsets are plain `{"k": n}` dicts, each batch emits the next
+    `batchsize` global indices until `maxrows`, then empty batches —
+    replayable from any offset (`readBetweenOffsets`), which is what
+    gives a custom source exactly-once semantics under checkpoint
+    recovery."""
+
+    def __init__(self, options):
+        self.batch = int(options.get("batchsize", "1000"))
+        self.max_rows = int(options.get("maxrows", "5000"))
+        self.n_users = int(options.get("users", "1000"))
+
+    def initialOffset(self):
+        return {"k": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST, not a generator: the runner pickles and caches the
+        # prefetched batch so readBetweenOffsets can replay it
+        return [
+            (0, k, (k * A_USER) % self.n_users, (k * A_CENTS) % 100000)
+            for k in range(lo, hi)
+        ]
+
+    def read(self, start):
+        lo = start["k"]
+        hi = min(lo + self.batch, self.max_rows)
+        return self._rows(lo, hi), {"k": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["k"], end["k"])
+
+
+def graftgen_stream(spark, batchsize: int = 1000, maxrows: int = 5000):
+    register(spark)
+    return (
+        spark.readStream.format("graftgen")
+        .option("batchsize", str(batchsize))
+        .option("maxrows", str(maxrows))
+        .load()
+    )

@@ -279,3 +279,54 @@ def test_pysource_rows_are_deterministic(spark):
     assert a == b and len(a) == 100
     k = 73  # shard 1, row 23
     assert (1, 73, (73 * 2654435761) % 1000, (73 * 1315423911) % 100000) in a
+
+
+def test_pysource_sink_two_phase_commit(spark, tmp_path):
+    """Custom Python sink: per-task temp files promoted by the driver on
+    commit, _MANIFEST records the total, JSONL round-trips."""
+    import json
+    import os
+
+    from de_project_sprint_etl_spark.sources import pysource
+
+    pysource.register(spark)
+    d = str(tmp_path / "sink")
+    spark.range(100).selectExpr("id", "id * 2 AS v").write.format(
+        "graftsink"
+    ).option("path", d).mode("append").save()
+    manifest = json.load(open(os.path.join(d, "_MANIFEST")))
+    assert manifest["rows"] == 100
+    assert not [f for f in os.listdir(d) if f.startswith("_tmp-")]
+    back = spark.read.json(os.path.join(d, "part-*.jsonl"))
+    assert back.count() == 100
+    assert back.selectExpr("sum(v)").collect()[0][0] == sum(2 * i for i in range(100))
+
+
+def test_pysource_stream_reader_is_exact(spark):
+    """Custom Python STREAMING source: micro-batches over the integer row
+    model produce exactly the closed-form rows, then go quiescent."""
+    import time
+
+    from de_project_sprint_etl_spark.sources import pysource
+
+    s = pysource.graftgen_stream(spark, batchsize=500, maxrows=1500)
+    q = (
+        s.writeStream.format("memory")
+        .queryName("pysrc_t")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        for _ in range(120):
+            if spark.table("pysrc_t").count() >= 1500:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = {tuple(r) for r in spark.table("pysrc_t").collect()}
+    assert len(rows) == 1500
+    want = {
+        (0, k, (k * 2654435761) % 1000, (k * 1315423911) % 100000)
+        for k in range(1500)
+    }
+    assert rows == want
