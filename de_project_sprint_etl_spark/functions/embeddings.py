@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["l2_normalize", "quantize_int8", "label_centroids"]
+__all__ = ["l2_normalize", "quantize_int8", "label_centroids", "random_projection"]
 
 
 def _vecd(vec_col: str) -> Column:

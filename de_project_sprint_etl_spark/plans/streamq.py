@@ -27,16 +27,45 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_sprint_etl_spark.plans.llm import _CACHE_ROOT
+from de_project_sprint_etl_spark.plans.llm import _CACHE_ROOT, SESSION_GAP_US
 from de_project_sprint_etl_spark.plans.registry import register
 from de_project_sprint_etl_spark.plans.testdata import events_df
 from de_project_sprint_etl_spark.streaming import jobs
 
 _SINK_SEQ = itertools.count()
-#: last memory-sink table per session — dropped on the NEXT invocation
-#: (the caller still holds a plan over the current one), so a
-#: long-lived session re-running the query doesn't accumulate sinks.
-_LAST_SINK: dict[int, str] = {}
+#: last (memory-sink table, checkpoint dir) per (session, query tag) —
+#: both cleaned up on the NEXT invocation (the caller still holds a plan
+#: over the current sink), so a long-lived session re-running the
+#: streaming queries accumulates neither sinks nor /tmp checkpoints.
+#: A FRESH checkpoint per run is load-bearing: reusing one would resume
+#: from committed offsets and the re-run would see no data.
+_LAST_SINK: dict[tuple[int, str], tuple[str, str]] = {}
+
+
+def _run_to_sink(spark: SparkSession, tag: str, stream: DataFrame,
+                 mode: str) -> DataFrame:
+    """Drain ``stream`` into a fresh memory sink with AvailableNow and
+    return the sink table; drop the previous invocation's sink and
+    checkpoint for this (session, tag) first."""
+    import shutil
+
+    prev = _LAST_SINK.pop((id(spark), tag), None)
+    if prev is not None:
+        spark.catalog.dropTempView(prev[0])
+        shutil.rmtree(prev[1], ignore_errors=True)
+    name = f"stream_{tag}_sink_{next(_SINK_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix="strq_ckpt_")
+    _LAST_SINK[(id(spark), tag)] = (name, ckpt)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 def _events_stream_src(spark: SparkSession, sf_dir: str) -> str:
@@ -76,32 +105,16 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store → sink) with a batch-equal answer (see module
     docstring for why single-batch makes that exact)."""
     src = _events_stream_src(spark, sf_dir)
-    prev = _LAST_SINK.pop(id(spark), None)
-    if prev is not None:
-        spark.catalog.dropTempView(prev)
-    name = f"stream_win_sink_{next(_SINK_SEQ)}"
-    _LAST_SINK[id(spark)] = name
     stream = jobs.windowed_event_counts(
         jobs.read_event_stream(spark, src), window="1 hour", watermark="2 hours"
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strq_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_to_sink(spark, "win", stream, "complete").select(
         F.col("window_start").cast("string").alias("window_start"),
         "event_type",
         "n_events",
         "sum_value",
     )
 
-
-SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 @register(
@@ -132,24 +145,10 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on every session boundary. Single-batch contract as in
     streaming_windowed_counts."""
     src = _events_stream_src(spark, sf_dir)
-    prev = _LAST_SINK.pop((id(spark), "sess"), None)
-    if prev is not None:
-        spark.catalog.dropTempView(prev)
-    name = f"stream_sess_sink_{next(_SINK_SEQ)}"
-    _LAST_SINK[(id(spark), "sess")] = name
     stream = jobs.sessionize_stream(
         jobs.read_event_stream(spark, src), gap="30 minutes", watermark="2 hours"
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strq_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_to_sink(spark, "sess", stream, "complete").select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
         "n_events",
@@ -185,24 +184,10 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     its parallel IEJoin). The most stateful streaming operator in the
     engine, inside the correctness gate."""
     src = _events_stream_src(spark, sf_dir)
-    prev = _LAST_SINK.pop((id(spark), "attr"), None)
-    if prev is not None:
-        spark.catalog.dropTempView(prev)
-    name = f"stream_attr_sink_{next(_SINK_SEQ)}"
-    _LAST_SINK[(id(spark), "attr")] = name
     stream = jobs.attributed_purchases(
         jobs.read_event_stream(spark, src), within="1 hour", watermark="2 hours"
     )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strq_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _run_to_sink(spark, "attr", stream, "append").select(
         "user_id",
         "click_id",
         "purchase_id",
@@ -230,27 +215,13 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations can't express — Arrow-batched, one state row per
     user."""
     src = _events_stream_src(spark, sf_dir)
-    prev = _LAST_SINK.pop((id(spark), "tot"), None)
-    if prev is not None:
-        spark.catalog.dropTempView(prev)
-    name = f"stream_tot_sink_{next(_SINK_SEQ)}"
-    _LAST_SINK[(id(spark), "tot")] = name
     stream = jobs.running_user_totals_cents(jobs.read_event_stream(spark, src))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strq_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     # update-mode sink may hold one row per (user, batch); the LAST
     # update per user is the final state — single-batch here, but keep
     # the reduction general
     from pyspark.sql import Window as W
 
-    sink = spark.table(name)
+    sink = _run_to_sink(spark, "tot", stream, "update")
     return (
         sink.withColumn(
             "__rn",

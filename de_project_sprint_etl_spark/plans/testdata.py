@@ -175,15 +175,18 @@ def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Magnitude-adaptive epoch decode: the generator has already
         # changed this column's physical encoding once, so don't assume
         # nanos — epoch nanos are ~1.7e18, micros ~1.7e15, millis
-        # ~1.7e12 for any plausible fixture date, three non-overlapping
-        # magnitude bands. Row-level CASE, still a narrow projection.
+        # ~1.7e12, seconds ~1.7e9 for any plausible fixture date: four
+        # non-overlapping magnitude bands (each cutoff sits between
+        # adjacent encodings of any date from 1973 to 5138). Row-level
+        # CASE, still a narrow projection.
         ev = ev.withColumn(
             "ts",
             F.expr(
                 "timestamp_micros(CAST("
                 "CASE WHEN abs(ts) >= 100000000000000000 THEN ts DIV 1000 "
                 "     WHEN abs(ts) >= 100000000000000 THEN ts "
-                "     ELSE ts * 1000 END AS LONG))"
+                "     WHEN abs(ts) >= 100000000000 THEN ts * 1000 "
+                "     ELSE ts * 1000000 END AS LONG))"
             ),
         )
     elif ts_type != "timestamp":

@@ -59,7 +59,11 @@ class GraftGenReader(DataSourceReader):
 
     def pushFilters(self, filters):
         """Accept `shard = <k>` equality filters (partition pruning);
-        everything else is returned for Spark to re-apply."""
+        everything else is returned for Spark to re-apply. The filter
+        list is a CONJUNCTION, so multiple shard equalities INTERSECT —
+        two distinct values prune to the empty partition set (Catalyst
+        normally folds contradictions first, but the source contract
+        must not depend on that)."""
         for f in filters:
             if (
                 isinstance(f, EqualTo)
@@ -67,8 +71,9 @@ class GraftGenReader(DataSourceReader):
                 and isinstance(f.value, int)
             ):
                 if self.wanted_shards is None:
-                    self.wanted_shards = set()
-                self.wanted_shards.add(f.value)
+                    self.wanted_shards = {f.value}
+                else:
+                    self.wanted_shards &= {f.value}
             else:
                 yield f
 
@@ -130,8 +135,9 @@ class GraftSinkWriter(DataSourceWriter):
     a `_MANIFEST` only if every task succeeded (failed jobs leave no
     visible output — the custom-sink analog of the `_SUCCESS` marker)."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("graftsink requires a 'path' option")
 
@@ -153,16 +159,36 @@ class GraftSinkWriter(DataSourceWriter):
     def commit(self, messages):
         import json
         import os
+        import uuid
 
+        prior_rows = 0
+        if self.overwrite:
+            # clear the PREVIOUS job's visible output before promoting —
+            # without this a smaller overwrite leaves stale part files
+            # mixed in and the two-phase-commit guarantee is void
+            for f in os.listdir(self.path):
+                if f.startswith("part-") or f == "_MANIFEST":
+                    os.remove(os.path.join(self.path, f))
+        else:
+            mf = os.path.join(self.path, "_MANIFEST")
+            if os.path.exists(mf):
+                prior_rows = json.load(open(mf))["rows"]
+        # append mode: unique suffixes so part names never collide with
+        # an earlier job's files
+        run = uuid.uuid4().hex[:8]
         total = 0
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
-            os.replace(m.temp_path, final)
+            name = (
+                f"part-{i:05d}.jsonl"
+                if self.overwrite
+                else f"part-{run}-{i:05d}.jsonl"
+            )
+            os.replace(m.temp_path, os.path.join(self.path, name))
             total += m.rows
         with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
-            json.dump({"rows": total, "parts": len(messages)}, f)
+            json.dump({"rows": prior_rows + total, "parts": len(messages)}, f)
 
     def abort(self, messages):
         import os
@@ -178,7 +204,7 @@ class GraftSinkDataSource(DataSource):
         return "graftsink"
 
     def writer(self, schema: StructType, overwrite: bool) -> GraftSinkWriter:
-        return GraftSinkWriter(self.options)
+        return GraftSinkWriter(self.options, overwrite)
 
 
 # --- streaming read side: deterministic micro-batch generator ----------------

@@ -261,6 +261,10 @@ def test_pysource_pushdown_prunes_partitions():
     assert len(rest) == 1 and isinstance(rest[0], GreaterThan)
     parts = r.partitions()
     assert len(parts) == 1 and parts[0].shard == 5
+    # a second, contradictory equality intersects to the empty set (the
+    # filter list is a conjunction)
+    list(r.pushFilters([EqualTo(("shard",), 6)]))
+    assert r.partitions() == []
     # unpruned reader generates every shard
     r2 = GraftGenReader({"shards": "8", "rowspershard": "100"})
     assert len(r2.partitions()) == 8
@@ -300,6 +304,18 @@ def test_pysource_sink_two_phase_commit(spark, tmp_path):
     back = spark.read.json(os.path.join(d, "part-*.jsonl"))
     assert back.count() == 100
     assert back.selectExpr("sum(v)").collect()[0][0] == sum(2 * i for i in range(100))
+    # overwrite with a SMALLER job must leave no stale parts behind
+    spark.range(10).selectExpr("id", "id AS v").coalesce(1).write.format(
+        "graftsink"
+    ).option("path", d).mode("overwrite").save()
+    assert spark.read.json(os.path.join(d, "part-*.jsonl")).count() == 10
+    assert json.load(open(os.path.join(d, "_MANIFEST")))["rows"] == 10
+    # append adds uniquely-named parts and accumulates the manifest
+    spark.range(5).selectExpr("id", "id AS v").coalesce(1).write.format(
+        "graftsink"
+    ).option("path", d).mode("append").save()
+    assert spark.read.json(os.path.join(d, "part-*.jsonl")).count() == 15
+    assert json.load(open(os.path.join(d, "_MANIFEST")))["rows"] == 15
 
 
 def test_pysource_stream_reader_is_exact(spark):

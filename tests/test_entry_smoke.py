@@ -115,6 +115,7 @@ def test_events_ts_decode_adapts_to_physical_type(spark, tmp_path):
         "nanos_long": pa.array([m * 1000 for m in micros], pa.int64()),
         "micros_long": pa.array(micros, pa.int64()),
         "millis_long": pa.array([m // 1000 for m in micros], pa.int64()),
+        "seconds_long": pa.array([m // 1_000_000 for m in micros], pa.int64()),
         "ts_ntz": pa.array(micros, pa.timestamp("us")),
         "ts_utc": pa.array(micros, pa.timestamp("us", tz="UTC")),
     }
