@@ -517,3 +517,38 @@ def test_streaming_transform_with_state_across_batches(spark, tmp_path):
         got[r.user_id] = r.n_events
     want = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_streaming_cents_totals_exact_across_batches(spark, tmp_path):
+    """running_user_totals_cents carries integer state across
+    micro-batches and the final per-user totals are EXACTLY the batch
+    answer (integer cents — no float tolerance needed; this is the
+    hash-checked registry op's cross-batch guarantee)."""
+    src = str(tmp_path / "cents_arrivals")
+    ev = events(spark, 300)
+    ev.repartition(20).write.parquet(src)  # 20 files / 8 per trigger -> 3 batches
+
+    totals = jobs.running_user_totals_cents(jobs.read_event_stream(spark, src))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("cents_tot")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("cents_tot").collect():  # batch order: keep last
+        got[r.user_id] = (r.n_events, r.sum_cents)
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.coalesce("value", F.lit(0.0)) * 100.0 + 0.5).cast("long")
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
