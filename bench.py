@@ -157,6 +157,7 @@ HEADLINE = [
     "streaming_click_attribution",
     "streaming_running_totals",
     "pysource_user_totals",
+    "events_rollup_cascade",
 ]
 
 

@@ -1007,3 +1007,54 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", F.col("ts_us").cast("long"))
     )
+
+
+# --- hypertable-style cascade rollup ----------------------------------------
+
+
+@register(
+    "events_rollup_cascade",
+    """
+SELECT CAST(CAST(DATE_TRUNC('day', ts) AS DATE) AS VARCHAR) AS day_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable/continuous-aggregate cascade: the DAILY rollup is
+    built FROM the hourly partial aggregates, not from raw events —
+    the TimescaleDB-style pattern where each coarser level reaggregates
+    the finer level's partials (count→sum, sum→sum are
+    self-combinable). At 100 TB the hourly table is what's materialized
+    and the daily/monthly queries never touch the raw fact table; here
+    the oracle aggregates the raw events directly, so the hash check
+    proves the cascade is lossless. Money stays DECIMAL until the final
+    cast, so partial re-summation is exact."""
+    hourly = (
+        events_df(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "hour_start").alias("__day"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("__day").cast("date").cast("string").alias("day_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
