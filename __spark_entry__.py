@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from de_project_sprint_etl_spark.plans import oracle_canon  # noqa: E402
 from de_project_sprint_etl_spark.plans import registry  # noqa: E402
 from de_project_sprint_etl_spark.plans import testdata  # noqa: E402,F401 — registers core queries
 from de_project_sprint_etl_spark.plans import llm  # noqa: E402,F401 — registers dedup/similarity/text ops
@@ -52,5 +53,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (omitted only
     for ops whose semantics are not SQL-expressible — those get the
-    driver's weaker rows-only check)."""
-    return dict(registry.ORACLES)
+    driver's weaker rows-only check). Every string is routed through
+    the type-canonicalizing rewrite (``plans.oracle_canon``) so a
+    fixture-generator physical-type drift — which zeroed round 2 before
+    the Spark-side coercion existed — cannot break the oracle side
+    either; when the fixture matches the canonical schema the rewrite
+    is value-neutral (the full differential run is the proof)."""
+    return {
+        name: oracle_canon.canonicalize(sql)
+        for name, sql in registry.ORACLES.items()
+    }

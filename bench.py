@@ -158,6 +158,7 @@ HEADLINE = [
     "streaming_running_totals",
     "pysource_user_totals",
     "events_rollup_cascade",
+    "semdedup_embeddings",
 ]
 
 

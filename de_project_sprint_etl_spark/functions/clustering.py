@@ -111,9 +111,10 @@ def kmeans(
     )
 
 
-def sql_kmeans(rel: str, k: int = 8, iterations: int = 2) -> str:
-    """DuckDB mirror of :func:`kmeans`: iterations unrolled as CTEs,
-    identical init / fold order / tie-breaks."""
+def sql_kmeans_ctes(rel: str, k: int = 8, iterations: int = 2) -> str:
+    """The CTE chain of the DuckDB k-means mirror, for composition into
+    larger oracles (e.g. SemDeDup): defines ``e`` (vec_id, ev) and the
+    final assignment ``afinal`` (vec_id, cid, d2)."""
     d2 = (
         "list_aggregate(list_transform(range(1, len(e.ev) + 1),"
         " i -> (e.ev[i] - c.cv[i]) * (e.ev[i] - c.cv[i])), 'sum')"
@@ -158,8 +159,102 @@ def sql_kmeans(rel: str, k: int = 8, iterations: int = 2) -> str:
         )
         prev_c = f"c{t + 1}"
     ctes.append(assign_cte("afinal", prev_c))
+    return ",\n".join(ctes)
+
+
+def sql_kmeans(rel: str, k: int = 8, iterations: int = 2) -> str:
+    """DuckDB mirror of :func:`kmeans`: iterations unrolled as CTEs,
+    identical init / fold order / tie-breaks."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + sql_kmeans_ctes(rel, k, iterations)
         + "\nSELECT vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM afinal"
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    min_cos: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means clustering + within-cluster cosine
+    pruning. Cluster the embeddings, compare pairs ONLY inside each
+    cluster, and drop every vector that has an above-threshold neighbor
+    with a smaller id (min-id canonical keeps exactly one per semantic
+    clique discovered through the pair relation).
+
+    Output: ``vec_id, cluster, kept`` for EVERY input vector — the keep
+    decision is the dataset transform a curation pipeline applies.
+
+    Scale shape: clustering is the whole point of the algorithm — the
+    O(n²) cosine comparison is confined to cluster-sized blocks. k must
+    grow with the corpus (the paper uses k ≈ 11k for 1.3 B embeddings,
+    i.e. cluster sizes ~100k; at any corpus size pick k so clusters fit
+    a partition). The pair join shuffles on cluster id; the drop set is
+    a tiny fraction of the corpus and joins back as a broadcast.
+
+    Cross-engine determinism: k-means per :func:`kmeans`; cosine is the
+    prenormed strict-order fold shared with the ANN ops, rounded to 6
+    decimals BEFORE thresholding on both engines.
+    """
+    from de_project_sprint_etl_spark.functions.similarity import (
+        _dvec,
+        cosine_prenormed,
+        l2norm,
+    )
+
+    assign = kmeans(emb, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col)
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
+    ).withColumn("n", l2norm(F.col("v")))
+    mem = assign.select("vec_id", "cluster").join(e, "vec_id")
+    a, b = mem.alias("a"), mem.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(
+                cosine_prenormed(
+                    F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n")
+                ),
+                6,
+            )
+            >= min_cos
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        mem.join(F.broadcast(drops), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def sql_semdedup(rel: str, k: int = 8, iterations: int = 2, min_cos: float = 0.95) -> str:
+    """DuckDB mirror of :func:`semdedup` (same k-means replay, same
+    rounded-cosine threshold, same min-id drop rule)."""
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))"
+    )
+    return f"""WITH {sql_kmeans_ctes(rel, k, iterations)},
+mem AS (SELECT a.vec_id, a.cid AS cluster, e.ev AS v
+        FROM afinal a JOIN e USING (vec_id)),
+drops AS (SELECT DISTINCT b.vec_id
+          FROM mem a JOIN mem b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE ROUND({cos}, 6) >= {min_cos})
+SELECT m.vec_id, m.cluster, d.vec_id IS NULL AS kept
+FROM mem m LEFT JOIN drops d USING (vec_id)"""

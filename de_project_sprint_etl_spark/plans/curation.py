@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_sprint_etl_spark.functions import dedup, embeddings, similarity
+from de_project_sprint_etl_spark.functions import clustering, dedup, embeddings, similarity
 from de_project_sprint_etl_spark.functions.text import SQL_NORM, h64, sql_h64
 from de_project_sprint_etl_spark.plans.llm import (
     LSH_TABLES,
@@ -41,7 +41,9 @@ from de_project_sprint_etl_spark.plans.llm import (
     SQL_ANN_BRUTE,
     SQL_ANN_LSH,
     SQL_DOCS_MUT,
+    SQL_EMB_COPIES,
     docs_with_mutants,
+    emb_with_copies,
     fan_out,
 )
 from de_project_sprint_etl_spark.plans.registry import register
@@ -311,4 +313,23 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = sigs.filter(F.col("id") < MUT_OFFSET)
     return dedup.minhash_lsh_pairs_against(
         inc, snap, num_hashes=16, bands=4, min_est_jaccard=0.5
+    )
+
+
+# --- SemDeDup (semantic dedup: k-means + within-cluster cosine) -------------
+
+
+@register(
+    "semdedup_embeddings",
+    clustering.sql_semdedup(f"({SQL_EMB_COPIES}) ec", k=8, iterations=2, min_cos=0.95),
+)
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means over the embedding corpus
+    (with injected exact copies), cosine comparison confined to each
+    cluster, min-id canonical keeps one vector per semantic clique —
+    the clustering bounds the O(n²) comparison to cluster-sized blocks,
+    which is the property that survives web scale (extension op;
+    functions/clustering.semdedup)."""
+    return clustering.semdedup(
+        emb_with_copies(spark, sf_dir), k=8, iterations=2, min_cos=0.95
     )

@@ -346,3 +346,40 @@ def test_pysource_stream_reader_is_exact(spark):
         for k in range(1500)
     }
     assert rows == want
+
+
+def test_semdedup_drops_exact_copies_keeps_min_id(spark):
+    """SemDeDup semantics on a constructed corpus: exact copies always
+    share a cluster (identical vectors), their cosine is 1.0, and the
+    min-id member is the one kept; vectors with no above-threshold
+    neighbor are all kept."""
+    from de_project_sprint_etl_spark.functions.clustering import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (101, [1.0, 0.0, 0.0, 0.0]),   # copy of 1
+        (102, [0.0, 1.0, 0.0, 0.0]),   # copy of 2
+        (103, [0.70, 0.71, 0.0, 0.0]), # not a near-dup of anything @0.95
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.kept for r in semdedup(emb, k=3, iterations=1).collect()}
+    assert out[1] and out[2] and out[3], out
+    assert not out[101] and not out[102], out
+    assert out[103], out
+
+
+def test_semdedup_pair_comparison_is_cluster_blocked(spark):
+    """The O(n²) comparison must be blocked by the cluster id: the pair
+    join condition includes the cluster equality, so the physical plan
+    joins on cluster — not a cross join over the corpus."""
+    from de_project_sprint_etl_spark.functions.clustering import semdedup
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0, 0.0]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = semdedup(emb, k=4, iterations=1)._jdf.queryExecution().executedPlan().toString()
+    # the drops-side self-join must be an equi-join (hash/sort-merge on
+    # cluster), never a CartesianProduct / BroadcastNestedLoopJoin scan
+    # of all pairs
+    assert "CartesianProduct" not in plan, plan

@@ -132,3 +132,108 @@ def test_events_ts_decode_adapts_to_physical_type(spark, tmp_path):
         )
         td._SCAN_CACHE.clear()
     assert len({tuple(v) for v in seen.values()}) == 1, seen
+
+
+def test_drifted_fixture_keeps_gate_green(spark, tmp_path):
+    """End-to-end drift-proofing for BOTH sides of the correctness gate.
+
+    Round 2 was zeroed by a fixture-generator physical-type change
+    (events.ts int64-nanos → timestamp[us]). The Spark scan layer now
+    coerces drift (tests above) and ``oracle_sql()`` routes every
+    oracle through ``plans.oracle_canon.canonicalize``. This test
+    regenerates that scenario deliberately: a fixture dir whose
+    physical types are ALL plausibly drifted (epoch-nanos events,
+    int32 keys, decimal money, DATE dates) must still produce
+    value-identical Spark-vs-DuckDB results through the same compare
+    the driver uses (columns sorted by name, rows sorted, stringified
+    values)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from de_project_sprint_etl_spark.plans import testdata as td
+
+    src = "/root/testdata/sf0.001"
+
+    ev = pq.read_table(f"{src}/events.parquet")
+    ts = ev.column("ts")
+    if not pa.types.is_timestamp(ts.type):
+        ts = pc.cast(ts, pa.timestamp("us"))
+    nanos = pc.multiply(pc.cast(ts, pa.int64()), pa.scalar(1000, pa.int64()))
+    ev = ev.set_column(ev.schema.get_field_index("ts"), "ts", nanos)
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+
+    li = pq.read_table(f"{src}/lineitem.parquet")
+
+    def recast(tbl, col, typ):
+        i = tbl.schema.get_field_index(col)
+        return tbl.set_column(i, col, pc.cast(tbl.column(col), typ))
+
+    li = recast(li, "l_orderkey", pa.int32())
+    li = recast(li, "l_quantity", pa.decimal128(14, 2))
+    li = recast(li, "l_extendedprice", pa.decimal128(14, 2))
+    li = recast(li, "l_discount", pa.decimal128(14, 4))
+    li = recast(li, "l_tax", pa.decimal128(14, 4))
+    li = recast(li, "l_shipdate", pa.date32())
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+
+    con = duckdb.connect()
+    for tname in ("events", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {tname} AS "
+            f"SELECT * FROM read_parquet('{tmp_path}/{tname}.parquet')"
+        )
+    oracles = entry_mod.oracle_sql()
+    try:
+        for name in ("events_windowed_agg", "tpch_q1_pricing_summary"):
+            sdf = _QUERIES[name](spark, str(tmp_path))
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(str(r[c]) for c in scols) for r in sdf.collect()
+            )
+            rel = con.execute(f"SELECT * FROM ({oracles[name]}) q")
+            dcols = [d[0] for d in rel.description]
+            order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            drows = sorted(
+                tuple(str(row[i]) for i in order) for row in rel.fetchall()
+            )
+            assert scols == sorted(dcols), name
+            assert srows == drows, (
+                name,
+                srows[:3],
+                drows[:3],
+            )
+            assert srows, f"{name} returned no rows on the drifted fixture"
+    finally:
+        td._SCAN_CACHE.clear()
+
+
+def test_oracle_canonicalize_rewrite_shapes():
+    """The rewrite must catch FROM/JOIN refs with and without aliases,
+    comma-list refs (TPC-H Q21 style), and must NOT touch qualified
+    column refs, CTE names, or other identifiers containing a table
+    name."""
+    from de_project_sprint_etl_spark.plans.oracle_canon import canonicalize
+
+    out = canonicalize("SELECT * FROM events WHERE user_id = 1")
+    assert "FROM (SELECT" in out and out.count("AS events") == 1
+
+    out = canonicalize("SELECT e.ts FROM events e JOIN orders o ON 1=1")
+    assert " AS e JOIN (SELECT" in out and " AS o ON 1=1" in out
+
+    out = canonicalize("FROM supplier, lineitem l1, orders, nation WHERE x")
+    for frag in (" AS supplier,", " AS l1,", " AS orders,", " AS nation WHERE"):
+        assert frag in out, (frag, out)
+
+    # alias-position keywords are not aliases
+    out = canonicalize("SELECT 1 FROM events\nWHERE value > 0")
+    assert "AS events" in out and "WHERE value > 0" in out
+    out = canonicalize("SELECT user_id FROM events GROUP BY user_id")
+    assert "AS events GROUP BY user_id" in out
+
+    # untouched: CTE self-names, qualified refs, function-call lookalikes
+    sql = "WITH my_events AS (SELECT events.ts FROM events) SELECT * FROM my_events"
+    out = canonicalize(sql)
+    assert "FROM my_events" in out and "events.ts" in out
+    assert out.count("FROM (SELECT") == 1
