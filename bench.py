@@ -159,6 +159,7 @@ HEADLINE = [
     "pysource_user_totals",
     "events_rollup_cascade",
     "semdedup_embeddings",
+    "dsir_importance_weights",
 ]
 
 

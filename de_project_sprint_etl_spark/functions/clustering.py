@@ -211,7 +211,10 @@ def semdedup(
     e = emb.select(
         F.col(id_col).alias("vec_id"), _dvec(vec_col).alias("v")
     ).withColumn("n", l2norm(F.col("v")))
-    mem = assign.select("vec_id", "cluster").join(e, "vec_id")
+    # the member table feeds three consumers (both pair-join sides and
+    # the final output); without a persist the whole k-means subtree
+    # re-executes for each (measured 3x the query cost at sf0.1)
+    mem = assign.select("vec_id", "cluster").join(e, "vec_id").persist()
     a, b = mem.alias("a"), mem.alias("b")
     drops = (
         a.join(

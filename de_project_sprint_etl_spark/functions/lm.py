@@ -368,3 +368,156 @@ FROM pairs
 ORDER BY cnt DESC, "left", "right"
 LIMIT {k}
 """
+
+
+# --- DSIR (Data Selection via Importance Resampling) ------------------------
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how much more likely its hashed-bigram bag
+    is under a bag-of-ngrams model of the ``target`` corpus than under
+    the model of the raw corpus itself. Selecting the top-weighted
+    documents (or Gumbel-resampling on the weights) is the DSIR data
+    selection step; the weights are the engine op.
+
+    Features: adjacent-token bigrams hashed into ``buckets`` buckets
+    (the hashing trick bounds model width at any corpus size). Models:
+    add-one-smoothed bucket frequencies; ``log2`` importance ratio
+    ``log2 p_tgt(b) - log2 p_raw(b)`` summed over each doc's buckets
+    weighted by count. Documents with no bigram features are dropped
+    (no evidence either way), same contract as ``bigram_lm_score``.
+
+    Output: ``doc_id, n_feats, logw`` (logw in bits, rounded to 6).
+
+    Scale shape: the two models are partial-combined aggregations over
+    a ≤``buckets``-row key space — the Zipf head collapses map-side and
+    the ratio table is broadcast back, so the corpus shuffles only on
+    (doc, bucket) types. Cross-engine determinism: exact-integer
+    probability ratios, per-doc bucket-sorted in-row fold (same
+    contract as the bigram LM above).
+    """
+    from de_project_sprint_etl_spark.functions.text import h64
+
+    def bigram_buckets(df: DataFrame, keep_id: bool) -> DataFrame:
+        ids = [F.col(id_col).alias("doc_id")] if keep_id else []
+        out = (
+            df.select(*ids, F.col(text_col).alias("__t"))
+            .withColumn("__toks", tokens(F.col("__t")))
+            .select(*(["doc_id"] if keep_id else []),
+                    F.explode(_bigram_structs(F.col("__toks"))).alias("b"))
+            .select(*(["doc_id"] if keep_id else []), "b.w1", "b.w2")
+            .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+        )
+        # h64 is non-negative (60-bit), so % == pmod on both engines
+        return out.withColumn(
+            "bucket", h64(F.concat_ws(" ", "w1", "w2")) % F.lit(buckets)
+        )
+
+    raw = bigram_buckets(docs, False).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw")
+    )
+    tgt = bigram_buckets(target, False).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_tgt")
+    )
+    totals = raw.agg(F.sum("c_raw").alias("n_raw")).crossJoin(
+        tgt.agg(F.sum("c_tgt").alias("n_tgt"))
+    )
+    # raw is trained on the scored corpus itself, so every doc bucket
+    # hits a raw row; target buckets may be absent (c_tgt -> 0)
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log2(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1))
+                    / (F.col("n_tgt") + F.lit(buckets)).cast("double")
+                )
+                - F.log2(
+                    (F.col("c_raw") + F.lit(1))
+                    / (F.col("n_raw") + F.lit(buckets)).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    doc_feat = bigram_buckets(docs, True).groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    terms = doc_feat.join(F.broadcast(ratio), "bucket").select(
+        "doc_id", "bucket", "cnt",
+        (F.col("cnt").cast("double") * F.col("lr")).alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sort_array(F.collect_list(F.struct("bucket", "term"))).alias("__ts"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_feats").cast("bigint").alias("n_feats"),
+            F.round(
+                F.aggregate(
+                    "__ts", F.lit(0.0).cast("double"), lambda acc, x: acc + x["term"]
+                ),
+                6,
+            ).alias("logw"),
+        )
+    )
+
+
+def sql_dsir_importance(
+    rel: str, target_rel: str, buckets: int = 512, text_col: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`dsir_importance`: same tokenization,
+    bucket hash, add-one models, and bucket-sorted fold."""
+    from de_project_sprint_etl_spark.functions.text import sql_h64
+
+    toks = SQL_TOKENS.format(c=text_col)
+    pair_expr = "CONCAT(w1, ' ', w2)"
+    bucket = f"{sql_h64(pair_expr)} % {buckets}"
+    return f"""
+WITH raw_tok AS (SELECT doc_id, {toks} AS t FROM {rel}),
+tgt_tok AS (SELECT doc_id, {toks} AS t FROM {target_rel}),
+raw_big AS (
+  SELECT doc_id, {bucket} AS bucket
+  FROM (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM raw_tok, UNNEST(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS r(i)
+        WHERE LENGTH(t[i]) > 0 AND LENGTH(t[i + 1]) > 0) s
+),
+tgt_big AS (
+  SELECT {bucket} AS bucket
+  FROM (SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM tgt_tok, UNNEST(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS r(i)
+        WHERE LENGTH(t[i]) > 0 AND LENGTH(t[i + 1]) > 0) s
+),
+raw_m AS (SELECT bucket, COUNT(*) AS c_raw FROM raw_big GROUP BY bucket),
+tgt_m AS (SELECT bucket, COUNT(*) AS c_tgt FROM tgt_big GROUP BY bucket),
+tot AS (SELECT (SELECT SUM(c_raw) FROM raw_m) AS n_raw,
+               (SELECT SUM(c_tgt) FROM tgt_m) AS n_tgt),
+ratio AS (
+  SELECT r.bucket,
+         LOG2((COALESCE(g.c_tgt, 0) + 1) / CAST(t.n_tgt + {buckets} AS DOUBLE))
+           - LOG2((r.c_raw + 1) / CAST(t.n_raw + {buckets} AS DOUBLE)) AS lr
+  FROM raw_m r LEFT JOIN tgt_m g USING (bucket) CROSS JOIN tot t
+),
+doc_feat AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+             FROM raw_big GROUP BY doc_id, bucket),
+terms AS (SELECT d.doc_id, d.bucket, d.cnt,
+                 CAST(d.cnt AS DOUBLE) * r.lr AS term
+          FROM doc_feat d JOIN ratio r USING (bucket)),
+agg AS (SELECT doc_id, SUM(cnt) AS n_feats,
+               list_sort(list({{'bucket': bucket, 'term': term}})) AS ts
+        FROM terms GROUP BY doc_id)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       ROUND(list_aggregate(list_transform(ts, x -> x.term), 'sum'), 6) AS logw
+FROM agg
+"""

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_project_sprint_etl_spark.functions import clustering, dedup, embeddings, similarity
+from de_project_sprint_etl_spark.functions import clustering, dedup, embeddings, lm, similarity
 from de_project_sprint_etl_spark.functions.text import SQL_NORM, h64, sql_h64
 from de_project_sprint_etl_spark.plans.llm import (
     LSH_TABLES,
@@ -321,7 +321,7 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_embeddings",
-    clustering.sql_semdedup(f"({SQL_EMB_COPIES}) ec", k=8, iterations=2, min_cos=0.95),
+    clustering.sql_semdedup(f"({SQL_EMB_COPIES}) ec", k=8, iterations=1, min_cos=0.95),
 )
 def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means over the embedding corpus
@@ -331,5 +331,27 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is the property that survives web scale (extension op;
     functions/clustering.semdedup)."""
     return clustering.semdedup(
-        emb_with_copies(spark, sf_dir), k=8, iterations=2, min_cos=0.95
+        emb_with_copies(spark, sf_dir), k=8, iterations=1, min_cos=0.95
+    )
+
+
+# --- DSIR importance weights (targeted data selection) ----------------------
+
+
+@register(
+    "dsir_importance_weights",
+    lm.sql_dsir_importance(
+        "documents", "(SELECT * FROM documents WHERE lang = 'en') tg", buckets=512
+    ),
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): hashed-bigram importance weights of every
+    document against an English-target bag-of-ngrams model — the data
+    selection step that reweights a raw crawl toward a target domain.
+    Models are ≤512-bucket partial-combined aggs broadcast back; the
+    corpus shuffles only on (doc, bucket) types (extension op;
+    functions/lm.dsir_importance)."""
+    docs = fan_out(spark, t(spark, sf_dir, "documents"))
+    return lm.dsir_importance(
+        docs, docs.filter(F.col("lang") == "en"), buckets=512
     )

@@ -56,15 +56,28 @@ def _run_to_sink(spark: SparkSession, tag: str, stream: DataFrame,
     name = f"stream_{tag}_sink_{next(_SINK_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix="strq_ckpt_")
     _LAST_SINK[(id(spark), tag)] = (name, ckpt)
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # A streaming query locks its state-partition count to
+    # spark.sql.shuffle.partitions at first start of the checkpoint.
+    # These gate queries drain ONE micro-batch of fixture-sized state,
+    # where per-partition state-store open/commit is the dominant cost —
+    # 32 partitions is pure fixed overhead here (measured ~2x on the
+    # stream-stream join). 8 keeps the run parallel but cheap; a real
+    # deployment sizes this to cluster width instead, which is why it is
+    # scoped to the drain and restored after, never set session-wide.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.table(name)
 
 

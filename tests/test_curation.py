@@ -383,3 +383,24 @@ def test_semdedup_pair_comparison_is_cluster_blocked(spark):
     # cluster), never a CartesianProduct / BroadcastNestedLoopJoin scan
     # of all pairs
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """DSIR sanity on a constructed corpus: documents whose bigrams
+    match the target distribution must score strictly higher than
+    documents made of bigrams absent from the target."""
+    from de_project_sprint_etl_spark.functions.lm import dsir_importance
+
+    target_like = "the quick brown fox jumps over the lazy dog"
+    offbeat = "zzq qqx xxv vvw wwu uut ttr rrs ssp ppo"
+    docs = spark.createDataFrame(
+        [(1, target_like), (2, offbeat), (3, target_like)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, target_like), (11, "quick brown fox and lazy dog again")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.logw for r in dsir_importance(docs, target, buckets=64).collect()}
+    assert out[1] > out[2] and out[3] > out[2], out
+    assert out[1] == out[3], out  # identical docs, identical weight
