@@ -160,6 +160,7 @@ HEADLINE = [
     "events_rollup_cascade",
     "semdedup_embeddings",
     "dsir_importance_weights",
+    "linreg_quality_train",
 ]
 
 

@@ -739,3 +739,50 @@ def q_pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<|eos|>",
         ).alias("packed_text"),
     )
+
+
+# --- in-engine supervised training (GD linear model) ------------------------
+
+from de_project_sprint_etl_spark.functions import ml as _ml  # noqa: E402
+from de_project_sprint_etl_spark.functions import text as _text  # noqa: E402
+from de_project_sprint_etl_spark.plans.llm import _sql_text_quality  # noqa: E402
+
+_LINREG_FEATS_SQL = f"""(
+  SELECT q.doc_id,
+         [1.0, q.stopword_ratio,
+          ROUND(LEAST(q.n_tokens / 100.0, 1.0), 6), q.punct_ratio] AS xs,
+         CAST(CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+  FROM ({_sql_text_quality('documents')}) q
+  JOIN documents d USING (doc_id)) fx"""
+
+
+@register(
+    "linreg_quality_train",
+    _ml.sql_linreg_gd(_LINREG_FEATS_SQL, n_features=4, iterations=3, lr=0.5),
+)
+def q_linreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine supervised training: a linear quality model (is-English
+    from text statistics) fit by 3 full-batch GD steps entirely inside
+    the engine, then applied back to every document — the learned-filter
+    step of a curation pipeline, with the whole training run replayed
+    bit-exactly by the DuckDB oracle (extension op;
+    functions/ml.linreg_gd — same engine-replayable iterative tier as
+    k-means and PageRank). Features are pre-rounded ratios of exact
+    integers, so both engines descend from identical doubles."""
+    from de_project_sprint_etl_spark.plans.llm import fan_out
+
+    docs = fan_out(
+        spark, t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    s = _text.with_text_stats(docs, "text")
+    feats = s.select(
+        "doc_id",
+        F.array(
+            F.lit(1.0),
+            F.col("stopword_ratio"),
+            F.round(F.least(F.col("n_tokens") / 100.0, F.lit(1.0)), 6),
+            F.col("punct_ratio"),
+        ).alias("xs"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).cast("double").alias("y"),
+    )
+    return _ml.linreg_gd(feats, n_features=4, iterations=3, lr=0.5)

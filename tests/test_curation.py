@@ -404,3 +404,28 @@ def test_dsir_weights_favor_target_like_docs(spark):
     out = {r.doc_id: r.logw for r in dsir_importance(docs, target, buckets=64).collect()}
     assert out[1] > out[2] and out[3] > out[2], out
     assert out[1] == out[3], out  # identical docs, identical weight
+
+
+def test_linreg_gd_matches_closed_form_descent(spark):
+    """The in-engine GD must compute exactly the textbook full-batch
+    update: replay the same descent in plain Python and compare
+    predictions to 6 decimals."""
+    from de_project_sprint_etl_spark.functions.ml import linreg_gd
+
+    rows = [
+        (1, [1.0, 0.2], 1.0),
+        (2, [1.0, 0.9], 0.0),
+        (3, [1.0, 0.5], 1.0),
+        (4, [1.0, 0.7], 0.0),
+    ]
+    feats = spark.createDataFrame(rows, "doc_id long, xs array<double>, y double")
+    got = {r.doc_id: r.pred for r in linreg_gd(feats, 2, iterations=3, lr=0.5).collect()}
+
+    w = [0.0, 0.0]
+    n = len(rows)
+    for _ in range(3):
+        resid = [sum(x * wj for x, wj in zip(xs, w)) - y for _, xs, y in rows]
+        grad = [sum(r * xs[j] for r, (_, xs, _y) in zip(resid, rows)) for j in range(2)]
+        w = [wj - 0.5 * g / n for wj, g in zip(w, grad)]
+    want = {i: round(sum(x * wj for x, wj in zip(xs, w)), 6) for i, xs, _ in rows}
+    assert got == pytest.approx(want), (got, want)
