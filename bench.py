@@ -161,6 +161,7 @@ HEADLINE = [
     "semdedup_embeddings",
     "dsir_importance_weights",
     "linreg_quality_train",
+    "pq_encode_embeddings",
 ]
 
 

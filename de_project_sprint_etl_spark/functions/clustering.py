@@ -261,3 +261,139 @@ drops AS (SELECT DISTINCT b.vec_id
           WHERE ROUND({cos}, 6) >= {min_cos})
 SELECT m.vec_id, m.cluster, d.vec_id IS NULL AS kept
 FROM mem m LEFT JOIN drops d USING (vec_id)"""
+
+
+def kmeans_grouped(
+    vec: DataFrame,
+    k: int = 16,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "ev",
+    group_col: str = "grp",
+) -> DataFrame:
+    """Group-wise Lloyd k-means: an independent codebook per ``group_col``
+    value, trained in ONE set of dataframe passes (no per-group driver
+    loop). This is the training step of product quantization — each
+    subspace is a group — and of any per-partition clustering (e.g.
+    per-language embedding clustering).
+
+    Same determinism contract as :func:`kmeans` (k lowest-id init per
+    group, strict-order distance folds, (d2, cid) argmin tie-break,
+    id-sorted centroid means); output ``grp, vec_id, cluster, d2``.
+
+    Scale shape: centroids are k × |groups| rows broadcast into the
+    assignment join on the group key; the update shuffles
+    (group, cid, dim) cells. The corpus never shuffles for assignment.
+    """
+    e = vec.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("ev"),
+    )
+    iw = Window.partitionBy("grp").orderBy("vec_id")
+    centroids = (
+        e.withColumn("__rn", F.row_number().over(iw))
+        .filter(F.col("__rn") <= k)
+        .select("grp", (F.col("__rn") - 1).alias("cid"), F.col("ev").alias("cv"))
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        w = Window.partitionBy("grp", "vec_id").orderBy(
+            F.col("d2").asc(), F.col("cid").asc()
+        )
+        return (
+            e.join(F.broadcast(cent), "grp")
+            .select("grp", "vec_id", "cid", _sqdist(F.col("ev"), F.col("cv")).alias("d2"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    for _ in range(iterations):
+        assigned = assign(centroids)
+        cells = assigned.join(e, ["grp", "vec_id"]).select(
+            "grp", "cid", "vec_id", F.posexplode("ev").alias("pos", "v")
+        )
+        means = cells.groupBy("grp", "cid", "pos").agg(
+            (
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("vec_id").alias("i"), F.col("v")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                )
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        centroids = (
+            means.groupBy("grp", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos").alias("p"), F.col("m")))),
+                    lambda x: x["m"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign(centroids).select(
+        "grp", "vec_id", F.col("cid").alias("cluster"), F.round("d2", 6).alias("d2")
+    )
+
+
+def sql_kmeans_grouped(
+    rel: str, k: int = 16, iterations: int = 1
+) -> str:
+    """DuckDB mirror of :func:`kmeans_grouped`. ``rel`` must yield
+    ``grp, vec_id, ev (DOUBLE[])``."""
+    d2 = (
+        "list_aggregate(list_transform(range(1, len(e.ev) + 1),"
+        " i -> (e.ev[i] - c.cv[i]) * (e.ev[i] - c.cv[i])), 'sum')"
+    )
+
+    def assign_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+  SELECT grp, vec_id, cid, d2 FROM (
+    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY grp, vec_id ORDER BY d2, cid) AS rn
+    FROM (SELECT e.grp, e.vec_id, c.cid, {d2} AS d2
+          FROM e JOIN {cent} c USING (grp)) s
+  ) r WHERE rn = 1
+)"""
+
+    ctes = [
+        f"e AS (SELECT grp, vec_id, ev FROM {rel})",
+        f"""c0 AS (
+  SELECT grp, rn - 1 AS cid, ev AS cv FROM (
+    SELECT grp, ev, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY vec_id) AS rn
+    FROM e) i WHERE rn <= {k}
+)""",
+    ]
+    prev = "c0"
+    for t in range(iterations):
+        ctes.append(assign_cte(f"a{t}", prev))
+        ctes.append(
+            f"""m{t + 1} AS (
+  SELECT grp, cid, pos,
+         list_aggregate(list_transform(
+           list_sort(list({{'i': vec_id, 'v': v}})), x -> x.v), 'sum')
+           / COUNT(*) AS m
+  FROM (SELECT a.grp, a.cid, e.vec_id, u.i AS pos, e.ev[u.i] AS v
+        FROM a{t} a JOIN e USING (grp, vec_id),
+             UNNEST(range(1, len(e.ev) + 1)) u(i)) cell
+  GROUP BY grp, cid, pos
+)"""
+        )
+        ctes.append(
+            f"""c{t + 1} AS (
+  SELECT grp, cid,
+         list_transform(list_sort(list({{'p': pos, 'm': m}})), x -> x.m) AS cv
+  FROM m{t + 1} GROUP BY grp, cid
+)"""
+        )
+        prev = f"c{t + 1}"
+    ctes.append(assign_cte("afinal", prev))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT grp, vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM afinal"
+    )

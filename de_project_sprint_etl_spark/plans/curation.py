@@ -355,3 +355,49 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.dsir_importance(
         docs, docs.filter(F.col("lang") == "en"), buckets=512
     )
+
+
+# --- product quantization (per-subspace codebooks) --------------------------
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16  # 64-dim embeddings -> 4 x 16
+PQ_K = 16
+
+_SQL_PQ_SUBVECTORS = f"""(
+  SELECT u.s AS grp, vec_id,
+         list_slice(CAST(embedding AS DOUBLE[]),
+                    u.s * {PQ_SUBDIM} + 1, u.s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS ev
+  FROM embeddings, UNNEST([0, 1, 2, 3]) u(s)) sv"""
+
+
+@register(
+    "pq_encode_embeddings",
+    f"""SELECT grp AS subspace, vec_id, cluster AS code, d2
+FROM ({clustering.sql_kmeans_grouped(_SQL_PQ_SUBVECTORS, k=PQ_K, iterations=1)}) q""",
+)
+def q_pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): split each
+    64-dim embedding into 4 x 16-dim subvectors, train an independent
+    16-centroid codebook per subspace with ONE set of group-wise k-means
+    passes (no per-subspace driver loop), and emit each vector's 4-byte
+    PQ code — the compression step of an IVF-PQ index, ~64x smaller than
+    the float vectors it stands in for at search time (extension op;
+    functions/clustering.kmeans_grouped). d2 is the per-subspace
+    quantization error the codebook training minimizes."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBSPACES)])).alias("grp"),
+        F.col("embedding").cast("array<double>").alias("__e"),
+    ).select(
+        "grp",
+        "vec_id",
+        F.expr(f"slice(__e, grp * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("ev"),
+    )
+    out = clustering.kmeans_grouped(sub, k=PQ_K, iterations=1, vec_col="ev")
+    return out.select(
+        F.col("grp").alias("subspace"),
+        "vec_id",
+        F.col("cluster").alias("code"),
+        "d2",
+    )

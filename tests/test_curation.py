@@ -429,3 +429,32 @@ def test_linreg_gd_matches_closed_form_descent(spark):
         w = [wj - 0.5 * g / n for wj, g in zip(w, grad)]
     want = {i: round(sum(x * wj for x, wj in zip(xs, w)), 6) for i, xs, _ in rows}
     assert got == pytest.approx(want), (got, want)
+
+
+def test_kmeans_grouped_is_independent_per_group(spark):
+    """Group-wise k-means must equal running plain k-means per group:
+    train two groups jointly and verify each group's assignment matches
+    the single-group run on that group alone."""
+    from de_project_sprint_etl_spark.functions.clustering import (
+        kmeans,
+        kmeans_grouped,
+    )
+
+    rows = []
+    for g in (0, 1):
+        for i in range(12):
+            rows.append((g, i, [float((i * (g + 2)) % 5), float(i % 3)]))
+    vec = spark.createDataFrame(rows, "grp int, vec_id long, ev array<double>")
+    joint = {
+        (r.grp, r.vec_id): (r.cluster, r.d2)
+        for r in kmeans_grouped(vec, k=3, iterations=2, vec_col="ev").collect()
+    }
+    for g in (0, 1):
+        solo = kmeans(
+            vec.filter(F.col("grp") == g).select("vec_id", "ev"),
+            k=3,
+            iterations=2,
+            vec_col="ev",
+        )
+        for r in solo.collect():
+            assert joint[(g, r.vec_id)] == (r.cluster, r.d2), (g, r)
