@@ -37,14 +37,17 @@ def get_spark(
         # local-mode driver hosts all executor threads; default 1g heap
         # OOMs on cached shuffles at sf0.1 (rig has 128 GiB)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # ~100 distinct queries x (warm + timed) whole-stage-codegen
+        # ~120 distinct queries x (warm + timed) whole-stage-codegen
         # overflow the JVM's default 240 MB code cache; eviction then
         # forces re-JIT of hot generated methods mid-session (measured:
         # the widest codegen query spiking 2.2 s -> 17 s late in a
-        # bench run). 512 MB holds the whole suite.
+        # bench run). 512 MB held the 97-query suite; re-sized to 768 MB
+        # when the suite grew to 119 (the iterative ops added since —
+        # GD linreg, grouped k-means/PQ, DSIR — are codegen-widest and
+        # showed 2-4x run-to-run swings at 512 MB).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            "-XX:ReservedCodeCacheSize=768m",
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
