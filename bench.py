@@ -162,6 +162,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "linreg_quality_train",
     "pq_encode_embeddings",
+    "pq_adc_topk",
 ]
 
 

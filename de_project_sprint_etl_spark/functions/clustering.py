@@ -270,7 +270,8 @@ def kmeans_grouped(
     id_col: str = "vec_id",
     vec_col: str = "ev",
     group_col: str = "grp",
-) -> DataFrame:
+    with_centroids: bool = False,
+):
     """Group-wise Lloyd k-means: an independent codebook per ``group_col``
     value, trained in ONE set of dataframe passes (no per-group driver
     loop). This is the training step of product quantization — each
@@ -336,16 +337,21 @@ def kmeans_grouped(
             )
             .localCheckpoint(eager=True)
         )
-    return assign(centroids).select(
+    final = assign(centroids).select(
         "grp", "vec_id", F.col("cid").alias("cluster"), F.round("d2", 6).alias("d2")
     )
+    if with_centroids:
+        return final, centroids
+    return final
 
 
-def sql_kmeans_grouped(
+def sql_kmeans_grouped_ctes(
     rel: str, k: int = 16, iterations: int = 1
-) -> str:
-    """DuckDB mirror of :func:`kmeans_grouped`. ``rel`` must yield
-    ``grp, vec_id, ev (DOUBLE[])``."""
+) -> tuple[str, str]:
+    """The CTE chain of the grouped k-means mirror for composition into
+    larger oracles (e.g. PQ/ADC): defines ``e`` (grp, vec_id, ev), the
+    final assignment ``afinal`` (grp, vec_id, cid, d2), and returns
+    ``(cte_sql, final_centroid_cte_name)``."""
     d2 = (
         "list_aggregate(list_transform(range(1, len(e.ev) + 1),"
         " i -> (e.ev[i] - c.cv[i]) * (e.ev[i] - c.cv[i])), 'sum')"
@@ -392,8 +398,112 @@ def sql_kmeans_grouped(
         )
         prev = f"c{t + 1}"
     ctes.append(assign_cte("afinal", prev))
+    return ",\n".join(ctes), prev
+
+
+def sql_kmeans_grouped(
+    rel: str, k: int = 16, iterations: int = 1
+) -> str:
+    """DuckDB mirror of :func:`kmeans_grouped`. ``rel`` must yield
+    ``grp, vec_id, ev (DOUBLE[])``."""
+    body, _ = sql_kmeans_grouped_ctes(rel, k, iterations)
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + body
         + "\nSELECT grp, vec_id, cid AS cluster, ROUND(d2, 6) AS d2 FROM afinal"
     )
+
+
+def pq_adc_topk(
+    sub: DataFrame,
+    n_queries: int,
+    k_codebook: int = 16,
+    iterations: int = 1,
+    topk: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes (Jégou et
+    al. 2011): train per-subspace codebooks (:func:`kmeans_grouped`),
+    encode the corpus, then answer each query from the CODES ONLY —
+    per-query distance tables against the k × |subspaces| centroids
+    replace any touch of the original vectors at search time.
+
+    ``sub``: the subvector stream ``grp, vec_id, ev``; queries are the
+    rows with ``vec_id < n_queries`` (exact subvectors, asymmetric per
+    the method). Output: ``query_id, neighbor_id, adc_dist, rank``.
+
+    Scale shape: the distance table is |Q| × k × |subspaces| rows —
+    broadcast; the scan side touches only the integer code table (the
+    ~64x-compressed representation), one broadcast-join + one
+    (query, vec) aggregation. That inversion — scan codes, not vectors
+    — is the entire point of PQ at 100 TB.
+
+    Determinism: grouped k-means per :func:`kmeans_grouped`; the final
+    per-pair sum folds a subspace-sorted in-row list; ranking orders by
+    the 6-decimal-rounded distance with a neighbor-id tie-break.
+    """
+    assign, cent = kmeans_grouped(
+        sub, k=k_codebook, iterations=iterations, with_centroids=True
+    )
+    codes = assign.select("grp", "vec_id", F.col("cluster").alias("cid"))
+    qsub = sub.filter(F.col("vec_id") < n_queries).select(
+        "grp", F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    dt = qsub.join(cent, "grp").select(
+        "grp",
+        "query_id",
+        "cid",
+        _sqdist(F.col("qv").cast("array<double>"), F.col("cv")).alias("d"),
+    )
+    pd = codes.join(F.broadcast(dt), ["grp", "cid"]).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "grp", "d"
+    )
+    s = pd.groupBy("query_id", "neighbor_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("grp").alias("g"), F.col("d")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d"],
+            ),
+            6,
+        ).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def sql_pq_adc_topk(
+    rel: str,
+    n_queries: int,
+    k_codebook: int = 16,
+    iterations: int = 1,
+    topk: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`pq_adc_topk` over the same subvector
+    relation (same grouped training replay, fold orders, tie-breaks)."""
+    body, cent = sql_kmeans_grouped_ctes(rel, k_codebook, iterations)
+    dq = (
+        "list_aggregate(list_transform(range(1, len(q.qv) + 1),"
+        " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), 'sum')"
+    )
+    return f"""WITH {body},
+q AS (SELECT grp, vec_id AS query_id, ev AS qv FROM e WHERE vec_id < {n_queries}),
+dt AS (SELECT q.grp, q.query_id, c.cid, {dq} AS d
+       FROM q JOIN {cent} c USING (grp)),
+pd AS (SELECT dt.query_id, a.vec_id AS neighbor_id, dt.grp, dt.d
+       FROM afinal a JOIN dt ON a.grp = dt.grp AND a.cid = dt.cid),
+s AS (SELECT query_id, neighbor_id,
+             ROUND(list_aggregate(list_transform(
+               list_sort(list({{'g': grp, 'd': d}})), x -> x.d), 'sum'), 6)
+               AS adc_dist
+      FROM pd GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT s.*, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+  FROM s) r
+WHERE rank <= {topk}"""

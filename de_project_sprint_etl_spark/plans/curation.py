@@ -401,3 +401,38 @@ def q_pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").alias("code"),
         "d2",
     )
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    return emb.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBSPACES)])).alias("grp"),
+        F.col("embedding").cast("array<double>").alias("__e"),
+    ).select(
+        "grp",
+        "vec_id",
+        F.expr(f"slice(__e, grp * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("ev"),
+    )
+
+
+@register(
+    "pq_adc_topk",
+    clustering.sql_pq_adc_topk(
+        _SQL_PQ_SUBVECTORS, n_queries=N_QUERIES, k_codebook=PQ_K, iterations=1, topk=5
+    ),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's search half: asymmetric-distance top-k over the PQ
+    codes — per-query distance tables against the 4x16 codebooks are
+    broadcast and the scan side touches only the integer code table
+    (the ~64x-compressed stand-in for the vectors), which is the PQ
+    inversion that matters at 100 TB (extension op;
+    functions/clustering.pq_adc_topk)."""
+    return clustering.pq_adc_topk(
+        _pq_subvectors(spark, sf_dir),
+        n_queries=N_QUERIES,
+        k_codebook=PQ_K,
+        iterations=1,
+        topk=5,
+    )

@@ -458,3 +458,24 @@ def test_kmeans_grouped_is_independent_per_group(spark):
         )
         for r in solo.collect():
             assert joint[(g, r.vec_id)] == (r.cluster, r.d2), (g, r)
+
+
+def test_pq_adc_is_exact_when_codebook_covers_corpus(spark):
+    """With k >= n distinct subvectors, every vector is its own centroid
+    (quantization error 0), so the asymmetric distance must equal the
+    exact squared distance — pinning the ADC table lookup + fold
+    against a closed form."""
+    from de_project_sprint_etl_spark.functions.clustering import pq_adc_topk
+
+    vecs = {i: [float(i), float(i % 3), float(7 - i), 1.0] for i in range(6)}
+    rows = []
+    for i, v in vecs.items():
+        for g in (0, 1):
+            rows.append((g, i, v[g * 2 : g * 2 + 2]))
+    sub = spark.createDataFrame(rows, "grp int, vec_id long, ev array<double>")
+    out = pq_adc_topk(sub, n_queries=2, k_codebook=16, iterations=1, topk=6).collect()
+    got = {(r.query_id, r.neighbor_id): r.adc_dist for r in out}
+    for q in (0, 1):
+        for n, v in vecs.items():
+            exact = round(sum((a - b) ** 2 for a, b in zip(vecs[q], v)), 6)
+            assert got[(q, n)] == pytest.approx(exact), (q, n)
