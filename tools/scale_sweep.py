@@ -1,0 +1,81 @@
+"""Scaling-evidence sweep: time selected queries at sf0.1 and at a
+derived 8x-replica corpus (documents + embeddings replicated with id
+offsets, everything else untouched), steady-state (one warm pass then
+one timed pass), fresh session.
+
+The 8x corpus keeps the duplication *structure* of the original (each
+replica is exact, so dedup-family outputs scale with the corpus), which
+is the honest way to test "does the plan shape survive more data" —
+the knobs (k, buckets, bands) are intentionally NOT retuned.
+
+Usage: python tools/scale_sweep.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+import __spark_entry__  # noqa: E402,F401 — registers all queries
+from de_project_sprint_etl_spark.plans import registry  # noqa: E402
+from de_project_sprint_etl_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "scale8x")
+REPLICAS = 8
+DEFAULT_QUERIES = [
+    "semdedup_embeddings",
+    "pq_encode_embeddings",
+    "pq_adc_topk",
+    "dsir_importance_weights",
+    "linreg_quality_train",
+]
+
+
+def build_scale_corpus() -> str:
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    con = duckdb.connect()
+    for tbl, id_col, off in (
+        ("documents", "doc_id", 10_000_000),
+        ("embeddings", "vec_id", 1_000_000),
+    ):
+        dst = os.path.join(SCALE_DIR, f"{tbl}.parquet")
+        if os.path.exists(dst):
+            continue
+        branches = " UNION ALL ".join(
+            f"SELECT * REPLACE ({id_col} + {r * off} AS {id_col}) "
+            f"FROM read_parquet('{BASE}/{tbl}.parquet')"
+            for r in range(REPLICAS)
+        )
+        con.execute(f"COPY ({branches}) TO '{dst}' (FORMAT PARQUET)")
+    return SCALE_DIR
+
+
+def timed(spark, name: str, sf_dir: str) -> float:
+    fn = registry.RAW_QUERIES[name]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    spark.catalog.clearCache()
+    t0 = time.time()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    scale_dir = build_scale_corpus()
+    spark = get_spark(app_name="scale_sweep")
+    print(f"| op | 1x ({BASE}) | {REPLICAS}x | ratio |")
+    print("|---|---|---|---|")
+    for n in names:
+        t1 = timed(spark, n, BASE)
+        t8 = timed(spark, n, scale_dir)
+        print(f"| {n} | {t1:.2f} s | {t8:.2f} s | {t8 / t1:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()
