@@ -420,9 +420,17 @@ def dsir_importance(
             "bucket", h64(F.concat_ws(" ", "w1", "w2")) % F.lit(buckets)
         )
 
-    raw = bigram_buckets(docs, False).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_raw")
+    # ONE tokenize+hash pass over the scored corpus: the raw model is
+    # the per-doc feature table re-aggregated (c_raw == Σ cnt), so
+    # derive both from the same stream instead of scanning twice
+    # (review finding; the SQL mirror already shares its raw_big CTE).
+    doc_feat = (
+        bigram_buckets(docs, True)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
+    raw = doc_feat.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
     tgt = bigram_buckets(target, False).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("c_tgt")
     )
@@ -447,9 +455,6 @@ def dsir_importance(
                 )
             ).alias("lr"),
         )
-    )
-    doc_feat = bigram_buckets(docs, True).groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
     )
     terms = doc_feat.join(F.broadcast(ratio), "bucket").select(
         "doc_id", "bucket", "cnt",

@@ -384,17 +384,9 @@ def q_pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float vectors it stands in for at search time (extension op;
     functions/clustering.kmeans_grouped). d2 is the per-subspace
     quantization error the codebook training minimizes."""
-    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
-    sub = emb.select(
-        "vec_id",
-        F.explode(F.array(*[F.lit(s) for s in range(PQ_SUBSPACES)])).alias("grp"),
-        F.col("embedding").cast("array<double>").alias("__e"),
-    ).select(
-        "grp",
-        "vec_id",
-        F.expr(f"slice(__e, grp * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("ev"),
+    out = clustering.kmeans_grouped(
+        _pq_subvectors(spark, sf_dir), k=PQ_K, iterations=1, vec_col="ev"
     )
-    out = clustering.kmeans_grouped(sub, k=PQ_K, iterations=1, vec_col="ev")
     return out.select(
         F.col("grp").alias("subspace"),
         "vec_id",

@@ -135,19 +135,26 @@ def _derived_table(name: str) -> str:
 _DERIVED: dict[str, str] = {name: _derived_table(name) for name in _CASTS}
 
 # SQL keywords that can directly follow a table reference — anything in
-# this set after the table name is NOT an alias.
-_NOT_ALIAS = frozenset(
-    """where group order limit having join left right inner outer full
-    cross on using union except intersect qualify window as select with
-    semi anti asof positional natural and or when then else end desc
-    asc""".split()
+# this set after the table name is NOT an alias. The regex below
+# excludes them with a lookahead rather than matching-then-branching:
+# consuming a keyword as a pseudo-alias would advance re.sub past it,
+# and an unaliased ref followed by JOIN ("FROM lineitem JOIN orders")
+# would leave the NEXT table with no FROM/JOIN prefix to match —
+# silently unprotected (found in review; pinned by the rewrite-shapes
+# test).
+_NOT_ALIAS = (
+    "where group order limit having join left right inner outer full "
+    "cross on using union except intersect qualify window select with "
+    "semi anti asof positional natural and or when then else end desc "
+    "asc".split()
 )
 
 _TABLE_RE = re.compile(
     r"(?P<prefix>\b(?:FROM|JOIN)\s+|,\s*)"
     r"(?P<table>region|nation|customer|supplier|part|orders|lineitem"
     r"|events|documents|embeddings)\b(?!\s*[.(])"
-    r"(?:[ \t]+(?:AS[ \t]+)?(?P<alias>[A-Za-z_]\w*))?",
+    r"(?:[ \t]+(?:AS[ \t]+)?(?!(?:" + "|".join(_NOT_ALIAS) + r")\b)"
+    r"(?P<alias>[A-Za-z_]\w*))?",
     re.IGNORECASE,
 )
 
@@ -160,11 +167,6 @@ def canonicalize(sql: str) -> str:
     def repl(m: re.Match) -> str:
         table = m.group("table").lower()
         alias = m.group("alias")
-        if alias is not None and alias.lower() in _NOT_ALIAS:
-            # keyword, not an alias: keep it outside the replacement
-            alias_sql = f" AS {table}"
-            tail = m.group(0)[m.end("table") - m.start(0):]
-            return f"{m.group('prefix')}{_DERIVED[table]}{alias_sql}{tail}"
         alias_sql = f" AS {alias}" if alias else f" AS {table}"
         return f"{m.group('prefix')}{_DERIVED[table]}{alias_sql}"
 

@@ -232,6 +232,13 @@ def test_oracle_canonicalize_rewrite_shapes():
     out = canonicalize("SELECT user_id FROM events GROUP BY user_id")
     assert "AS events GROUP BY user_id" in out
 
+    # unaliased ref followed by JOIN must not eat the keyword — BOTH
+    # tables get wrapped (review finding: the keyword was consumed as a
+    # pseudo-alias, leaving the next table unprotected)
+    out = canonicalize("SELECT 1 FROM lineitem JOIN orders ON a = b")
+    assert out.count("(SELECT") == 2, out
+    assert " AS lineitem JOIN (SELECT" in out and " AS orders ON a = b" in out
+
     # untouched: CTE self-names, qualified refs, function-call lookalikes
     sql = "WITH my_events AS (SELECT events.ts FROM events) SELECT * FROM my_events"
     out = canonicalize(sql)

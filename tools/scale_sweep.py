@@ -26,8 +26,27 @@ from de_project_sprint_etl_spark.plans import registry  # noqa: E402
 from de_project_sprint_etl_spark.session import get_spark  # noqa: E402
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "scale8x")
 REPLICAS = 8
+
+
+def _scale_dir() -> str:
+    """Cache dir keyed on the base path and the source fixtures'
+    (mtime_ns, size) — same contract as plans/llm._materialized — so a
+    regenerated or re-pointed base corpus never reuses stale replicas."""
+    sig = "_".join(
+        f"{os.stat(os.path.join(BASE, t + '.parquet')).st_mtime_ns}-"
+        f"{os.stat(os.path.join(BASE, t + '.parquet')).st_size}"
+        for t in ("documents", "embeddings")
+    )
+    key = BASE.strip("/").replace("/", "_")
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache",
+        f"scale{REPLICAS}x-{key}-{sig}",
+    )
+
+
+SCALE_DIR = _scale_dir()
 DEFAULT_QUERIES = [
     "semdedup_embeddings",
     "pq_encode_embeddings",
