@@ -163,6 +163,7 @@ HEADLINE = [
     "linreg_quality_train",
     "pq_encode_embeddings",
     "pq_adc_topk",
+    "pq_recall_eval",
 ]
 
 

@@ -428,3 +428,81 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=1,
         topk=5,
     )
+
+
+_SQL_PQ_EXACT_D2 = (
+    "list_aggregate(list_transform(range(1, len(q.ev) + 1),"
+    " i -> (q.ev[i] - c.ev[i]) * (q.ev[i] - c.ev[i])), 'sum')"
+)
+
+
+@register(
+    "pq_recall_eval",
+    f"""
+WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_SQL_PQ_EXACT_D2}, 6), c.vec_id) AS rn
+    FROM ev q CROSS JOIN ev c
+    WHERE q.vec_id < {N_QUERIES}) r WHERE rn <= 5),
+ap AS (SELECT query_id, neighbor_id
+       FROM ({clustering.sql_pq_adc_topk(_SQL_PQ_SUBVECTORS, n_queries=N_QUERIES,
+                                         k_codebook=PQ_K, iterations=1, topk=5)}) a),
+hits AS (SELECT ex.query_id, COUNT(*) AS n_hits
+         FROM ex JOIN ap ON ex.query_id = ap.query_id
+                        AND ex.neighbor_id = ap.neighbor_id
+         GROUP BY ex.query_id)
+SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k_true,
+       CAST(COALESCE(MIN(h.n_hits), 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(MIN(h.n_hits), 0) AS DOUBLE) / COUNT(*), 6)
+         AS recall_at_k
+FROM ex e LEFT JOIN hits h ON e.query_id = h.query_id
+GROUP BY e.query_id
+""",
+)
+def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ/ADC search against the exact L2 ranking — the
+    quality gate an IVF-PQ deployment runs after (re)training codebooks,
+    computed in-engine by composing the registered ADC op with a
+    broadcast exact ranking over the same query set (extension op; the
+    PQ analog of ann_recall_eval)."""
+    from pyspark.sql import Window
+    from de_project_sprint_etl_spark.functions.clustering import _sqdist
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    ev = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("ev"))
+    qs = ev.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
+    truth = (
+        ev.crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_sqdist(F.col("qv"), F.col("ev")), 6).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = clustering.pq_adc_topk(
+        _pq_subvectors(spark, sf_dir), n_queries=N_QUERIES,
+        k_codebook=PQ_K, iterations=1, topk=5,
+    ).select("query_id", "neighbor_id")
+    tot = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_true"))
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return tot.join(hits, "query_id", "left").select(
+        "query_id",
+        "k_true",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("k_true"), 6
+        ).alias("recall_at_k"),
+    )
