@@ -164,6 +164,7 @@ HEADLINE = [
     "pq_encode_embeddings",
     "pq_adc_topk",
     "pq_recall_eval",
+    "ivfpq_topk",
 ]
 
 

@@ -61,7 +61,8 @@ def kmeans(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+    with_centroids: bool = False,
+):
     """Run ``iterations`` Lloyd updates from the deterministic init and
     return the final assignment ``vec_id, cluster, d2`` (d2 rounded to 6
     decimals). Empty clusters simply drop out (no re-seeding), mirrored
@@ -106,9 +107,12 @@ def kmeans(
             # graph.pagerank's rank checkpointing)
             .localCheckpoint(eager=True)
         )
-    return kmeans_assign(e, centroids).select(
+    final = kmeans_assign(e, centroids).select(
         "vec_id", F.col("cid").alias("cluster"), F.round("d2", 6).alias("d2")
     )
+    if with_centroids:
+        return final, centroids
+    return final
 
 
 def sql_kmeans_ctes(rel: str, k: int = 8, iterations: int = 2) -> str:
@@ -497,6 +501,178 @@ dt AS (SELECT q.grp, q.query_id, c.cid, {dq} AS d
        FROM q JOIN {cent} c USING (grp)),
 pd AS (SELECT dt.query_id, a.vec_id AS neighbor_id, dt.grp, dt.d
        FROM afinal a JOIN dt ON a.grp = dt.grp AND a.cid = dt.cid),
+s AS (SELECT query_id, neighbor_id,
+             ROUND(list_aggregate(list_transform(
+               list_sort(list({{'g': grp, 'd': d}})), x -> x.d), 'sum'), 6)
+               AS adc_dist
+      FROM pd GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT s.*, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+  FROM s) r
+WHERE rank <= {topk}"""
+
+
+def prefix_ctes(chain: str, prefix: str, iterations: int) -> str:
+    """Namespace a generated k-means CTE chain (``e``, ``c0..cN``,
+    ``a0..aN-1``, ``m1..mN``, ``afinal``) so two chains can coexist in
+    one oracle (e.g. IVF-PQ = coarse chain + PQ chain). Renames every
+    standalone occurrence — CTE name and its self-alias coincide, so a
+    uniform rename keeps the SQL consistent; ``\\b`` guards prevent
+    touching prefixed names or other identifiers."""
+    import re as _re
+
+    names = (
+        ["afinal"]
+        + [f"c{i}" for i in range(iterations, -1, -1)]
+        + [f"a{i}" for i in range(iterations - 1, -1, -1)]
+        + [f"m{i}" for i in range(iterations, 0, -1)]
+        + ["e"]
+    )
+    for n in names:
+        chain = _re.sub(rf"\b{n}\b", f"{prefix}{n}", chain)
+    return chain
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    sub: DataFrame,
+    n_queries: int,
+    coarse_k: int = 8,
+    nprobe: int = 2,
+    k_codebook: int = 16,
+    iterations: int = 1,
+    topk: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Complete IVF-PQ search (Jégou et al. 2011): a coarse quantizer
+    prunes the corpus to the ``nprobe`` cells nearest each query, and
+    ADC over the PQ codes ranks ONLY those candidates — the two-level
+    structure that turns exhaustive search into
+    O(|probed cells| / |corpus|) of the work at 100 TB.
+
+    ``emb``: full vectors (``id_col``, ``vec_col``); ``sub``: the
+    subvector stream ``grp, vec_id, ev`` for the PQ half; queries are
+    ``vec_id < n_queries``. Output: ``query_id, neighbor_id, adc_dist,
+    rank`` (rank within the probed candidate set).
+
+    Scale shape: coarse centroids (k rows) and per-query distance
+    tables broadcast; the candidate filter is an equi-join of the code
+    table against (query, probed-cell) pairs — the inverted-file read.
+    Determinism contracts identical to :func:`kmeans` /
+    :func:`pq_adc_topk`.
+    """
+    coarse_assign, coarse_cent = kmeans(
+        emb, k=coarse_k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, with_centroids=True,
+    )
+    ev = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("ev"),
+    )
+    qs = ev.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    probe = (
+        qs.crossJoin(F.broadcast(coarse_cent))
+        .select("query_id", "cid", _sqdist(F.col("qv"), F.col("cv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cid")
+    )
+    cand = coarse_assign.select(
+        "vec_id", F.col("cluster").alias("cid")
+    ).join(F.broadcast(probe), "cid").select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+
+    pq_assign, pq_cent = kmeans_grouped(
+        sub, k=k_codebook, iterations=iterations, with_centroids=True
+    )
+    codes = pq_assign.select("grp", "vec_id", F.col("cluster").alias("cid"))
+    qsub = sub.filter(F.col("vec_id") < n_queries).select(
+        "grp", F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    dt = qsub.join(pq_cent, "grp").select(
+        "grp", "query_id", "cid",
+        _sqdist(F.col("qv").cast("array<double>"), F.col("cv")).alias("d"),
+    )
+    pd = (
+        codes.join(F.broadcast(dt), ["grp", "cid"])
+        .join(
+            cand.withColumnRenamed("neighbor_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_semi",
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "grp", "d")
+    )
+    s = pd.groupBy("query_id", "neighbor_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("grp").alias("g"), F.col("d")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d"],
+            ),
+            6,
+        ).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def sql_ivfpq_topk(
+    emb_rel: str,
+    sub_rel: str,
+    n_queries: int,
+    coarse_k: int = 8,
+    nprobe: int = 2,
+    k_codebook: int = 16,
+    iterations: int = 1,
+    topk: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`ivfpq_topk`: the coarse and PQ k-means
+    chains coexist under the ``cr_`` / ``pq_`` prefixes."""
+    coarse = prefix_ctes(
+        sql_kmeans_ctes(emb_rel, k=coarse_k, iterations=iterations),
+        "cr_", iterations,
+    )
+    pq_body, pq_cent = sql_kmeans_grouped_ctes(sub_rel, k_codebook, iterations)
+    pq = prefix_ctes(pq_body, "pq_", iterations)
+    pq_cent = f"pq_{pq_cent}"
+    dq_coarse = (
+        "list_aggregate(list_transform(range(1, len(q.qv) + 1),"
+        " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), 'sum')"
+    )
+    dq_pq = (
+        "list_aggregate(list_transform(range(1, len(qs.qv) + 1),"
+        " i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i])), 'sum')"
+    )
+    return f"""WITH {coarse},
+{pq},
+q AS (SELECT vec_id AS query_id, ev AS qv FROM cr_e WHERE vec_id < {n_queries}),
+probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {dq_coarse}, c.cid) AS rn
+    FROM q CROSS JOIN cr_c{iterations} c) p
+  WHERE rn <= {nprobe}),
+cand AS (SELECT p.query_id, a.vec_id
+         FROM cr_afinal a JOIN probe p ON a.cid = p.cid),
+qsub AS (SELECT grp, vec_id AS query_id, ev AS qv FROM pq_e WHERE vec_id < {n_queries}),
+dt AS (SELECT qs.grp, qs.query_id, c.cid, {dq_pq} AS d
+       FROM qsub qs JOIN {pq_cent} c USING (grp)),
+pd AS (SELECT dt.query_id, a.vec_id AS neighbor_id, dt.grp, dt.d
+       FROM pq_afinal a
+       JOIN dt ON a.grp = dt.grp AND a.cid = dt.cid
+       JOIN cand ON cand.query_id = dt.query_id AND cand.vec_id = a.vec_id),
 s AS (SELECT query_id, neighbor_id,
              ROUND(list_aggregate(list_transform(
                list_sort(list({{'g': grp, 'd': d}})), x -> x.d), 'sum'), 6)

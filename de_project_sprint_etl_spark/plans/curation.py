@@ -506,3 +506,37 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("k_true"), 6
         ).alias("recall_at_k"),
     )
+
+
+@register(
+    "ivfpq_topk",
+    clustering.sql_ivfpq_topk(
+        "embeddings",
+        _SQL_PQ_SUBVECTORS,
+        n_queries=N_QUERIES,
+        coarse_k=8,
+        nprobe=2,
+        k_codebook=PQ_K,
+        iterations=1,
+        topk=5,
+    ),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ search: the coarse quantizer prunes to the 2
+    cells nearest each query, ADC over the PQ codes ranks only those
+    candidates — exhaustive search becomes O(probed fraction) of the
+    corpus, the structure a web-scale vector index runs on (extension
+    op; functions/clustering.ivfpq_topk composes the registered coarse
+    k-means + grouped-PQ pieces, and the oracle's two training chains
+    coexist under cr_/pq_ prefixes)."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    return clustering.ivfpq_topk(
+        emb,
+        _pq_subvectors(spark, sf_dir),
+        n_queries=N_QUERIES,
+        coarse_k=8,
+        nprobe=2,
+        k_codebook=PQ_K,
+        iterations=1,
+        topk=5,
+    )

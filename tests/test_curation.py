@@ -479,3 +479,39 @@ def test_pq_adc_is_exact_when_codebook_covers_corpus(spark):
         for n, v in vecs.items():
             exact = round(sum((a - b) ** 2 for a, b in zip(vecs[q], v)), 6)
             assert got[(q, n)] == pytest.approx(exact), (q, n)
+
+
+def test_ivfpq_candidates_are_confined_to_probed_cells(spark):
+    """IVF pruning semantics: every returned neighbor must belong to
+    one of the nprobe coarse cells probed for that query — verified by
+    recomputing the coarse assignment and probe set independently."""
+    from de_project_sprint_etl_spark.functions.clustering import (
+        _sqdist,
+        ivfpq_topk,
+        kmeans,
+    )
+
+    rows = [(i, [float((i * 7) % 11), float((i * 3) % 5), float(i % 4), 1.0])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("grp"),
+        F.col("embedding").alias("__e"),
+    ).select("grp", "vec_id", F.expr("slice(__e, grp * 2 + 1, 2)").alias("ev"))
+    out = ivfpq_topk(emb, sub, n_queries=3, coarse_k=4, nprobe=2,
+                     k_codebook=4, iterations=1, topk=10).collect()
+
+    assign, cent = kmeans(emb, k=4, iterations=1, with_centroids=True)
+    cells = {r.vec_id: r.cluster for r in assign.collect()}
+    cents = {r.cid: r.cv for r in cent.collect()}
+    vecs = dict(rows)
+    for q in range(3):
+        dists = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[q], cv)), cid)
+            for cid, cv in cents.items()
+        )
+        probed = {cid for _, cid in dists[:2]}
+        for r in out:
+            if r.query_id == q:
+                assert cells[r.neighbor_id] in probed, (q, r.neighbor_id)
