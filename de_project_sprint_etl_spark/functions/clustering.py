@@ -418,12 +418,57 @@ def sql_kmeans_grouped(
     )
 
 
+def _adc_rank(
+    codes: DataFrame,
+    dt: DataFrame,
+    topk: int,
+    candidates: DataFrame | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Shared ADC tail (single home for the rounding / fold-order /
+    tie-break determinism contract): join the code table against the
+    broadcast distance table, fold per (query, neighbor) in subspace
+    order, rank. With ``candidates`` (query_id, vec_id), the code table
+    is confined to the probed set BEFORE any distance work — the IVF
+    pruning must cut compute, not just output."""
+    if candidates is not None:
+        codes = codes.join(candidates, "vec_id")  # adds query_id
+        pd = codes.join(F.broadcast(dt), ["grp", "cid", "query_id"])
+    else:
+        pd = codes.join(F.broadcast(dt), ["grp", "cid"])
+    pd = pd.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "grp", "d"
+    )
+    if exclude_self:
+        pd = pd.filter(F.col("neighbor_id") != F.col("query_id"))
+    s = pd.groupBy("query_id", "neighbor_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("grp").alias("g"), F.col("d")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d"],
+            ),
+            6,
+        ).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 def pq_adc_topk(
     sub: DataFrame,
     n_queries: int,
     k_codebook: int = 16,
     iterations: int = 1,
     topk: int = 5,
+    candidates: DataFrame | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k search over PQ codes (Jégou et
     al. 2011): train per-subspace codebooks (:func:`kmeans_grouped`),
@@ -433,7 +478,10 @@ def pq_adc_topk(
 
     ``sub``: the subvector stream ``grp, vec_id, ev``; queries are the
     rows with ``vec_id < n_queries`` (exact subvectors, asymmetric per
-    the method). Output: ``query_id, neighbor_id, adc_dist, rank``.
+    the method). ``candidates`` (query_id, vec_id) confines search to a
+    pre-pruned set (the IVF composition); ``exclude_self`` drops the
+    trivial self-match (recall evaluation wants true neighbors only).
+    Output: ``query_id, neighbor_id, adc_dist, rank``.
 
     Scale shape: the distance table is |Q| × k × |subspaces| rows —
     broadcast; the scan side touches only the integer code table (the
@@ -458,49 +506,39 @@ def pq_adc_topk(
         "cid",
         _sqdist(F.col("qv").cast("array<double>"), F.col("cv")).alias("d"),
     )
-    pd = codes.join(F.broadcast(dt), ["grp", "cid"]).select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), "grp", "d"
-    )
-    s = pd.groupBy("query_id", "neighbor_id").agg(
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct(F.col("grp").alias("g"), F.col("d")))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["d"],
-            ),
-            6,
-        ).alias("adc_dist")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        s.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id", "adc_dist", "rank")
-    )
+    return _adc_rank(codes, dt, topk, candidates=candidates, exclude_self=exclude_self)
 
 
-def sql_pq_adc_topk(
-    rel: str,
+def _sql_adc_tail(
+    p: str,
+    cent: str,
     n_queries: int,
-    k_codebook: int = 16,
-    iterations: int = 1,
-    topk: int = 5,
+    topk: int,
+    with_cand: bool = False,
+    exclude_self: bool = False,
 ) -> str:
-    """DuckDB mirror of :func:`pq_adc_topk` over the same subvector
-    relation (same grouped training replay, fold orders, tie-breaks)."""
-    body, cent = sql_kmeans_grouped_ctes(rel, k_codebook, iterations)
+    """SQL twin of :func:`_adc_rank` over a (possibly ``p``-prefixed)
+    grouped-k-means chain; assumes a ``cand(query_id, vec_id)`` CTE
+    exists when ``with_cand``."""
     dq = (
-        "list_aggregate(list_transform(range(1, len(q.qv) + 1),"
-        " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), 'sum')"
+        "list_aggregate(list_transform(range(1, len(qs.qv) + 1),"
+        " i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i])), 'sum')"
     )
-    return f"""WITH {body},
-q AS (SELECT grp, vec_id AS query_id, ev AS qv FROM e WHERE vec_id < {n_queries}),
-dt AS (SELECT q.grp, q.query_id, c.cid, {dq} AS d
-       FROM q JOIN {cent} c USING (grp)),
+    cand_join = (
+        "\n       JOIN cand ON cand.query_id = dt.query_id"
+        " AND cand.vec_id = a.vec_id"
+        if with_cand
+        else ""
+    )
+    self_filter = (
+        "\n       WHERE a.vec_id <> dt.query_id" if exclude_self else ""
+    )
+    return f"""qsub AS (SELECT grp, vec_id AS query_id, ev AS qv FROM {p}e WHERE vec_id < {n_queries}),
+dt AS (SELECT qs.grp, qs.query_id, c.cid, {dq} AS d
+       FROM qsub qs JOIN {cent} c USING (grp)),
 pd AS (SELECT dt.query_id, a.vec_id AS neighbor_id, dt.grp, dt.d
-       FROM afinal a JOIN dt ON a.grp = dt.grp AND a.cid = dt.cid),
+       FROM {p}afinal a
+       JOIN dt ON a.grp = dt.grp AND a.cid = dt.cid{cand_join}{self_filter}),
 s AS (SELECT query_id, neighbor_id,
              ROUND(list_aggregate(list_transform(
                list_sort(list({{'g': grp, 'd': d}})), x -> x.d), 'sum'), 6)
@@ -513,13 +551,35 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
 WHERE rank <= {topk}"""
 
 
+def sql_pq_adc_topk(
+    rel: str,
+    n_queries: int,
+    k_codebook: int = 16,
+    iterations: int = 1,
+    topk: int = 5,
+    exclude_self: bool = False,
+) -> str:
+    """DuckDB mirror of :func:`pq_adc_topk` over the same subvector
+    relation (same grouped training replay, fold orders, tie-breaks)."""
+    body, cent = sql_kmeans_grouped_ctes(rel, k_codebook, iterations)
+    tail = _sql_adc_tail(
+        "", cent, n_queries, topk, with_cand=False, exclude_self=exclude_self
+    )
+    return f"WITH {body},\n{tail}"
+
+
 def prefix_ctes(chain: str, prefix: str, iterations: int) -> str:
     """Namespace a generated k-means CTE chain (``e``, ``c0..cN``,
     ``a0..aN-1``, ``m1..mN``, ``afinal``) so two chains can coexist in
     one oracle (e.g. IVF-PQ = coarse chain + PQ chain). Renames every
     standalone occurrence — CTE name and its self-alias coincide, so a
-    uniform rename keeps the SQL consistent; ``\\b`` guards prevent
-    touching prefixed names or other identifiers."""
+    uniform rename keeps the SQL consistent.
+
+    CAUTION: the rename sweeps the WHOLE string, including any
+    interpolated source relation — generate the chain with a
+    placeholder rel (e.g. ``__REL__``), prefix, THEN substitute the
+    real relation (see :func:`sql_ivfpq_topk`), so a rel subquery that
+    happens to use one of these identifiers can't be mangled."""
     import re as _re
 
     names = (
@@ -558,10 +618,9 @@ def ivfpq_topk(
     rank`` (rank within the probed candidate set).
 
     Scale shape: coarse centroids (k rows) and per-query distance
-    tables broadcast; the candidate filter is an equi-join of the code
-    table against (query, probed-cell) pairs — the inverted-file read.
-    Determinism contracts identical to :func:`kmeans` /
-    :func:`pq_adc_topk`.
+    tables broadcast; the candidate filter lands on the code table
+    BEFORE any distance join (via :func:`pq_adc_topk`'s ``candidates``
+    path), so distance work is confined to the probed fraction.
     """
     coarse_assign, coarse_cent = kmeans(
         emb, k=coarse_k, iterations=iterations,
@@ -584,47 +643,14 @@ def ivfpq_topk(
     )
     cand = coarse_assign.select(
         "vec_id", F.col("cluster").alias("cid")
-    ).join(F.broadcast(probe), "cid").select(
-        "query_id", F.col("vec_id").alias("neighbor_id")
-    )
-
-    pq_assign, pq_cent = kmeans_grouped(
-        sub, k=k_codebook, iterations=iterations, with_centroids=True
-    )
-    codes = pq_assign.select("grp", "vec_id", F.col("cluster").alias("cid"))
-    qsub = sub.filter(F.col("vec_id") < n_queries).select(
-        "grp", F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
-    )
-    dt = qsub.join(pq_cent, "grp").select(
-        "grp", "query_id", "cid",
-        _sqdist(F.col("qv").cast("array<double>"), F.col("cv")).alias("d"),
-    )
-    pd = (
-        codes.join(F.broadcast(dt), ["grp", "cid"])
-        .join(
-            cand.withColumnRenamed("neighbor_id", "vec_id"),
-            ["query_id", "vec_id"],
-            "left_semi",
-        )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "grp", "d")
-    )
-    s = pd.groupBy("query_id", "neighbor_id").agg(
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct(F.col("grp").alias("g"), F.col("d")))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["d"],
-            ),
-            6,
-        ).alias("adc_dist")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        s.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    ).join(F.broadcast(probe), "cid").select("query_id", "vec_id")
+    return pq_adc_topk(
+        sub,
+        n_queries=n_queries,
+        k_codebook=k_codebook,
+        iterations=iterations,
+        topk=topk,
+        candidates=cand,
     )
 
 
@@ -639,22 +665,22 @@ def sql_ivfpq_topk(
     topk: int = 5,
 ) -> str:
     """DuckDB mirror of :func:`ivfpq_topk`: the coarse and PQ k-means
-    chains coexist under the ``cr_`` / ``pq_`` prefixes."""
+    chains coexist under the ``cr_`` / ``pq_`` prefixes (prefixed over
+    placeholder rels, then substituted — see :func:`prefix_ctes`)."""
     coarse = prefix_ctes(
-        sql_kmeans_ctes(emb_rel, k=coarse_k, iterations=iterations),
+        sql_kmeans_ctes("__EMB_REL__", k=coarse_k, iterations=iterations),
         "cr_", iterations,
+    ).replace("__EMB_REL__", emb_rel)
+    pq_body, pq_cent = sql_kmeans_grouped_ctes(
+        "__SUB_REL__", k_codebook, iterations
     )
-    pq_body, pq_cent = sql_kmeans_grouped_ctes(sub_rel, k_codebook, iterations)
-    pq = prefix_ctes(pq_body, "pq_", iterations)
+    pq = prefix_ctes(pq_body, "pq_", iterations).replace("__SUB_REL__", sub_rel)
     pq_cent = f"pq_{pq_cent}"
     dq_coarse = (
         "list_aggregate(list_transform(range(1, len(q.qv) + 1),"
         " i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])), 'sum')"
     )
-    dq_pq = (
-        "list_aggregate(list_transform(range(1, len(qs.qv) + 1),"
-        " i -> (qs.qv[i] - c.cv[i]) * (qs.qv[i] - c.cv[i])), 'sum')"
-    )
+    tail = _sql_adc_tail("pq_", pq_cent, n_queries, topk, with_cand=True)
     return f"""WITH {coarse},
 {pq},
 q AS (SELECT vec_id AS query_id, ev AS qv FROM cr_e WHERE vec_id < {n_queries}),
@@ -666,20 +692,4 @@ probe AS (
   WHERE rn <= {nprobe}),
 cand AS (SELECT p.query_id, a.vec_id
          FROM cr_afinal a JOIN probe p ON a.cid = p.cid),
-qsub AS (SELECT grp, vec_id AS query_id, ev AS qv FROM pq_e WHERE vec_id < {n_queries}),
-dt AS (SELECT qs.grp, qs.query_id, c.cid, {dq_pq} AS d
-       FROM qsub qs JOIN {pq_cent} c USING (grp)),
-pd AS (SELECT dt.query_id, a.vec_id AS neighbor_id, dt.grp, dt.d
-       FROM pq_afinal a
-       JOIN dt ON a.grp = dt.grp AND a.cid = dt.cid
-       JOIN cand ON cand.query_id = dt.query_id AND cand.vec_id = a.vec_id),
-s AS (SELECT query_id, neighbor_id,
-             ROUND(list_aggregate(list_transform(
-               list_sort(list({{'g': grp, 'd': d}})), x -> x.d), 'sum'), 6)
-               AS adc_dist
-      FROM pd GROUP BY query_id, neighbor_id)
-SELECT query_id, neighbor_id, adc_dist, rank FROM (
-  SELECT s.*, CAST(ROW_NUMBER() OVER (
-    PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS INT) AS rank
-  FROM s) r
-WHERE rank <= {topk}"""
+{tail}"""

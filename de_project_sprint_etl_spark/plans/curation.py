@@ -446,10 +446,11 @@ ex AS (
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
              ORDER BY ROUND({_SQL_PQ_EXACT_D2}, 6), c.vec_id) AS rn
     FROM ev q CROSS JOIN ev c
-    WHERE q.vec_id < {N_QUERIES}) r WHERE rn <= 5),
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id) r WHERE rn <= 5),
 ap AS (SELECT query_id, neighbor_id
        FROM ({clustering.sql_pq_adc_topk(_SQL_PQ_SUBVECTORS, n_queries=N_QUERIES,
-                                         k_codebook=PQ_K, iterations=1, topk=5)}) a),
+                                         k_codebook=PQ_K, iterations=1, topk=5,
+                                         exclude_self=True)}) a),
 hits AS (SELECT ex.query_id, COUNT(*) AS n_hits
          FROM ex JOIN ap ON ex.query_id = ap.query_id
                         AND ex.neighbor_id = ap.neighbor_id
@@ -479,6 +480,7 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("neighbor_id").asc())
     truth = (
         ev.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))  # true neighbors only
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -490,7 +492,7 @@ def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     approx = clustering.pq_adc_topk(
         _pq_subvectors(spark, sf_dir), n_queries=N_QUERIES,
-        k_codebook=PQ_K, iterations=1, topk=5,
+        k_codebook=PQ_K, iterations=1, topk=5, exclude_self=True,
     ).select("query_id", "neighbor_id")
     tot = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_true"))
     hits = (
