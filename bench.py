@@ -165,6 +165,7 @@ HEADLINE = [
     "pq_adc_topk",
     "pq_recall_eval",
     "ivfpq_topk",
+    "bpe_encode_vocab",
 ]
 
 

@@ -526,3 +526,109 @@ SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
        ROUND(list_aggregate(list_transform(ts, x -> x.term), 'sum'), 6) AS logw
 FROM agg
 """
+
+
+# --- BPE tokenization apply (greedy ranked-merge encoding) -------------------
+
+#: Pinned merge table (rank-ordered), the trained-tokenizer artifact the
+#: encoder applies — the counterpart of ``bpe_merge_candidates``, which
+#: computes the statistics such a table is learned from. Pinned as
+#: literals for the same reason the LSH hyperplanes are: the oracle is a
+#: static SQL string, and a tokenizer's merge table is a frozen artifact
+#: applied unchanged to any corpus.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("d", "a"), ("da", "t"), ("dat", "a"),
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("b", "a"), ("ba", "t"), ("bat", "c"), ("batc", "h"),
+)
+
+
+def _bpe_fold_expr(prev: str, a: str, b: str) -> str:
+    """One ranked merge as a greedy leftmost left-fold over the
+    space-separated token string ``prev`` (identical semantics on both
+    engines: seed = first token, merge appends ``b`` without a space
+    when the accumulator's last token is exactly ``a``)."""
+    return (
+        f"aggregate(slice(split({prev}, ' '), 2,"
+        f" greatest(size(split({prev}, ' ')) - 1, 0)),"
+        f" element_at(split({prev}, ' '), 1),"
+        f" (acc, x) -> CASE WHEN x = '{b}' AND (acc = '{a}' OR acc LIKE '% {a}')"
+        f" THEN concat(acc, '{b}') ELSE concat(acc, ' ', x) END)"
+    )
+
+
+def bpe_encode_vocab(
+    docs: DataFrame,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a BPE merge table to the corpus VOCABULARY: split every
+    distinct word to characters, then run the ranked merges in order,
+    each a greedy leftmost pass (the standard BPE encode step, e.g.
+    Sennrich et al. 2016). Output: ``word, freq, pieces, n_pieces``.
+
+    Scale shape: tokenization work is VOCAB-sized, not corpus-sized —
+    the explode+count collapses the Zipf head map-side (same contract
+    as ``bpe_merge_candidates``), and per-doc piece counts are a
+    broadcast join of this table back to the token stream. All folds
+    are Catalyst expressions; no Python.
+    """
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    out = vocab.withColumn(
+        "s", F.expr("array_join(regexp_extract_all(word, '.', 0), ' ')")
+    )
+    for a, b in merges:
+        out = out.withColumn("s", F.expr(_bpe_fold_expr("s", a, b)))
+    return out.select(
+        "word",
+        F.col("freq").cast("bigint").alias("freq"),
+        F.col("s").alias("pieces"),
+        F.size(F.split("s", " ")).cast("int").alias("n_pieces"),
+    )
+
+
+def sql_bpe_encode_vocab(
+    rel: str,
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+    text_col: str = "text",
+) -> str:
+    """DuckDB mirror of :func:`bpe_encode_vocab` (list_reduce seeds with
+    the first element, matching the Spark fold's explicit seed)."""
+    toks = SQL_TOKENS.format(c=text_col)
+
+    def fold(prev: str, a: str, b: str) -> str:
+        return (
+            f"list_reduce(string_split({prev}, ' '),"
+            f" (acc, x) -> CASE WHEN x = '{b}' AND (acc = '{a}' OR acc LIKE '% {a}')"
+            f" THEN acc || '{b}' ELSE acc || ' ' || x END)"
+        )
+
+    ctes = [
+        f"""vocab AS (
+  SELECT w AS word, COUNT(*) AS freq
+  FROM (SELECT UNNEST({toks}) AS w FROM {rel}) u
+  WHERE LENGTH(w) > 0 GROUP BY w)""",
+        "s0 AS (SELECT word, freq,"
+        " array_to_string(regexp_extract_all(word, '.'), ' ') AS s FROM vocab)",
+    ]
+    prev = "s0"
+    for i, (a, b) in enumerate(merges, start=1):
+        ctes.append(
+            f"s{i} AS (SELECT word, freq, {fold('s', a, b)} AS s FROM {prev})"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT word, CAST(freq AS BIGINT) AS freq, s AS pieces,
+       CAST(len(string_split(s, ' ')) AS INT) AS n_pieces
+FROM {prev}"""
+    )

@@ -542,3 +542,15 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=1,
         topk=5,
     )
+
+
+@register("bpe_encode_vocab", lm.sql_bpe_encode_vocab("documents"))
+def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (Sennrich et al. 2016): encode the corpus
+    vocabulary with the pinned ranked merge table — each merge a greedy
+    leftmost fold, all Catalyst expressions. Work is vocab-sized, not
+    corpus-sized (the explode+count collapses the Zipf head map-side),
+    which is what makes in-engine tokenization viable at web scale
+    (extension op; functions/lm.bpe_encode_vocab — the encode
+    counterpart of bpe_merge_candidates' training statistics)."""
+    return lm.bpe_encode_vocab(fan_out(spark, t(spark, sf_dir, "documents")))

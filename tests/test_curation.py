@@ -515,3 +515,26 @@ def test_ivfpq_candidates_are_confined_to_probed_cells(spark):
         for r in out:
             if r.query_id == q:
                 assert cells[r.neighbor_id] in probed, (q, r.neighbor_id)
+
+
+def test_bpe_encode_greedy_leftmost_overlaps(spark):
+    """Greedy leftmost semantics on overlapping pairs: with merge
+    ('a','a'), 'aaa' must become ['aa','a'] (leftmost pair first), and
+    a later-rank merge ('aa','a') must then produce ['aaa'] — matching
+    the reference BPE encoder's scan order."""
+    from de_project_sprint_etl_spark.functions.lm import bpe_encode_vocab
+
+    docs = spark.createDataFrame([(1, "aaa aaaa")], "doc_id long, text string")
+    out = {
+        r.word: (r.pieces, r.n_pieces)
+        for r in bpe_encode_vocab(docs, merges=(("a", "a"),)).collect()
+    }
+    assert out["aaa"] == ("aa a", 2), out
+    assert out["aaaa"] == ("aa aa", 2), out
+
+    out2 = {
+        r.word: (r.pieces, r.n_pieces)
+        for r in bpe_encode_vocab(docs, merges=(("a", "a"), ("aa", "a"), ("aa", "aa"))).collect()
+    }
+    assert out2["aaa"] == ("aaa", 1), out2
+    assert out2["aaaa"] == ("aaaa", 1), out2
