@@ -166,6 +166,7 @@ HEADLINE = [
     "pq_recall_eval",
     "ivfpq_topk",
     "bpe_encode_vocab",
+    "bpe_token_accounting",
 ]
 
 

@@ -554,3 +554,48 @@ def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (extension op; functions/lm.bpe_encode_vocab — the encode
     counterpart of bpe_merge_candidates' training statistics)."""
     return lm.bpe_encode_vocab(fan_out(spark, t(spark, sf_dir, "documents")))
+
+
+@register(
+    "bpe_token_accounting",
+    f"""
+WITH enc AS ({lm.sql_bpe_encode_vocab('documents')}),
+tok AS (SELECT d.doc_id, d.source, w AS word
+        FROM (SELECT doc_id, source,
+                     STRING_SPLIT({SQL_NORM.format(c='text')}, ' ') AS t
+              FROM documents) d, UNNEST(d.t) AS u(w)
+        WHERE LENGTH(w) > 0)
+SELECT t.source,
+       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_pieces) AS BIGINT) AS n_bpe_tokens
+FROM tok t JOIN enc e ON t.word = e.word
+GROUP BY t.source
+""",
+)
+def q_bpe_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting in REAL tokenizer units: per-source doc,
+    word, and BPE-piece totals, computed by broadcast-joining the
+    vocab-sized encode table back onto the token stream — the corpus is
+    scanned once and never shuffled on text; only (source)-keyed
+    partial aggregates move (extension op; what mixture/packing budgets
+    should be denominated in at training time)."""
+    from de_project_sprint_etl_spark.functions.text import tokens as _tokens
+
+    docs = fan_out(
+        spark, t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    enc = lm.bpe_encode_vocab(docs).select("word", "n_pieces")
+    tok = (
+        docs.select("doc_id", "source", F.explode(_tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    return (
+        tok.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
