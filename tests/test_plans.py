@@ -654,3 +654,54 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     cent = e.limit(4).select(F.lit(0).alias("cid"), F.col("ev").alias("cv"))
     plan = plan_of(clustering.kmeans_assign(e, cent))
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_session2_ops_stay_jvm_side(spark):
+    """SemDeDup / DSIR / linreg / PQ family / BPE encode plans contain
+    no row-at-a-time Python (pure Catalyst expressions + joins)."""
+    import __spark_entry__  # noqa: F401
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    for name in (
+        "semdedup_embeddings",
+        "dsir_importance_weights",
+        "linreg_quality_train",
+        "pq_encode_embeddings",
+        "pq_adc_topk",
+        "ivfpq_topk",
+        "bpe_encode_vocab",
+        "bpe_token_accounting",
+    ):
+        plan = plan_of(RAW_QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """DSIR's per-bucket log-ratio table (<=512 rows) must reach the
+    per-doc feature stream as a broadcast join — the corpus never
+    shuffles for the scoring join."""
+    import __spark_entry__  # noqa: F401
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    plan = plan_of(RAW_QUERIES["dsir_importance_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivfpq_distance_join_is_candidate_confined(spark):
+    """IVF pruning must cut COMPUTE: the distance-table join has to
+    carry the query_id key (the candidate-confined path), so ADC work
+    happens only on probed (query, vector) pairs — never a full
+    corpus x distance-table join followed by a post-hoc filter."""
+    import re
+
+    import __spark_entry__  # noqa: F401
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    plan = plan_of(RAW_QUERIES["ivfpq_topk"](spark, SF))
+    # formatted explain lists join keys as "Left keys [n]: [...]" detail lines
+    key_lines = re.findall(r"keys \[\d+\]: \[[^\]]*\]", plan)
+    assert any(
+        "query_id" in k and "grp" in k and "cid" in k for k in key_lines
+    ), key_lines
