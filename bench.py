@@ -167,6 +167,7 @@ HEADLINE = [
     "ivfpq_topk",
     "bpe_encode_vocab",
     "bpe_token_accounting",
+    "events_rolling_anomaly",
 ]
 
 

@@ -1058,3 +1058,84 @@ def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- rolling-window anomaly detection ---------------------------------------
+
+ANOM_FRAME = 20  # trailing events per (event_type) baseline window
+ANOM_MIN_N = 10  # minimum baseline size before a z-score is emitted
+ANOM_Z = 3.0
+
+
+@register(
+    "events_rolling_anomaly",
+    f"""
+WITH c AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events),
+win AS (
+  SELECT event_id, event_type, ts_us, cents,
+         COUNT(*) OVER w AS n_prev,
+         CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+         CAST(SUM(cents*cents) OVER w AS BIGINT) AS s2
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN {ANOM_FRAME} PRECEDING AND 1 PRECEDING))
+SELECT event_id, event_type, CAST(cents AS BIGINT) AS cents,
+       CAST(n_prev AS BIGINT) AS n_prev,
+       ROUND((cents - CAST(s1 AS DOUBLE) / n_prev)
+             / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_prev)
+                    / n_prev + 1e-9), 6) AS z
+FROM win
+WHERE n_prev >= {ANOM_MIN_N}
+  AND ABS((cents - CAST(s1 AS DOUBLE) / n_prev)
+          / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_prev)
+                 / n_prev + 1e-9)) > {ANOM_Z}
+""",
+)
+def q_events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: flag events whose value sits
+    more than 3 sigma from the trailing-20 baseline of their event
+    type. Moments are EXACT integer sums (cents and cents^2) over a
+    totally-ordered frame, so mean/std/z are bit-identical across
+    engines and partitionings — built-in floating stddev over a frame
+    would be partition-order dependent. One (event_type) shuffle; both
+    frame aggregates share the window (extension op)."""
+    ev = events_df(spark, sf_dir)
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-ANOM_FRAME, -1)
+    )
+    win = c.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("cents").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).cast("bigint").alias("s2"),
+    )
+    z = (F.col("cents") - F.col("s1").cast("double") / F.col("n_prev")) / F.sqrt(
+        (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_prev"))
+        / F.col("n_prev")
+        + F.lit(1e-9)
+    )
+    return (
+        win.filter(F.col("n_prev") >= ANOM_MIN_N)
+        .withColumn("z", F.round(z, 6))
+        .filter(F.abs(z) > ANOM_Z)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            "z",
+        )
+    )
