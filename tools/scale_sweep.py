@@ -36,7 +36,7 @@ def _scale_dir() -> str:
     sig = "_".join(
         f"{os.stat(os.path.join(BASE, t + '.parquet')).st_mtime_ns}-"
         f"{os.stat(os.path.join(BASE, t + '.parquet')).st_size}"
-        for t in ("documents", "embeddings")
+        for t in ("documents", "embeddings", "events")
     )
     key = BASE.strip("/").replace("/", "_")
     return os.path.join(
@@ -59,16 +59,21 @@ DEFAULT_QUERIES = [
 def build_scale_corpus() -> str:
     os.makedirs(SCALE_DIR, exist_ok=True)
     con = duckdb.connect()
-    for tbl, id_col, off in (
-        ("documents", "doc_id", 10_000_000),
-        ("embeddings", "vec_id", 1_000_000),
-    ):
+    replaces = {
+        "documents": ("doc_id + {o} AS doc_id",),
+        "embeddings": ("vec_id + {o} AS vec_id",),
+        # replica users are distinct people, so per-user state scales
+        # with the corpus instead of deepening
+        "events": ("event_id + {o} AS event_id", "user_id + {o} AS user_id"),
+    }
+    for tbl, exprs in replaces.items():
         dst = os.path.join(SCALE_DIR, f"{tbl}.parquet")
         if os.path.exists(dst):
             continue
         branches = " UNION ALL ".join(
-            f"SELECT * REPLACE ({id_col} + {r * off} AS {id_col}) "
-            f"FROM read_parquet('{BASE}/{tbl}.parquet')"
+            "SELECT * REPLACE ("
+            + ", ".join(e.format(o=r * 10_000_000) for e in exprs)
+            + f") FROM read_parquet('{BASE}/{tbl}.parquet')"
             for r in range(REPLICAS)
         )
         con.execute(f"COPY ({branches}) TO '{dst}' (FORMAT PARQUET)")
