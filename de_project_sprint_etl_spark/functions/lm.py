@@ -301,6 +301,29 @@ LIMIT {k}
 # --- BPE merge-candidate counting -------------------------------------------
 
 
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-frequency vocabulary (``w, freq``) — the shared
+    corpus-to-vocab collapse both BPE training statistics and the BPE
+    encoder build on; changing the tokenizer/vocab filter HERE keeps
+    training and encoding in lockstep."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def sql_word_freqs(rel: str, text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`word_freqs` (a derived-table string)."""
+    toks = SQL_TOKENS.format(c=text_col)
+    return (
+        f"(SELECT w, COUNT(*) AS freq"
+        f" FROM (SELECT UNNEST({toks}) AS w FROM {rel}) u"
+        f" WHERE LENGTH(w) > 0 GROUP BY w)"
+    )
+
 def bpe_merge_candidates(
     docs: DataFrame, k: int = 50, text_col: str = "text"
 ) -> DataFrame:
@@ -317,12 +340,7 @@ def bpe_merge_candidates(
     Output: ``left, right, cnt, rank`` (rank 1 = the pair the next BPE
     merge would fuse).
     """
-    words = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .filter(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    words = word_freqs(docs, text_col)
     pairs = (
         words.filter(F.length("w") >= 2)
         .select(
@@ -348,13 +366,9 @@ def bpe_merge_candidates(
 
 def sql_bpe_merge_candidates(rel: str, k: int = 50, text_col: str = "text") -> str:
     """DuckDB mirror of :func:`bpe_merge_candidates`."""
-    toks = SQL_TOKENS.format(c=text_col)
+    wf = sql_word_freqs(rel, text_col)
     return f"""
-WITH words AS (
-  SELECT w, COUNT(*) AS freq
-  FROM (SELECT UNNEST({toks}) AS w FROM {rel}) u
-  WHERE LENGTH(w) > 0 GROUP BY w
-),
+WITH words AS (SELECT * FROM {wf}),
 pairs AS (
   SELECT SUBSTR(w, i, 1) AS "left", SUBSTR(w, i + 1, 1) AS "right",
          CAST(SUM(freq) AS BIGINT) AS cnt
@@ -545,6 +559,27 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+
+_MERGE_TOKEN_RE = None
+
+
+def _validate_merges(merges) -> None:
+    """Merge tokens are interpolated into SQL literals and LIKE
+    patterns on both engines, so restrict them to the normalized-token
+    alphabet — anything else (quotes, %, _) would parse-error or
+    silently corrupt the greedy fold's last-token guard."""
+    import re as _re
+
+    global _MERGE_TOKEN_RE
+    if _MERGE_TOKEN_RE is None:
+        _MERGE_TOKEN_RE = _re.compile(r"^[a-z0-9]+$")
+    for a, b in merges:
+        if not (_MERGE_TOKEN_RE.match(a) and _MERGE_TOKEN_RE.match(b)):
+            raise ValueError(
+                f"merge tokens must match [a-z0-9]+ (got {(a, b)!r}); "
+                "the normalized corpus alphabet is the supported domain"
+            )
+
 def _bpe_fold_expr(prev: str, a: str, b: str) -> str:
     """One ranked merge as a greedy leftmost left-fold over the
     space-separated token string ``prev`` (identical semantics on both
@@ -575,12 +610,8 @@ def bpe_encode_vocab(
     broadcast join of this table back to the token stream. All folds
     are Catalyst expressions; no Python.
     """
-    vocab = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    _validate_merges(merges)
+    vocab = word_freqs(docs, text_col).withColumnRenamed("w", "word")
     out = vocab.withColumn(
         "s", F.expr("array_join(regexp_extract_all(word, '.', 0), ' ')")
     )
@@ -601,7 +632,7 @@ def sql_bpe_encode_vocab(
 ) -> str:
     """DuckDB mirror of :func:`bpe_encode_vocab` (list_reduce seeds with
     the first element, matching the Spark fold's explicit seed)."""
-    toks = SQL_TOKENS.format(c=text_col)
+    _validate_merges(merges)
 
     def fold(prev: str, a: str, b: str) -> str:
         return (
@@ -611,10 +642,7 @@ def sql_bpe_encode_vocab(
         )
 
     ctes = [
-        f"""vocab AS (
-  SELECT w AS word, COUNT(*) AS freq
-  FROM (SELECT UNNEST({toks}) AS w FROM {rel}) u
-  WHERE LENGTH(w) > 0 GROUP BY w)""",
+        f"vocab AS (SELECT w AS word, freq FROM {sql_word_freqs(rel, text_col)} wf)",
         "s0 AS (SELECT word, freq,"
         " array_to_string(regexp_extract_all(word, '.'), ' ') AS s FROM vocab)",
     ]

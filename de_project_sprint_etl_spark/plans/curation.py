@@ -576,10 +576,12 @@ GROUP BY t.source
 def q_bpe_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix accounting in REAL tokenizer units: per-source doc,
     word, and BPE-piece totals, computed by broadcast-joining the
-    vocab-sized encode table back onto the token stream — the corpus is
-    scanned once and never shuffled on text; only (source)-keyed
-    partial aggregates move (extension op; what mixture/packing budgets
-    should be denominated in at training time)."""
+    vocab-sized encode table back onto the token stream — two corpus
+    scans (vocab build + token stream), text shuffled only at VOCAB
+    granularity (the word-frequency groupBy); the doc-level stream
+    moves nothing but (source)-keyed partial aggregates (extension op;
+    what mixture/packing budgets should be denominated in at training
+    time)."""
     from de_project_sprint_etl_spark.functions.text import tokens as _tokens
 
     docs = fan_out(
