@@ -168,6 +168,8 @@ HEADLINE = [
     "bpe_encode_vocab",
     "bpe_token_accounting",
     "events_rolling_anomaly",
+    "lang_id_eval",
+    "minhash_dedup_eval",
 ]
 
 

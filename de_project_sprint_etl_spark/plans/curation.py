@@ -601,3 +601,105 @@ def q_bpe_token_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pieces").cast("bigint").alias("n_bpe_tokens"),
         )
     )
+
+
+# --- classifier / dedup quality evaluation ----------------------------------
+
+from de_project_sprint_etl_spark.plans.llm import _sql_lang_id  # noqa: E402
+from de_project_sprint_etl_spark.functions import text as _text_fns  # noqa: E402
+
+
+@register(
+    "lang_id_eval",
+    f"""
+WITH pred AS (SELECT doc_id, lang_pred FROM ({_sql_lang_id('documents')}) p)
+SELECT d.lang AS lang_true, pred.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred USING (doc_id)
+GROUP BY d.lang, pred.lang_pred
+""",
+)
+def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier quality gate for the stopword-vote language ID:
+    confusion-matrix counts against the corpus's ground-truth ``lang``
+    labels, computed in-engine (the check a curation pipeline runs
+    before trusting a language filter). One narrow projection + one
+    (true, pred)-keyed partial-combined agg; no extra corpus pass
+    beyond the lang-ID scoring itself (extension op)."""
+    docs = fan_out(
+        spark, t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    pred = _text_fns.with_lang_id(docs, "text")
+    return (
+        pred.groupBy(F.col("lang").alias("lang_true"), "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+from de_project_sprint_etl_spark.plans.registry import ORACLES as _ORACLES  # noqa: E402
+
+_NG_PAIRS = _ORACLES["ngram_jaccard_dedup"]
+_MH_PAIRS = _ORACLES["minhash_lsh_dedup"]
+
+
+@register(
+    "minhash_dedup_eval",
+    f"""
+WITH tru AS (SELECT id_a, id_b FROM ({_NG_PAIRS}) g WHERE jaccard >= 0.5),
+pr AS (SELECT id_a, id_b FROM ({_MH_PAIRS}) m),
+hits AS (SELECT COUNT(*) AS n FROM tru JOIN pr USING (id_a, id_b))
+SELECT CAST((SELECT COUNT(*) FROM tru) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT COUNT(*) FROM pr) AS BIGINT) AS n_pred_pairs,
+       CAST(hits.n AS BIGINT) AS n_hits,
+       ROUND(CAST(hits.n AS DOUBLE)
+             / GREATEST((SELECT COUNT(*) FROM pr), 1), 6) AS precision,
+       ROUND(CAST(hits.n AS DOUBLE)
+             / GREATEST((SELECT COUNT(*) FROM tru), 1), 6) AS recall
+FROM hits
+""",
+)
+def q_minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family quality gate (the near-dup analog of
+    ann_recall_eval / pq_recall_eval): precision and recall of the
+    MinHash+LSH candidate pairs against exact n-gram Jaccard >= 0.5 on
+    the same mutant corpus, computed in-engine by composing the two
+    REGISTERED pipelines — the check a curation run performs before
+    trusting sketch-based dedup at a given band/hash configuration
+    (extension op). The intersection is a pair-key join of two
+    pair-sized (not corpus-sized) tables."""
+    from de_project_sprint_etl_spark.plans.llm import _MAX_SHINGLE_DF, mutant_shingles
+
+    sh = mutant_shingles(spark, sf_dir, n=3)
+    tru = dedup.ngram_jaccard_pairs(
+        shingles=sh, n=3, min_jaccard=0.5, max_shingle_df=_MAX_SHINGLE_DF
+    ).select("id_a", "id_b")
+    sigs = dedup.minhash_signatures(shingles=sh, num_hashes=16)
+    pr = dedup.minhash_lsh_pairs(
+        sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
+    ).select("id_a", "id_b")
+    # all three counts as single-row aggregates composed in ONE plan —
+    # no driver-side actions or arithmetic
+    tru_n = tru.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    pr_n = pr.agg(F.count(F.lit(1)).alias("n_pred_pairs"))
+    hits_n = tru.join(pr, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        hits_n.crossJoin(F.broadcast(tru_n))
+        .crossJoin(F.broadcast(pr_n))
+        .select(
+            "n_true_pairs",
+            "n_pred_pairs",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.greatest(F.col("n_pred_pairs"), F.lit(1)),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )
