@@ -469,6 +469,7 @@ def pq_adc_topk(
     topk: int = 5,
     candidates: DataFrame | None = None,
     exclude_self: bool = False,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k search over PQ codes (Jégou et
     al. 2011): train per-subspace codebooks (:func:`kmeans_grouped`),
@@ -493,10 +494,17 @@ def pq_adc_topk(
     per-pair sum folds a subspace-sorted in-row list; ranking orders by
     the 6-decimal-rounded distance with a neighbor-id tie-break.
     """
-    assign, cent = kmeans_grouped(
-        sub, k=k_codebook, iterations=iterations, with_centroids=True
-    )
-    codes = assign.select("grp", "vec_id", F.col("cluster").alias("cid"))
+    if model is not None:
+        # pre-trained index artifact (codes, centroids) — the
+        # build-once/query-many production shape; training replay
+        # remains the oracle's job
+        codes_src, cent = model
+        codes = codes_src.select("grp", "vec_id", "cid")
+    else:
+        assign, cent = kmeans_grouped(
+            sub, k=k_codebook, iterations=iterations, with_centroids=True
+        )
+        codes = assign.select("grp", "vec_id", F.col("cluster").alias("cid"))
     qsub = sub.filter(F.col("vec_id") < n_queries).select(
         "grp", F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
     )
@@ -605,6 +613,8 @@ def ivfpq_topk(
     topk: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_model: tuple[DataFrame, DataFrame] | None = None,
+    pq_model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Complete IVF-PQ search (Jégou et al. 2011): a coarse quantizer
     prunes the corpus to the ``nprobe`` cells nearest each query, and
@@ -622,10 +632,13 @@ def ivfpq_topk(
     BEFORE any distance join (via :func:`pq_adc_topk`'s ``candidates``
     path), so distance work is confined to the probed fraction.
     """
-    coarse_assign, coarse_cent = kmeans(
-        emb, k=coarse_k, iterations=iterations,
-        id_col=id_col, vec_col=vec_col, with_centroids=True,
-    )
+    if coarse_model is not None:
+        coarse_assign, coarse_cent = coarse_model
+    else:
+        coarse_assign, coarse_cent = kmeans(
+            emb, k=coarse_k, iterations=iterations,
+            id_col=id_col, vec_col=vec_col, with_centroids=True,
+        )
     ev = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("ev"),
@@ -651,6 +664,7 @@ def ivfpq_topk(
         iterations=iterations,
         topk=topk,
         candidates=cand,
+        model=pq_model,
     )
 
 
