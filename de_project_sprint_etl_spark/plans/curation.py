@@ -726,13 +726,22 @@ def q_minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_sprint_etl_spark.plans.llm import _MAX_SHINGLE_DF, mutant_shingles
 
     sh = mutant_shingles(spark, sf_dir, n=3)
-    tru = dedup.ngram_jaccard_pairs(
-        shingles=sh, n=3, min_jaccard=0.5, max_shingle_df=_MAX_SHINGLE_DF
-    ).select("id_a", "id_b")
+    # each pair table feeds two consumers (its count + the
+    # intersection) — persist so neither posting-list pipeline
+    # re-executes
+    tru = (
+        dedup.ngram_jaccard_pairs(
+            shingles=sh, n=3, min_jaccard=0.5, max_shingle_df=_MAX_SHINGLE_DF
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
     sigs = dedup.minhash_signatures(shingles=sh, num_hashes=16)
-    pr = dedup.minhash_lsh_pairs(
-        sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
-    ).select("id_a", "id_b")
+    pr = (
+        dedup.minhash_lsh_pairs(sigs, num_hashes=16, bands=4, min_est_jaccard=0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
     # all three counts as single-row aggregates composed in ONE plan —
     # no driver-side actions or arithmetic
     tru_n = tru.agg(F.count(F.lit(1)).alias("n_true_pairs"))
