@@ -170,6 +170,8 @@ HEADLINE = [
     "events_rolling_anomaly",
     "lang_id_eval",
     "minhash_dedup_eval",
+    "dq_check_orders",
+    "table_diff_orders",
 ]
 
 

@@ -1139,3 +1139,142 @@ def q_events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z",
         )
     )
+
+
+# --- data-quality constraint suite (Deequ-style expectations) ----------------
+
+
+@register(
+    "dq_check_orders",
+    """
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS null_keys,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
+         COUNT(*) FILTER (WHERE o_totalprice <= 0) AS bad_price,
+         COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+           AS bad_status
+  FROM orders),
+ri AS (
+  SELECT COUNT(*) AS orphans
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM (
+  SELECT 'o_orderkey_not_null' AS rule, n_rows AS n_checked,
+         null_keys AS n_violations FROM base
+  UNION ALL
+  SELECT 'o_orderkey_unique', n_rows, dup_keys FROM base
+  UNION ALL
+  SELECT 'o_totalprice_positive', n_rows, bad_price FROM base
+  UNION ALL
+  SELECT 'o_orderstatus_domain', n_rows, bad_status FROM base
+  UNION ALL
+  SELECT 'o_custkey_references_customer', base.n_rows, ri.orphans
+  FROM base CROSS JOIN ri) r
+""",
+)
+def q_dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (the Deequ/Great-Expectations
+    pattern): completeness, uniqueness, range, domain, and referential
+    integrity over ``orders``, evaluated in ONE aggregate pass plus one
+    anti-join probe — the per-rule violation counts a pipeline gates a
+    load on. Scale shape: every non-RI rule is a conditional count
+    inside a single partial-combined aggregation (one scan); the RI
+    rule is a broadcast anti join against the dim key set; rule rows
+    are a driver-free union of one-row frames (extension op)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    base = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("null_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("bad_price"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("bad_status"),
+    )
+    ri = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+    )
+
+    def rule(name: str, viol_col: str, src: DataFrame) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("rule"),
+            F.col("n_rows").cast("bigint").alias("n_checked"),
+            F.col(viol_col).cast("bigint").alias("n_violations"),
+        )
+
+    base_p = base.persist()
+    rows = (
+        rule("o_orderkey_not_null", "null_keys", base_p)
+        .unionByName(rule("o_orderkey_unique", "dup_keys", base_p))
+        .unionByName(rule("o_totalprice_positive", "bad_price", base_p))
+        .unionByName(rule("o_orderstatus_domain", "bad_status", base_p))
+        .unionByName(
+            rule(
+                "o_custkey_references_customer",
+                "orphans",
+                base_p.crossJoin(F.broadcast(ri)),
+            )
+        )
+    )
+    return rows.withColumn("passed", F.col("n_violations") == 0)
+
+
+# --- snapshot diff / reconciliation (inverse CDC) ----------------------------
+
+from de_project_sprint_etl_spark.plans.registry import ORACLES as _W_ORACLES  # noqa: E402
+from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES as _W_RAW  # noqa: E402
+
+
+@register(
+    "table_diff_orders",
+    f"""
+WITH v2 AS ({_W_ORACLES['cdc_apply_orders']}),
+v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v2.o_orderkey IS NULL THEN 'deleted'
+            WHEN v1.o_orderkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS change_type,
+       v1.o_orderstatus AS old_status,
+       v2.o_orderstatus AS new_status
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v2.o_orderkey IS NULL OR v1.o_orderkey IS NULL
+   OR v1.o_orderstatus <> v2.o_orderstatus
+   OR v1.o_totalprice <> v2.o_totalprice
+""",
+)
+def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / reconciliation (the INVERSE of CDC apply): a
+    keyed full-outer compare of two table versions emitting only the
+    changelog-sized difference — inserted / deleted / updated rows with
+    old and new values — exactly what replica reconciliation or a
+    time-travel diff produces. Composed against the REGISTERED
+    cdc_apply_orders output, so diff(v1, apply(v1, changelog)) recovers
+    the changelog's effect; unchanged rows (the vast majority) never
+    leave the join (extension op). One key-partitioned shuffle per
+    side."""
+    v1 = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = _W_RAW["cdc_apply_orders"](spark, sf_dir)
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return j.filter(
+        F.col("b.o_orderkey").isNull()
+        | F.col("a.o_orderkey").isNull()
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("b.o_orderkey").isNull(), "deleted")
+        .when(F.col("a.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("change_type"),
+        F.col("a.o_orderstatus").alias("old_status"),
+        F.col("b.o_orderstatus").alias("new_status"),
+    )
