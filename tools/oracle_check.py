@@ -12,6 +12,7 @@ Usage: python tools/oracle_check.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from decimal import Decimal
@@ -53,7 +54,22 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    spark = get_spark(shuffle_partitions=8)
+    if os.environ.get("ORACLE_CHECK_PLAIN_SESSION"):
+        # driver-equivalent plain session: the external driver builds its
+        # own SparkSession with none of session.py's confs, so values
+        # must not depend on them (scan-layer settings like the UTC
+        # session zone are applied per-scan in plans/testdata.t)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.driver.memory", "24g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(shuffle_partitions=8)
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
