@@ -164,10 +164,22 @@ def canonicalize(sql: str) -> str:
     type-canonicalizing derived tables. Identity in values when the
     fixture matches the canonical schema; drift-proof when it doesn't."""
 
+    seen: dict[str, int] = {}
+
     def repl(m: re.Match) -> str:
         table = m.group("table").lower()
         alias = m.group("alias")
-        alias_sql = f" AS {alias}" if alias else f" AS {table}"
+        if alias:
+            alias_sql = f" AS {alias}"
+        else:
+            # fallback aliases must be UNIQUE per statement: an
+            # unaliased self-join ("FROM orders JOIN orders") is valid
+            # SQL, but two identical explicit aliases are not. A second
+            # unaliased ref can't be target of qualified column refs in
+            # valid SQL (ambiguous), so the synthetic suffix is safe.
+            n = seen.get(table, 0) + 1
+            seen[table] = n
+            alias_sql = f" AS {table}" if n == 1 else f" AS {table}__c{n}"
         return f"{m.group('prefix')}{_DERIVED[table]}{alias_sql}"
 
     return _TABLE_RE.sub(repl, sql)

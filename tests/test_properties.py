@@ -227,3 +227,70 @@ def test_strip_spans_matches_python_reference(spark, docs):
             if not any(s <= p <= s + n - 1 for s in dup_starts)
         ]
         assert got[i] == " ".join(kept), (i, t, dup_starts, got[i])
+
+
+# --- oracle_canon rewrite property -------------------------------------------
+
+_CANON_TABLES = ("orders", "lineitem", "events", "documents", "customer")
+_CANON_ALIASES = (None, "x", "t1", "src", "AS x", "AS t1")
+_CANON_SUFFIXES = ("", "WHERE 1 = 1", "LIMIT 3")
+
+
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(_CANON_TABLES),
+            st.sampled_from(_CANON_ALIASES),
+            st.sampled_from(_CANON_SUFFIXES),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    joiner=st.sampled_from(["UNION ALL", "JOIN-CHAIN"]),
+)
+def test_canonicalize_wraps_every_ref_and_preserves_results(data, joiner):
+    """Grammar fuzz of the oracle rewrite: for random FROM/JOIN/alias/
+    keyword-suffix combinations over the real tables, (a) EVERY base
+    table reference gets wrapped (drift protection has no gaps), and
+    (b) DuckDB results are value-identical before and after the
+    rewrite (the identity property the whole gate rests on)."""
+    import duckdb
+
+    from de_project_sprint_etl_spark.plans.oracle_canon import canonicalize
+
+    sf = "/root/testdata/sf0.001"
+    if joiner == "JOIN-CHAIN" and len(data) > 1:
+        # FROM t1 [a1] JOIN t2 [a2] ON 1=1 ... (suffixes dropped; the
+        # ON clause exercises keyword-after-ref scanning)
+        parts = []
+        for i, (tbl, alias, _sfx) in enumerate(data):
+            # DuckDB rejects duplicate aliases/bare refs in one FROM, so
+            # join-chain refs always carry a unique synthetic alias; the
+            # alias/keyword variants are exercised by the UNION branch
+            # and the rewrite's own unit test
+            ref = f"{tbl} j{i}"
+            parts.append(ref if i == 0 else f"JOIN {ref} ON 1 = 1")
+        sql = "SELECT COUNT(*) AS n FROM " + " ".join(parts)
+        n_refs = len(data)
+    else:
+        branches = []
+        for tbl, alias, sfx in data:
+            ref = f"{tbl} {alias}" if alias else tbl
+            branches.append(f"(SELECT COUNT(*) AS n FROM {ref} {sfx})".strip())
+        sql = " UNION ALL ".join(branches)
+        n_refs = len(data)
+
+    out = canonicalize(sql)
+    assert out.count("(SELECT CAST(") == n_refs, (sql, out)
+
+    con = duckdb.connect()
+    for t in _CANON_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    assert sorted(con.sql(sql).fetchall()) == sorted(con.sql(out).fetchall()), (
+        sql,
+        out,
+    )
