@@ -172,6 +172,7 @@ HEADLINE = [
     "minhash_dedup_eval",
     "dq_check_orders",
     "table_diff_orders",
+    "embedding_mrl_truncate",
 ]
 
 

@@ -108,3 +108,23 @@ def random_projection(
         ),
     )
     return df.withColumn(out_col, proj)
+
+
+def mrl_truncate(df: DataFrame, dim: int, vec_col: str = "embedding",
+                 out_col: str = "mrl_vec") -> DataFrame:
+    """Matryoshka-style truncation (Kusupati et al. 2022,
+    arXiv:2205.13147): keep the FIRST ``dim`` coordinates and
+    re-normalize — MRL-trained embeddings concentrate information in
+    the prefix, so the truncated unit vector is a drop-in cheaper
+    representation (the d/4 retrieval index, the re-rank ladder's
+    first rung). Map-only: a slice, one strict-order norm fold, one
+    transform; zero vectors pass through unscaled."""
+    v = F.slice(_vecd(vec_col), 1, dim)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    safe = F.when(norm == 0.0, F.lit(1.0)).otherwise(norm)
+    return (
+        df.withColumn("__sv", v)
+        .withColumn("__norm", safe)
+        .withColumn(out_col, F.transform("__sv", lambda x: x / F.col("__norm")))
+        .drop("__sv", "__norm")
+    )

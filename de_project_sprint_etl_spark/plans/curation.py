@@ -768,3 +768,34 @@ def q_minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+MRL_DIM = 16
+
+_EMB_DV = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+
+@register(
+    "embedding_mrl_truncate",
+    f"""
+WITH e AS ({_EMB_DV}),
+s AS (SELECT vec_id, list_slice(v, 1, {MRL_DIM}) AS sv FROM e),
+n AS (SELECT vec_id, sv, SQRT(list_dot_product(sv, sv)) AS nrm FROM s)
+SELECT vec_id, CAST(u.i AS INT) AS pos,
+       ROUND(sv[CAST(u.i AS INT) + 1]
+             / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END), 6) AS mrl_val
+FROM n, UNNEST(range(0, len(sv))) AS u(i)
+""",
+)
+def q_embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation 64→16 + re-norm (extension op;
+    functions/embeddings.mrl_truncate — map-only, zero shuffle): the
+    cheap-prefix representation an MRL-trained index serves before the
+    full-dimension re-rank. Output exploded to scalars for the
+    cross-engine hash check."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    return (
+        embeddings.mrl_truncate(emb, dim=MRL_DIM)
+        .select("vec_id", F.posexplode("mrl_vec").alias("pos", "__m"))
+        .select("vec_id", "pos", F.round("__m", 6).alias("mrl_val"))
+    )
