@@ -173,6 +173,7 @@ HEADLINE = [
     "dq_check_orders",
     "table_diff_orders",
     "embedding_mrl_truncate",
+    "weighted_priority_sample",
 ]
 
 

@@ -799,3 +799,50 @@ def q_embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode("mrl_vec").alias("pos", "__m"))
         .select("vec_id", "pos", F.round("__m", 6).alias("mrl_val"))
     )
+
+
+# --- weighted priority sampling (fixed-size, deterministic) ------------------
+
+PRI_K = 20  # sample size per run
+PRI_SALT = "pri"
+
+
+@register(
+    "weighted_priority_sample",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         CAST({sql_h64('CAST(doc_id AS VARCHAR)', 4242)} AS DOUBLE)
+           / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS pri
+  FROM documents)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rn AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pri, doc_id) AS rn FROM keyed) r
+WHERE rn <= {PRI_K}
+""",
+)
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size WEIGHTED sample without RNG state (the priority /
+    sequential-Poisson sampling family, Duffield et al. / Ohlsson):
+    each doc gets priority key ``h64(id) / weight`` (weight = n_chars —
+    longer docs proportionally likelier) and the k smallest keys win.
+    The key is a ratio of exact integers, so the sample is bit-identical
+    across runs, engines, and partitionings — ``sample()``/RNG
+    reservoirs are none of those. Scale shape: map-only key projection
+    + TakeOrdered top-k; no shuffle of the corpus (extension op)."""
+    docs = fan_out(
+        spark, t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    )
+    from pyspark.sql import Window
+
+    keyed = docs.withColumn(
+        "pri",
+        h64(F.col("doc_id").cast("string"), seed=4242).cast("double")
+        / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+    )
+    w = Window.orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= PRI_K)
+        .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), "rank")
+    )
