@@ -178,15 +178,30 @@ def test_drifted_fixture_keeps_gate_green(spark, tmp_path):
     li = recast(li, "l_shipdate", pa.date32())
     pq.write_table(li, str(tmp_path / "lineitem.parquet"))
 
+    docs = pq.read_table(f"{src}/documents.parquet")
+    docs = recast(docs, "doc_id", pa.int32())
+    docs = recast(docs, "n_chars", pa.int32())
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    embt = pq.read_table(f"{src}/embeddings.parquet")
+    embt = recast(embt, "vec_id", pa.int32())
+    embt = recast(embt, "embedding", pa.list_(pa.float64()))  # float->double
+    pq.write_table(embt, str(tmp_path / "embeddings.parquet"))
+
     con = duckdb.connect()
-    for tname in ("events", "lineitem"):
+    for tname in ("events", "lineitem", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {tname} AS "
             f"SELECT * FROM read_parquet('{tmp_path}/{tname}.parquet')"
         )
     oracles = entry_mod.oracle_sql()
     try:
-        for name in ("events_windowed_agg", "tpch_q1_pricing_summary"):
+        for name in (
+            "events_windowed_agg",
+            "tpch_q1_pricing_summary",
+            "text_quality",
+            "embedding_normalize",
+        ):
             sdf = _QUERIES[name](spark, str(tmp_path))
             scols = sorted(sdf.columns)
             srows = sorted(
