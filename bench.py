@@ -186,13 +186,22 @@ def main() -> None:
     # Warm pass: run every query once uncounted (JIT/codegen, parquet
     # footers, derived-stream cache), so the timed pass measures
     # steady-state execution. See module docstring.
+    #
+    # Fault isolation: one broken query must not zero the whole bench —
+    # round 2's driver run died on the first query (a fixture-type
+    # drift) and recorded NOTHING for the other 129. Failures are
+    # reported per-query in the JSON instead.
+    errors: dict[str, str] = {}
     for name in names:
-        (
-            qs[name](spark, sf_dir)
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
+        try:
+            (
+                qs[name](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        except Exception as exc:  # noqa: BLE001 — survive, report below
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         spark.catalog.clearCache()
 
     def _session_hygiene() -> None:
@@ -216,38 +225,44 @@ def main() -> None:
     _session_hygiene()
     timings: dict[str, float] = {}
     for i, name in enumerate(names):
+        if name in errors:
+            continue  # already failed in the warm pass
         t0 = time.time()
-        # RAW (uncached) form: a reused plan object would let Spark
-        # serve exchanges from the warm pass's shuffle files (skipped
-        # stages) — timing incremental work instead of the engine. The
-        # prepared-plan cache stays on for real sessions; the bench
-        # builds each timed plan fresh.
-        df = registry.RAW_QUERIES.get(name, qs[name])(spark, sf_dir)
-        obs = Observation(f"rows_{name}")
-        (
-            df.observe(obs, F.count(F.lit(1)).alias("n"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        n = obs.get["n"]
+        try:
+            # RAW (uncached) form: a reused plan object would let Spark
+            # serve exchanges from the warm pass's shuffle files (skipped
+            # stages) — timing incremental work instead of the engine. The
+            # prepared-plan cache stays on for real sessions; the bench
+            # builds each timed plan fresh.
+            df = registry.RAW_QUERIES.get(name, qs[name])(spark, sf_dir)
+            obs = Observation(f"rows_{name}")
+            (
+                df.observe(obs, F.count(F.lit(1)).alias("n"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            n = obs.get["n"]
+        except Exception as exc:  # noqa: BLE001 — survive, report below
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            spark.catalog.clearCache()
+            continue
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
