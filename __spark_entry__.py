@@ -31,6 +31,7 @@ from de_project_sprint_etl_spark.plans import warehouse  # noqa: E402,F401 — r
 from de_project_sprint_etl_spark.plans import curation  # noqa: E402,F401 — registers substring-dedup/JL-projection/recall-eval/mixture-sample
 from de_project_sprint_etl_spark.plans import streamq  # noqa: E402,F401 — registers streaming-executed windowed counts
 from de_project_sprint_etl_spark.plans import sqlapi  # noqa: E402,F401 — registers the SQL-text front door
+from de_project_sprint_etl_spark.plans import governance  # noqa: E402,F401 — registers Gopher-filter/CMS/k-anon/TWA/lift ops
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

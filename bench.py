@@ -174,6 +174,11 @@ HEADLINE = [
     "table_diff_orders",
     "embedding_mrl_truncate",
     "weighted_priority_sample",
+    "gopher_quality_filter",
+    "heavy_hitters_cms",
+    "k_anonymity_orders",
+    "events_time_weighted_avg",
+    "cooccurrence_lift",
 ]
 
 

@@ -469,3 +469,86 @@ SELECT doc_id,
            (acc, v) -> acc + v), 6) END AS token_entropy
 FROM t
 """
+
+
+# Gopher-style document quality rules (Rae et al. 2021, §A1.1). The
+# paper's thresholds assume web prose; the *rules* are what matters —
+# word-count bounds, mean-word-length bounds, required stopword
+# evidence, and a repetitiveness cut — and each threshold is a
+# parameter here. All pure array/length expressions: map-only, no
+# shuffle at any corpus size.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOP_HITS = 1
+GOPHER_MIN_DISTINCT_RATIO = 0.4
+
+
+def with_gopher_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule statistics + the composite keep flag.
+
+    Columns: n_words, mean_word_len, stop_hits (distinct English
+    function words present), distinct_ratio (vocabulary diversity — the
+    repetition cut), gopher_keep.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    mean_len = F.when(
+        n_words > 0, F.length(F.concat_ws("", toks)) / n_words
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]]),
+        )
+    )
+    distinct_ratio = F.when(
+        n_words > 0, F.size(F.array_distinct(toks)) / n_words
+    ).otherwise(F.lit(0.0))
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+        & (distinct_ratio >= GOPHER_MIN_DISTINCT_RATIO)
+    )
+    return docs.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        keep.alias("gopher_keep"),
+    )
+
+
+def sql_gopher_stats(rel: str, text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`with_gopher_stats`. ``list_intersect``
+    de-duplicates like Spark's array_intersect over a distinct array;
+    the keep predicate repeats the same bounds."""
+    toks = SQL_TOKENS.format(c=text_col)
+    stops = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT *, {toks} AS __toks FROM {rel}),
+s AS (
+  SELECT *,
+         CAST(len(__toks) AS INT) AS n_words,
+         CASE WHEN len(__toks) > 0
+              THEN len(array_to_string(__toks, '')) / CAST(len(__toks) AS DOUBLE)
+              ELSE 0.0 END AS __mean_len,
+         CAST(len(list_intersect(list_distinct(__toks), [{stops}])) AS INT)
+           AS stop_hits,
+         CASE WHEN len(__toks) > 0
+              THEN len(list_distinct(__toks)) / CAST(len(__toks) AS DOUBLE)
+              ELSE 0.0 END AS __distinct_ratio
+  FROM t)
+SELECT doc_id, n_words,
+       ROUND(__mean_len, 6) AS mean_word_len,
+       stop_hits,
+       ROUND(__distinct_ratio, 6) AS distinct_ratio,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND __mean_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+        AND __distinct_ratio >= {GOPHER_MIN_DISTINCT_RATIO}) AS gopher_keep
+FROM s
+"""

@@ -1,0 +1,286 @@
+"""Round-3 governance / sketch / analytics extension ops.
+
+Five op families, each Spark-first with an exact DuckDB oracle:
+
+- **Gopher quality filtering** (Rae et al. 2021 §A1.1): per-document
+  rule statistics + composite keep flag. Map-only Catalyst expressions.
+- **Count-min-sketch heavy hitters** (Cormode & Muthukrishnan 2005):
+  the d×w sketch as a groupBy whose map-side combine bounds the shuffle
+  at O(partitions · d · w) rows regardless of stream length; estimates
+  are min-over-rows probes against the broadcast sketch.
+- **k-anonymity audit**: quasi-identifier group sizes with a
+  release/suppress decision — the privacy gate a dataset publisher runs
+  before export. One partial-aggregatable shuffle.
+- **time-weighted average**: per-user piecewise-constant integral of
+  the event value over microsecond-exact durations, numerator summed in
+  DECIMAL so the result is addition-order-free (the same
+  exact-moments discipline as warehouse.stats_moments).
+- **co-occurrence lift**: token-pair association over the document
+  corpus, df-capped to the top tokens so the pair join is bounded;
+  lift = P(a,b)/(P(a)P(b)) as one exact integer division (PMI without
+  the log, so no cross-engine transcendental risk).
+
+Reference parity note: none of these exist in the reference (SURVEY.md
+§2.12) — extension tier, same as plans/llm.py / plans/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.functions import sketch, text
+from de_project_sprint_etl_spark.plans.llm import docs_fanned
+from de_project_sprint_etl_spark.plans.registry import register
+from de_project_sprint_etl_spark.plans.testdata import events_df, t
+
+# --- Gopher quality filter ---------------------------------------------------
+
+
+@register("gopher_quality_filter", text.sql_gopher_stats("documents"))
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rules over the corpus (word-count bounds, mean-word-length
+    bounds, stopword evidence, vocabulary-diversity cut). Map-only —
+    no shuffle at any corpus size."""
+    return text.with_gopher_stats(docs_fanned(spark, sf_dir)).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_hits",
+        "distinct_ratio",
+        "gopher_keep",
+    )
+
+
+# --- count-min sketch heavy hitters ------------------------------------------
+
+CMS_TOPK = 20
+
+_CMS_ROWS = ", ".join(f"({i})" for i in range(sketch.CMS_DEPTH))
+
+
+def _sql_cms_heavy_hitters() -> str:
+    # sql_cms_bucket inlines the row seed as a literal; this is the same
+    # expression with the seed taken from the `rows` relation variable
+    # `i` instead, so one string serves all d hash rows (keep in
+    # lockstep with functions/sketch.cms_bucket).
+    bucket = (
+        f"CAST(CAST(CONCAT('0x', SUBSTR(md5(CONCAT(i, '|', "
+        f"CAST(key AS VARCHAR))), 1, 15)) AS BIGINT) "
+        f"% {sketch.CMS_WIDTH} AS INT)"
+    )
+    stream = (
+        f"SELECT UNNEST({text.SQL_TOKENS.format(c='text')}) AS key FROM documents"
+    )
+    return f"""
+WITH stream AS ({stream}),
+rows(i) AS (VALUES {_CMS_ROWS}),
+buck AS (SELECT key, i, {bucket} AS bucket FROM stream CROSS JOIN rows),
+sk AS (SELECT i, bucket, COUNT(*) AS cnt FROM buck GROUP BY i, bucket),
+keys AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM stream GROUP BY key),
+probes AS (SELECT key, true_cnt, i, {bucket} AS bucket
+           FROM keys CROSS JOIN rows),
+est AS (SELECT p.key, MIN(p.true_cnt) AS true_cnt, CAST(MIN(sk.cnt) AS BIGINT) AS cms_est
+        FROM probes p JOIN sk ON sk.i = p.i AND sk.bucket = p.bucket
+        GROUP BY p.key)
+SELECT key, cms_est, true_cnt
+FROM est
+ORDER BY cms_est DESC, key
+LIMIT {CMS_TOPK}
+"""
+
+
+@register("heavy_hitters_cms", _sql_cms_heavy_hitters())
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k heavy hitters of the corpus token stream by count-min
+    estimate, with the true count alongside. The token distribution is
+    Zipf-shaped, so the heavy hitters sit far above the sketch's
+    collision noise (~stream_len/width per bucket) and the estimate is
+    a tight upper bound for them. Sketch build shuffles
+    O(partitions · d · w) rows; the probe join broadcasts the d×w-row
+    sketch. Ordering (cms_est DESC, key) makes top-k deterministic."""
+    stream = docs_fanned(spark, sf_dir).select(
+        F.explode(text.tokens("text")).alias("key")
+    )
+    sk = sketch.cms_build(stream, "key")
+    keys = stream.groupBy("key").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sketch.cms_estimate(keys, sk, "key")
+    return (
+        est.select("key", "cms_est", "true_cnt")
+        .orderBy(F.desc("cms_est"), "key")
+        .limit(CMS_TOPK)
+    )
+
+
+# --- k-anonymity audit -------------------------------------------------------
+
+K_ANON = 120  # release threshold on the quasi-identifier group size
+
+_SQL_K_ANON = f"""
+SELECT o_orderpriority,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CASE WHEN COUNT(*) >= {K_ANON} THEN 'release' ELSE 'suppress' END
+         AS decision
+FROM orders
+GROUP BY o_orderpriority, order_year, o_orderstatus
+"""
+
+
+@register("k_anonymity_orders", _SQL_K_ANON)
+def q_k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (priority, year, status)
+    quasi-identifier: group sizes plus the release/suppress decision at
+    k >= {K}. One hash aggregation, partial map-side — group count is
+    bounded by the QI domain product, not the table size."""
+    orders = t(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return g.select(
+        "o_orderpriority",
+        "order_year",
+        "o_orderstatus",
+        "k",
+        F.when(F.col("k") >= K_ANON, F.lit("release"))
+        .otherwise(F.lit("suppress"))
+        .alias("decision"),
+    )
+
+
+# --- time-weighted average ---------------------------------------------------
+
+_SQL_TWA = """
+WITH e AS (
+  SELECT user_id, ts, value,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur_us
+  FROM events),
+held AS (SELECT user_id,
+                CAST(value AS DECIMAL(18,6)) * dur_us AS num,
+                dur_us
+         FROM e WHERE dur_us IS NOT NULL)
+SELECT user_id,
+       ROUND(CAST(SUM(num) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE), 6)
+         AS time_weighted_value,
+       CAST(SUM(dur_us) AS BIGINT) AS observed_us
+FROM held
+GROUP BY user_id
+HAVING SUM(dur_us) > 0
+"""
+
+
+@register("events_time_weighted_avg", _SQL_TWA)
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted mean of the event value: each value is
+    held until the user's next event (piecewise-constant integral over
+    microsecond-exact durations). The numerator sums DECIMAL(18,6) ×
+    BIGINT products — addition-order-free, so partition order can't
+    move the result — and the double math happens once, post-agg
+    (same discipline as stats_moments). Window shuffles once on
+    user_id; the groupBy reuses that partitioning."""
+    ev = events_df(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    held = (
+        ev.withColumn("dur_us", F.lead(us).over(w) - us)
+        .filter(F.col("dur_us").isNotNull())
+        .select(
+            "user_id",
+            (F.col("value").cast("decimal(18,6)") * F.col("dur_us")).alias("num"),
+            "dur_us",
+        )
+    )
+    g = held.groupBy("user_id").agg(
+        F.sum("num").alias("num"), F.sum("dur_us").alias("dur")
+    )
+    return g.filter(F.col("dur") > 0).select(
+        "user_id",
+        F.round(F.col("num").cast("double") / F.col("dur").cast("double"), 6).alias(
+            "time_weighted_value"
+        ),
+        F.col("dur").cast("bigint").alias("observed_us"),
+    )
+
+
+# --- co-occurrence lift --------------------------------------------------------
+
+COOC_TOP_TOKENS = 40
+COOC_TOPK_PAIRS = 30
+
+_SQL_COOC = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct({text.SQL_TOKENS.format(c='text')})) AS tk
+  FROM documents),
+total AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+df AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tk),
+top AS (SELECT tk, df FROM df ORDER BY df DESC, tk LIMIT {COOC_TOP_TOKENS}),
+ft AS (SELECT t.doc_id, t.tk, p.df FROM toks t JOIN top p USING (tk)),
+pairs AS (
+  SELECT a.tk AS token_a, b.tk AS token_b,
+         CAST(COUNT(*) AS BIGINT) AS co_docs,
+         MIN(a.df) AS df_a, MIN(b.df) AS df_b
+  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tk < b.tk
+  GROUP BY a.tk, b.tk)
+SELECT token_a, token_b, co_docs,
+       ROUND(CAST(co_docs * n_docs AS DOUBLE) / CAST(df_a * df_b AS DOUBLE), 6)
+         AS lift
+FROM pairs CROSS JOIN total
+ORDER BY lift DESC, token_a, token_b
+LIMIT {COOC_TOPK_PAIRS}
+"""
+
+
+@register("cooccurrence_lift", _SQL_COOC)
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-pair association (lift = P(a,b) / (P(a)·P(b))) over the
+    corpus, restricted to the top-{N} tokens by document frequency so
+    the pair self-join is df-bounded (the standard frequent-pair cut —
+    an unrestricted token self-join is quadratic in the hottest
+    posting list). The df table is tiny and broadcast; counts stay
+    integers until one final exact division."""
+    toks = (
+        docs_fanned(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(text.tokens("text"))).alias("tk"))
+    )
+    n_docs = docs_fanned(spark, sf_dir).select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    df_tbl = toks.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    top = df_tbl.orderBy(F.desc("df"), "tk").limit(COOC_TOP_TOKENS)
+    ft = toks.join(F.broadcast(top), "tk")
+    a = ft.select(
+        F.col("doc_id"), F.col("tk").alias("token_a"), F.col("df").alias("df_a")
+    )
+    b = ft.select(
+        F.col("doc_id"), F.col("tk").alias("token_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(
+            F.count(F.lit(1)).alias("co_docs"),
+            F.min("df_a").alias("df_a"),
+            F.min("df_b").alias("df_b"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "co_docs",
+            F.round(
+                (F.col("co_docs") * F.col("n_docs")).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "token_a", "token_b")
+        .limit(COOC_TOPK_PAIRS)
+    )

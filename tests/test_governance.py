@@ -1,0 +1,165 @@
+"""Round-3 governance / sketch / analytics ops: plan shapes + semantics."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__  # noqa: E402,F401 — populates the registry
+
+from de_project_sprint_etl_spark.functions import sketch, text  # noqa: E402
+from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES  # noqa: E402
+from de_project_sprint_etl_spark.plans.testdata import t  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_governance_ops_stay_jvm_side(spark):
+    """No row-at-a-time Python, no cartesian product in any of the five
+    new plans (the CMS probe and lift total joins are broadcast)."""
+    for name in (
+        "gopher_quality_filter",
+        "heavy_hitters_cms",
+        "k_anonymity_orders",
+        "events_time_weighted_avg",
+        "cooccurrence_lift",
+    ):
+        plan = plan_of(RAW_QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_gopher_filter_is_map_only(spark):
+    """The Gopher rules are one projection over the scan — no
+    key-partitioning exchange at any corpus size. (fan_out's
+    round-robin split of the tiny single-file fixture is the one
+    allowed exchange; a many-split corpus skips even that — pinned in
+    test_plans.test_fan_out_passthrough.)"""
+    plan = plan_of(RAW_QUERIES["gopher_quality_filter"](spark, SF))
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # each physical Exchange prints one Partitioning argument line
+    assert plan.count("Partitioning(") <= 1, plan
+    assert "RoundRobinPartitioning" in plan or "Exchange" not in plan, plan
+
+
+def test_gopher_keep_discriminates(spark):
+    """Both keep and drop decisions occur on the fixture corpus, and the
+    flag is consistent with its own published statistics."""
+    rows = RAW_QUERIES["gopher_quality_filter"](spark, SF01).collect()
+    kept = [r for r in rows if r.gopher_keep]
+    dropped = [r for r in rows if not r.gopher_keep]
+    assert kept and dropped
+    for r in rows:
+        expected = (
+            text.GOPHER_MIN_WORDS <= r.n_words <= text.GOPHER_MAX_WORDS
+            and text.GOPHER_MIN_MEAN_WORD_LEN
+            <= r.mean_word_len
+            <= text.GOPHER_MAX_MEAN_WORD_LEN
+            and r.stop_hits >= text.GOPHER_MIN_STOP_HITS
+            and r.distinct_ratio >= text.GOPHER_MIN_DISTINCT_RATIO
+        )
+        assert r.gopher_keep == expected, r
+
+
+def test_cms_estimate_upper_bounds_true_count(spark):
+    """CMS guarantees: estimate >= true count for every key, and the
+    overshoot is bounded by the per-bucket collision mass
+    (~stream_len/width expected; 4x that is a generous Markov bound
+    with the min over 3 rows)."""
+    rows = RAW_QUERIES["heavy_hitters_cms"](spark, SF01).collect()
+    assert len(rows) == 20
+    assert all(r.cms_est >= r.true_cnt for r in rows)
+    stream_len = (
+        t(spark, SF01, "documents")
+        .select(F.explode(text.tokens("text")).alias("k"))
+        .count()
+    )
+    bound = 4 * stream_len / sketch.CMS_WIDTH
+    assert all(r.cms_est - r.true_cnt <= bound for r in rows), rows
+    # Zipf head: the top estimated hitters are true heavy hitters, far
+    # above the collision noise
+    assert rows[0].true_cnt > bound
+
+
+def test_cms_sketch_is_bounded_aggregation(spark):
+    """The sketch build groups on (row, bucket): d*w groups max, so the
+    partial aggregate bounds the shuffle independent of stream length."""
+    stream = t(spark, SF, "lineitem").select(F.col("l_partkey").alias("key"))
+    sk = sketch.cms_build(stream, "key")
+    assert sk.count() <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
+    plan = plan_of(sk)
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_cms_probe_broadcasts_sketch(spark):
+    """Point queries join the d*w-row sketch as a broadcast — the key
+    stream never shuffles for the probe."""
+    plan = plan_of(RAW_QUERIES["heavy_hitters_cms"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_k_anonymity_decision_matches_k(spark):
+    rows = RAW_QUERIES["k_anonymity_orders"](spark, SF01).collect()
+    assert {"release", "suppress"} == {r.decision for r in rows}
+    for r in rows:
+        assert (r.decision == "release") == (r.k >= 120), r
+
+
+def test_time_weighted_avg_single_user_hand_check(spark, tmp_path):
+    """3 events at t=0s,10s,40s with values 10,40,0: TWA =
+    (10*10 + 40*30) / 40 = 32.5, observed span 40s."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [0, 10_000_000, 40_000_000]  # micros
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "event_type": pa.array(["a"] * 3),
+            "value": pa.array([10.0, 40.0, 0.0], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = RAW_QUERIES["events_time_weighted_avg"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].user_id == 7
+    assert rows[0].time_weighted_value == 32.5
+    assert rows[0].observed_us == 40_000_000
+
+
+def test_cooccurrence_lift_bounded_and_consistent(spark):
+    """Pair join is df-capped: every returned token is in the top-40 df
+    set, lift is positive, and co_docs never exceeds either df."""
+    rows = RAW_QUERIES["cooccurrence_lift"](spark, SF01).collect()
+    assert len(rows) == 30
+    assert all(r.lift > 0 and r.co_docs >= 1 for r in rows)
+    # recompute dfs to cross-check the cap
+    docs = t(spark, SF01, "documents")
+    df_tbl = (
+        docs.select(F.explode(F.array_distinct(text.tokens("text"))).alias("tk"))
+        .groupBy("tk")
+        .count()
+        .orderBy(F.desc("count"), "tk")
+        .limit(40)
+        .collect()
+    )
+    top = {r.tk: r["count"] for r in df_tbl}
+    for r in rows:
+        assert r.token_a in top and r.token_b in top
+        assert r.co_docs <= min(top[r.token_a], top[r.token_b])
