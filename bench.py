@@ -179,6 +179,7 @@ HEADLINE = [
     "k_anonymity_orders",
     "events_time_weighted_avg",
     "cooccurrence_lift",
+    "hybrid_rrf_retrieval",
 ]
 
 

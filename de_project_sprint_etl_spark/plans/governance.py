@@ -284,3 +284,148 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "token_a", "token_b")
         .limit(COOC_TOPK_PAIRS)
     )
+
+
+# --- hybrid retrieval: BM25 + hashed-feature cosine, RRF fusion --------------
+#
+# The standard two-tower retrieval stack run entirely in-engine: a
+# lexical ranking (Okapi BM25, reusing functions/lm.bm25_topk) and a
+# dense ranking (cosine over the 64-bucket hashing-trick doc vectors —
+# the same featurization as feature_hash_docs, so no vocabulary build)
+# fused with reciprocal-rank fusion (Cormack et al. 2009):
+# rrf(d) = Σ_method 1/(K + rank_method(d)). Ranks are integers, each
+# reciprocal is one exact-rounded division, and the fusion sum has two
+# fixed-order terms — no cross-engine float risk anywhere.
+
+from de_project_sprint_etl_spark.functions import lm  # noqa: E402
+from de_project_sprint_etl_spark.plans.llm import BM25_QUERY_TERMS  # noqa: E402
+
+RRF_K = 60
+HYBRID_CAND = 50  # per-method candidate depth
+HYBRID_TOPK = 20
+_FH_DIM = 64  # hashing-trick width (lockstep with feature_hash_docs)
+
+
+def _sql_hybrid_rrf() -> str:
+    toks = text.SQL_TOKENS.format(c="text")
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    bucket = f"CAST({text.sql_h64('tok')} % {_FH_DIM} AS INT)"
+    lex = lm.sql_bm25_topk("documents", BM25_QUERY_TERMS, k=HYBRID_CAND)
+    return f"""
+WITH lex AS (SELECT doc_id, rank AS lex_rank FROM ({lex})),
+toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+feats AS (SELECT doc_id, {bucket} AS b, CAST(COUNT(*) AS BIGINT) AS n
+          FROM toks WHERE tok <> '' GROUP BY doc_id, {bucket}),
+qtoks AS (SELECT unnest([{terms}]) AS tok),
+qb AS (SELECT {bucket} AS b, CAST(COUNT(*) AS BIGINT) AS qn
+       FROM qtoks GROUP BY {bucket}),
+q2 AS (SELECT CAST(SUM(qn * qn) AS BIGINT) AS qq FROM qb),
+nd AS (SELECT doc_id, CAST(SUM(n * n) AS BIGINT) AS nn FROM feats GROUP BY doc_id),
+dots AS (SELECT f.doc_id, CAST(SUM(f.n * qb.qn) AS BIGINT) AS d
+         FROM feats f JOIN qb USING (b) GROUP BY f.doc_id),
+cos AS (SELECT nd.doc_id,
+               ROUND(CAST(d AS DOUBLE)
+                     / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE))), 6)
+                 AS cscore
+        FROM dots JOIN nd USING (doc_id) CROSS JOIN q2),
+dense AS (SELECT doc_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cscore DESC, doc_id) AS INT)
+                   AS dense_rank
+          FROM cos
+          ORDER BY cscore DESC, doc_id
+          LIMIT {HYBRID_CAND}),
+fused AS (
+  SELECT doc_id, lex_rank, dense_rank,
+         COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+           + COALESCE(1.0 / ({RRF_K} + dense_rank), 0.0) AS rrf_score
+  FROM lex FULL JOIN dense USING (doc_id))
+SELECT doc_id, lex_rank, dense_rank, ROUND(rrf_score, 6) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {HYBRID_TOPK}
+"""
+
+
+@register("hybrid_rrf_retrieval", _sql_hybrid_rrf())
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (lexical) + hashed-feature cosine (dense) top-{HYBRID_CAND}
+    rankings fused by reciprocal-rank fusion; top-{HYBRID_TOPK} by
+    fused score. Both branches keep the corpus un-shuffled except the
+    per-doc feature aggregation (partial map-side); the query-side
+    vector is a <= len(terms)-row broadcast. Ranks come from
+    deterministic (score DESC, doc_id) orderings, so fusion is
+    reproducible across engines and partitionings."""
+    docs = docs_fanned(spark, sf_dir)
+    lex = lm.bm25_topk(docs, BM25_QUERY_TERMS, k=HYBRID_CAND).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = (text.h64(F.col("tok")) % _FH_DIM).cast("int")
+    feats = (
+        toks.select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qtoks = spark.createDataFrame(
+        [(tm,) for tm in BM25_QUERY_TERMS], ["tok"]
+    )
+    qb = (
+        qtoks.select((text.h64(F.col("tok")) % _FH_DIM).cast("int").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("qn"))
+    )
+    q2 = qb.agg(F.sum(F.col("qn") * F.col("qn")).alias("qq"))
+    nd = feats.groupBy("doc_id").agg(F.sum(F.col("n") * F.col("n")).alias("nn"))
+    dots = (
+        feats.join(F.broadcast(qb), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("qn")).alias("d"))
+    )
+    cos = (
+        dots.join(nd, "doc_id")
+        .crossJoin(F.broadcast(q2))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("d").cast("double")
+                / (
+                    F.sqrt(F.col("nn").cast("double"))
+                    * F.sqrt(F.col("qq").cast("double"))
+                ),
+                6,
+            ).alias("cscore"),
+        )
+    )
+    dense = (
+        cos.orderBy(F.desc("cscore"), "doc_id")
+        .limit(HYBRID_CAND)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cscore"), "doc_id"))
+            .cast("int")
+            .alias("dense_rank"),
+        )
+    )
+    fused = lex.join(dense, "doc_id", "full").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            F.round("rrf_score", 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(HYBRID_TOPK)
+    )

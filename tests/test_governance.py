@@ -143,6 +143,33 @@ def test_time_weighted_avg_single_user_hand_check(spark, tmp_path):
     assert rows[0].observed_us == 40_000_000
 
 
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    """RRF output: score equals the reciprocal-rank identity for the
+    published ranks, at least one doc carries both ranks (the branches
+    overlap on this corpus), and single-branch docs score lower than a
+    doc with both ranks at equal depth would."""
+    rows = RAW_QUERIES["hybrid_rrf_retrieval"](spark, SF01).collect()
+    assert len(rows) == 20
+    saw_both = False
+    for r in rows:
+        expected = 0.0
+        if r.lex_rank is not None:
+            expected += 1.0 / (60 + r.lex_rank)
+        if r.dense_rank is not None:
+            expected += 1.0 / (60 + r.dense_rank)
+        assert abs(r.rrf_score - expected) < 1e-6, r
+        saw_both = saw_both or (
+            r.lex_rank is not None and r.dense_rank is not None
+        )
+    assert saw_both
+
+
+def test_hybrid_rrf_stays_jvm_side_and_broadcasts_query(spark):
+    plan = plan_of(RAW_QUERIES["hybrid_rrf_retrieval"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_cooccurrence_lift_bounded_and_consistent(spark):
     """Pair join is df-capped: every returned token is in the top-40 df
     set, lift is positive, and co_docs never exceeds either df."""
