@@ -180,6 +180,9 @@ HEADLINE = [
     "events_time_weighted_avg",
     "cooccurrence_lift",
     "hybrid_rrf_retrieval",
+    "target_encode_priority",
+    "chi2_token_lang",
+    "events_ewma_value",
 ]
 
 

@@ -429,3 +429,213 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(HYBRID_TOPK)
     )
+
+
+# --- leave-one-out target encoding -------------------------------------------
+
+_SQL_TARGET_ENCODE = """
+WITH w AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_orderpriority) AS cat_sum,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cat_n
+  FROM orders)
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN cat_n > 1
+            THEN ROUND(CAST(cat_sum - price AS DOUBLE) / (cat_n - 1), 6)
+            ELSE NULL END AS loo_target_mean
+FROM w
+"""
+
+
+@register("target_encode_priority", _SQL_TARGET_ENCODE)
+def q_target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the order priority against
+    o_totalprice — the supervised categorical encoder that avoids
+    self-leakage by excluding each row's own target from its category
+    mean. Category sums are EXACT decimals accumulated by an
+    unbounded-frame window (addition-order-free), the double division
+    happens once per row; one shuffle on the category key."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    d = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        price.alias("price"),
+        F.sum(price).over(w).alias("cat_sum"),
+        F.count(F.lit(1)).over(w).alias("cat_n"),
+    )
+    return d.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("cat_n") > 1,
+            F.round(
+                (F.col("cat_sum") - F.col("price")).cast("double")
+                / (F.col("cat_n") - 1),
+                6,
+            ),
+        ).alias("loo_target_mean"),
+    )
+
+
+# --- chi-squared feature selection -------------------------------------------
+
+CHI2_VOCAB = 50
+CHI2_TOPK = 30
+
+
+def _sql_chi2() -> str:
+    toks = text.SQL_TOKENS.format(c="text")
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({toks})) AS tk FROM documents),
+vocab AS (
+  SELECT tk, CAST(COUNT(*) AS BIGINT) AS n_t FROM dt GROUP BY tk
+  ORDER BY n_t DESC, tk LIMIT {CHI2_VOCAB}),
+langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+a AS (
+  SELECT dt.tk, d.lang, CAST(COUNT(*) AS BIGINT) AS a
+  FROM dt JOIN vocab USING (tk) JOIN documents d USING (doc_id)
+  GROUP BY dt.tk, d.lang),
+grid AS (
+  SELECT v.tk, l.lang, v.n_t, l.n_l, COALESCE(a.a, 0) AS a
+  FROM vocab v CROSS JOIN langs l
+  LEFT JOIN a ON a.tk = v.tk AND a.lang = l.lang),
+cells AS (
+  SELECT tk, lang, a,
+         n_t - a AS b, n_l - a AS c, n - n_t - n_l + a AS d, n
+  FROM grid CROSS JOIN total)
+SELECT tk AS token, lang,
+       a AS in_class_docs,
+       ROUND(CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0
+                  THEN 0.0
+                  ELSE CAST(n * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+                       / CAST((a+b) * (c+d) * (a+c) * (b+d) AS DOUBLE)
+             END, 6) AS chi2
+FROM cells
+ORDER BY chi2 DESC, token, lang
+LIMIT {CHI2_TOPK}
+"""
+
+
+@register("chi2_token_lang", _sql_chi2())
+def q_chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection: which tokens are most associated
+    with which language label (the supervised vocabulary-pruning stage
+    before training a classifier). Contingency cells are exact BIGINT
+    counts derived from ONE (token,lang) aggregate plus broadcast
+    marginals (vocab x langs grid is tiny); chi2 is one integer-exact
+    expression with a single double division. Vocab capped at the
+    top-{V} document frequencies so the stats join is bounded."""
+    docs = docs_fanned(spark, sf_dir)
+    labeled = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(text.tokens("text"))).alias("tk")
+    ).dropDuplicates(["doc_id", "tk"])
+    vocab = (
+        dt.groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .orderBy(F.desc("n_t"), "tk")
+        .limit(CHI2_VOCAB)
+    )
+    langs = labeled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    total = labeled.agg(F.count(F.lit(1)).alias("n"))
+    a_tbl = (
+        dt.join(F.broadcast(vocab.select("tk")), "tk")
+        .join(labeled, "doc_id")
+        .groupBy("tk", "lang")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(langs))
+        .join(a_tbl, ["tk", "lang"], "left")
+        .withColumn("a", F.coalesce(F.col("a"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+    )
+    a, n_t, n_l, n = (F.col(x) for x in ("a", "n_t", "n_l", "n"))
+    b, c = n_t - a, n_l - a
+    d = n - n_t - n_l + a
+    num = (n * (a * d - b * c) * (a * d - b * c)).cast("double")
+    den = ((a + b) * (c + d) * (a + c) * (b + d)).cast("double")
+    chi2 = F.when(
+        ((a + b) == 0) | ((c + d) == 0) | ((a + c) == 0) | ((b + d) == 0),
+        F.lit(0.0),
+    ).otherwise(F.round(num / den, 6))
+    return (
+        grid.select(
+            F.col("tk").alias("token"),
+            "lang",
+            a.alias("in_class_docs"),
+            chi2.alias("chi2"),
+        )
+        .orderBy(F.desc("chi2"), "token", "lang")
+        .limit(CHI2_TOPK)
+    )
+
+
+# --- integer-exact EWMA (halving decay over the trailing frame) ---------------
+
+EWMA_SPAN = 8  # trailing events; weight of lag k is 2^(span-1-k)
+
+_EWMA_LAGS = ",\n         ".join(
+    f"LAG(cents, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l{k}"
+    for k in range(EWMA_SPAN)
+)
+_EWMA_NUM = " + ".join(
+    f"COALESCE(l{k}, 0) * {1 << (EWMA_SPAN - 1 - k)}" for k in range(EWMA_SPAN)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN l{k} IS NULL THEN 0 ELSE {1 << (EWMA_SPAN - 1 - k)} END)"
+    for k in range(EWMA_SPAN)
+)
+
+_SQL_EWMA = f"""
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+l AS (
+  SELECT event_id, user_id,
+         {_EWMA_LAGS}
+  FROM c)
+SELECT event_id, user_id,
+       ROUND(CAST({_EWMA_NUM} AS DOUBLE)
+             / (CAST({_EWMA_DEN} AS DOUBLE) * 100.0), 6) AS ewma_value
+FROM l
+"""
+
+
+@register("events_ewma_value", _SQL_EWMA)
+def q_events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (halving decay) of each
+    user's event value over the trailing {span} events. Values become
+    integer cents, each lag's weight is a power of two, and numerator /
+    denominator are INTEGER sums — associativity-free, so the result is
+    bit-identical across engines and partition orders (the float EWMA
+    recursion is not). One user_id window shuffle; all lags share the
+    frame sort."""
+    ev = events_df(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    d = ev.select("event_id", "user_id", cents.alias("cents"), "ts")
+    for k in range(EWMA_SPAN):
+        d = d.withColumn(f"l{k}", F.lag("cents", k).over(w))
+    num = sum(
+        (F.coalesce(F.col(f"l{k}"), F.lit(0)) * (1 << (EWMA_SPAN - 1 - k)))
+        for k in range(EWMA_SPAN)
+    )
+    den = sum(
+        F.when(F.col(f"l{k}").isNull(), 0).otherwise(1 << (EWMA_SPAN - 1 - k))
+        for k in range(EWMA_SPAN)
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        F.round(num.cast("double") / (den.cast("double") * 100.0), 6).alias(
+            "ewma_value"
+        ),
+    )

@@ -190,3 +190,75 @@ def test_cooccurrence_lift_bounded_and_consistent(spark):
     for r in rows:
         assert r.token_a in top and r.token_b in top
         assert r.co_docs <= min(top[r.token_a], top[r.token_b])
+
+
+def test_target_encoding_excludes_own_row(spark):
+    """LOO identity: for each category, encoded + own/(n-1) scaled
+    equals the category mean identity (sum - own)/(n-1); verify against
+    an independent recompute, and n==1 categories yield NULL."""
+    rows = RAW_QUERIES["target_encode_priority"](spark, SF01).collect()
+    orders = t(spark, SF01, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    sums: dict[str, Decimal] = defaultdict(Decimal)
+    ns: dict[str, int] = defaultdict(int)
+    price = {}
+    for r in orders:
+        p = Decimal(str(round(r.o_totalprice, 2)))
+        sums[r.o_orderpriority] += p
+        ns[r.o_orderpriority] += 1
+        price[r.o_orderkey] = (r.o_orderpriority, p)
+    for r in rows[:500]:
+        cat, p = price[r.o_orderkey]
+        if ns[cat] == 1:
+            assert r.loo_target_mean is None
+        else:
+            expected = float(sums[cat] - p) / (ns[cat] - 1)
+            assert abs(r.loo_target_mean - round(expected, 6)) < 1e-5, r
+
+
+def test_chi2_prefers_language_stopwords(spark):
+    """The most chi2-associated (token, lang) pairs should be the
+    language-specific function words the corpus embeds (e.g. 'der'->de,
+    'le'->fr) — not the shared content vocabulary."""
+    rows = RAW_QUERIES["chi2_token_lang"](spark, SF01).collect()
+    assert len(rows) == 30
+    assert all(r.chi2 >= 0 for r in rows)
+    langs_seen = {r.lang for r in rows[:10]}
+    assert len(langs_seen) >= 2  # discriminative across several labels
+    # the strongest association has positive in-class support
+    assert rows[0].in_class_docs > 0 and rows[0].chi2 > rows[-1].chi2
+
+
+def test_ewma_hand_check_and_window_reuse(spark, tmp_path):
+    """Hand-check the halving-decay weights on one user: values 100,
+    200, 400 -> ewma after 3rd event = (400*128 + 200*64 + 100*32)
+    / ((128+64+32)*1) = 300.0 with span-8 weights; plan shuffles once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([0, 1_000_000, 2_000_000], pa.timestamp("us")),
+            "user_id": pa.array([5, 5, 5], pa.int64()),
+            "event_type": pa.array(["a"] * 3),
+            "value": pa.array([100.0, 200.0, 400.0], pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = {
+        r.event_id: r.ewma_value
+        for r in RAW_QUERIES["events_ewma_value"](spark, str(tmp_path)).collect()
+    }
+    assert rows[1] == 100.0
+    # event 2: (200*128 + 100*64) / (192*100) -> 166.666667
+    assert abs(rows[2] - 166.666667) < 1e-6
+    # event 3: (400*128 + 200*64 + 100*32) / (224*100) -> 300.0
+    assert rows[3] == 300.0
+    plan = plan_of(RAW_QUERIES["events_ewma_value"](spark, SF))
+    assert plan.count("hashpartitioning") <= 2, plan
