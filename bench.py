@@ -183,6 +183,8 @@ HEADLINE = [
     "target_encode_priority",
     "chi2_token_lang",
     "events_ewma_value",
+    "scd2_point_in_time_join",
+    "partition_skew_profile",
 ]
 
 

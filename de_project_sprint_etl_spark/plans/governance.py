@@ -639,3 +639,147 @@ def q_events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma_value"
         ),
     )
+
+
+# --- SCD2 point-in-time join --------------------------------------------------
+
+from de_project_sprint_etl_spark.plans.registry import ORACLES  # noqa: E402
+from de_project_sprint_etl_spark.plans.warehouse import (  # noqa: E402
+    q_scd2_customer_priority,
+)
+
+
+def _sql_pit_join() -> str:
+    scd2 = ORACLES["scd2_customer_priority"]
+    # equi key + range filter, never a bare range join (DuckDB IEJoin
+    # livelock — see the verify skill's gotchas); ISO date strings
+    # compare correctly as text
+    return f"""
+WITH dim AS ({scd2})
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       dim.priority AS priority_at_date
+FROM orders o
+JOIN dim ON dim.o_custkey = o.o_custkey
+WHERE dim.valid_from <= CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR)
+  AND (dim.valid_to IS NULL
+       OR CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) <= dim.valid_to)
+"""
+
+
+@register("scd2_point_in_time_join", _sql_pit_join())
+def q_scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (effective-dated) join: each fact row picks the
+    dimension version valid AT its date — the lookup every
+    training-data join against a versioned dimension needs (no leakage
+    from future attribute values).
+
+    Scale shape: instead of a range join, dimension change-points and
+    facts are unioned and forward-filled per entity with ONE window
+    over ONE o_custkey shuffle — the sort-merge as-of form that scales
+    with |facts| + |versions| instead of |facts| x |versions|. The
+    oracle states the same semantics as an equi+range-filtered join
+    against the registered SCD2 output, so the two formulations
+    cross-check each other."""
+    dim = q_scd2_customer_priority(spark, sf_dir).select(
+        "o_custkey",
+        F.col("valid_from").cast("date").alias("d"),
+        F.col("priority").alias("__prio"),
+    )
+    facts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    tagged = dim.select(
+        "o_custkey",
+        "d",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "__prio",
+        F.lit(1).alias("__is_dim"),
+    ).unionByName(
+        facts.select(
+            "o_custkey",
+            "d",
+            "o_orderkey",
+            F.lit(None).cast("string").alias("__prio"),
+            F.lit(0).alias("__is_dim"),
+        )
+    )
+    # dim change sorts before same-day facts (valid_from is inclusive)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d", F.desc("__is_dim"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn(
+        "priority_at_date", F.last("__prio", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("__is_dim") == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("d").cast("string").alias("order_date"),
+        "priority_at_date",
+    )
+
+
+# --- partition-skew profile ---------------------------------------------------
+
+SKEW_TOPK = 20
+
+_SQL_SKEW = f"""
+WITH counts AS (
+  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+ranked AS (
+  SELECT key, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT) AS rank,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+  FROM counts)
+SELECT key, cnt, rank,
+       ROUND(CAST(cnt AS DOUBLE) / n, 6) AS share,
+       ROUND(CAST(cum_cnt AS DOUBLE) / n, 6) AS cum_share
+FROM ranked CROSS JOIN total
+ORDER BY rank
+LIMIT {SKEW_TOPK}
+"""
+
+
+@register("partition_skew_profile", _SQL_SKEW)
+def q_partition_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew report a pipeline runs on a join key before choosing a
+    strategy (broadcast / salt / AQE skew-join): top-{K} heaviest keys
+    with each key's share and the cumulative head share. The running
+    total is an INTEGER window sum (associativity-free); shares are one
+    division each. At 100 TB this is one partial-combined count
+    aggregate — the per-key table is |distinct keys|, never row-scale.
+    Companion of the salted-join op (functions/skew), which consumes
+    exactly this head-of-distribution information."""
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    counts = li.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+    total = li.agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.orderBy(F.desc("cnt"), "key")
+    ranked = counts.select(
+        "key",
+        "cnt",
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+        F.sum("cnt")
+        .over(w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cnt"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            "rank",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias("share"),
+            F.round(F.col("cum_cnt").cast("double") / F.col("n"), 6).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy("rank")
+        .limit(SKEW_TOPK)
+    )

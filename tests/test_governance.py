@@ -262,3 +262,51 @@ def test_ewma_hand_check_and_window_reuse(spark, tmp_path):
     assert rows[3] == 300.0
     plan = plan_of(RAW_QUERIES["events_ewma_value"](spark, SF))
     assert plan.count("hashpartitioning") <= 2, plan
+
+
+def test_pit_join_picks_version_valid_at_date(spark):
+    """Every order matches exactly one dimension version, and the
+    version's validity interval contains the order date (cross-checked
+    against the registered SCD2 output)."""
+    pit = {
+        r.o_orderkey: (r.o_custkey, r.order_date, r.priority_at_date)
+        for r in RAW_QUERIES["scd2_point_in_time_join"](spark, SF).collect()
+    }
+    orders = t(spark, SF, "orders").select("o_orderkey").collect()
+    assert len(pit) == len(orders)
+    dim = RAW_QUERIES["scd2_customer_priority"](spark, SF).collect()
+    intervals = {}
+    for r in dim:
+        intervals.setdefault(r.o_custkey, []).append(
+            (r.valid_from, r.valid_to, r.priority)
+        )
+    for ok, (ck, d, prio) in list(pit.items())[:300]:
+        hits = [
+            p
+            for (vf, vt, p) in intervals[ck]
+            if vf <= d and (vt is None or d <= vt)
+        ]
+        assert hits == [prio], (ok, ck, d, prio, hits)
+
+
+def test_pit_join_stays_jvm_side(spark):
+    plan = plan_of(RAW_QUERIES["scd2_point_in_time_join"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the as-of form is a union + window, never a fact x version join
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan, plan
+
+
+def test_skew_profile_head_is_consistent(spark):
+    rows = RAW_QUERIES["partition_skew_profile"](spark, SF01).collect()
+    assert [r.rank for r in rows] == list(range(1, 21))
+    assert all(rows[i].cnt >= rows[i + 1].cnt for i in range(19))
+    # cumulative share is monotone and consistent with the head sum
+    assert all(
+        rows[i].cum_share <= rows[i + 1].cum_share for i in range(19)
+    )
+    total = (
+        t(spark, SF01, "lineitem").count()
+    )
+    head = sum(r.cnt for r in rows)
+    assert abs(rows[-1].cum_share - round(head / total, 6)) < 1e-6
