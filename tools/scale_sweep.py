@@ -65,6 +65,11 @@ def build_scale_corpus() -> str:
         # replica users are distinct people, so per-user state scales
         # with the corpus instead of deepening
         "events": ("event_id + {o} AS event_id", "user_id + {o} AS user_id"),
+        # replica customers/orders are distinct; part/supplier keys stay
+        # shared so item-grain distributions (skew heads, encodings)
+        # deepen realistically instead of flattening
+        "orders": ("o_orderkey + {o} AS o_orderkey", "o_custkey + {o} AS o_custkey"),
+        "lineitem": ("l_orderkey + {o} AS l_orderkey",),
     }
     for tbl, exprs in replaces.items():
         dst = os.path.join(SCALE_DIR, f"{tbl}.parquet")
