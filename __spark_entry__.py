@@ -60,11 +60,9 @@ GATE_PRIORITY = [
     "order_log_v2_merge",
     "fact_sales_v2",
     "calendar_dim",
-    "calendar_weeks",
     "week_range_join",
     "new_customers",
     "returned_customers",
-    "refunded_customers",
     "distinct_on_customer",
     "status_counts",
     "date_functions",
@@ -73,7 +71,6 @@ GATE_PRIORITY = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q9_product_profit",
-    "tpch_q18_large_volume_customers",
     "tpch_q21_suppliers_kept_waiting",
     # dedup family
     "exact_dedup",
@@ -110,6 +107,10 @@ GATE_PRIORITY = [
     "scd2_customer_priority",
     "cdc_apply_orders",
     "pagerank_copurchase",
+    # round-3 governance / sketch / hybrid tier
+    "heavy_hitters_cms",
+    "scd2_point_in_time_join",
+    "hybrid_rrf_retrieval",
 ]
 
 
