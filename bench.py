@@ -187,6 +187,8 @@ HEADLINE = [
     "partition_skew_profile",
     "event_transition_matrix",
     "events_hourly_ohlc",
+    "ab_test_analysis",
+    "user_cohort_retention_triangle",
 ]
 
 

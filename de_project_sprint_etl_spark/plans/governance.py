@@ -872,3 +872,163 @@ def q_events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --- A/B experiment analysis --------------------------------------------------
+#
+# Deterministic hash-bucket assignment (the same gate every feature-flag
+# system uses) + Welch's t statistic from EXACT decimal moments, so the
+# whole experiment readout is reproducible across runs, engines, and
+# partitionings — the property an experimentation platform needs before
+# anyone trusts a p-value at 100 TB of event logs.
+
+_SQL_AB = f"""
+WITH assigned AS (
+  SELECT CASE WHEN {text.sql_h64("CAST(user_id AS VARCHAR)", seed=7)} % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS variant,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+  WHERE event_type = 'purchase'),
+m AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS DOUBLE) AS s,
+         CAST(SUM(v * v) AS DOUBLE) AS ss
+  FROM assigned GROUP BY variant),
+stats AS (
+  SELECT variant, n, ROUND(s / n, 6) AS mean_value,
+         (ss - s * s / n) / (n - 1) AS var_value
+  FROM m),
+wide AS (
+  SELECT
+    MIN(CASE WHEN variant = 'control' THEN n END) AS n_c,
+    MIN(CASE WHEN variant = 'control' THEN mean_value END) AS mean_c,
+    MIN(CASE WHEN variant = 'control' THEN var_value END) AS var_c,
+    MIN(CASE WHEN variant = 'treatment' THEN n END) AS n_t,
+    MIN(CASE WHEN variant = 'treatment' THEN mean_value END) AS mean_t,
+    MIN(CASE WHEN variant = 'treatment' THEN var_value END) AS var_t
+  FROM stats)
+SELECT n_c, n_t, mean_c, mean_t,
+       ROUND(mean_t - mean_c, 6) AS lift,
+       ROUND((mean_t - mean_c)
+             / sqrt(var_t / n_t + var_c / n_c), 6) AS welch_t
+FROM wide
+"""
+
+
+@register("ab_test_analysis", _SQL_AB)
+def q_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout over purchase events: users split 50/50 by the
+    shared deterministic hash (no RNG — assignment is reproducible and
+    consistent for a user across runs), per-variant mean from exact
+    decimal sums, Welch's t from exact (Σv, Σv²) moments with the
+    double math applied once post-aggregation. One tiny 2-group
+    aggregate after a map-only filter+assign."""
+    ev = events_df(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    assigned = ev.select(
+        F.when(
+            text.h64(F.col("user_id").cast("string"), seed=7) % 2 == 0,
+            F.lit("control"),
+        )
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    m = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    stats = m.select(
+        "variant",
+        "n",
+        F.round(s / n, 6).alias("mean_value"),
+        ((ss - s * s / n) / (n - 1)).alias("var_value"),
+    )
+    c = F.col
+    wide = stats.agg(
+        F.min(F.when(c("variant") == "control", c("n"))).alias("n_c"),
+        F.min(F.when(c("variant") == "control", c("mean_value"))).alias("mean_c"),
+        F.min(F.when(c("variant") == "control", c("var_value"))).alias("var_c"),
+        F.min(F.when(c("variant") == "treatment", c("n"))).alias("n_t"),
+        F.min(F.when(c("variant") == "treatment", c("mean_value"))).alias("mean_t"),
+        F.min(F.when(c("variant") == "treatment", c("var_value"))).alias("var_t"),
+    )
+    return wide.select(
+        "n_c",
+        "n_t",
+        "mean_c",
+        "mean_t",
+        F.round(c("mean_t") - c("mean_c"), 6).alias("lift"),
+        F.round(
+            (c("mean_t") - c("mean_c"))
+            / F.sqrt(c("var_t") / c("n_t") + c("var_c") / c("n_c")),
+            6,
+        ).alias("welch_t"),
+    )
+
+
+# --- user-cohort retention triangle -------------------------------------------
+
+_SQL_COHORT_TRIANGLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+  FROM events),
+firsts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id),
+joined AS (
+  SELECT f.cohort_wk,
+         CAST(round((uw.wk - f.cohort_wk) / 7.0) AS INT) AS week_offset,
+         uw.user_id
+  FROM uw JOIN firsts f USING (user_id)),
+cohort_sizes AS (
+  SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM firsts
+  GROUP BY cohort_wk)
+SELECT CAST(j.cohort_wk AS VARCHAR) AS cohort_week, j.week_offset,
+       CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS active_users,
+       c.cohort_users,
+       ROUND(CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / c.cohort_users, 6)
+         AS retention
+FROM joined j JOIN cohort_sizes c USING (cohort_wk)
+GROUP BY j.cohort_wk, j.week_offset, c.cohort_users
+"""
+
+
+@register("user_cohort_retention_triangle", _SQL_COHORT_TRIANGLE)
+def q_user_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product-analytics retention triangle: users grouped by
+    first-active week, re-activity counted per week offset, retention =
+    active/cohort-size (one exact division). Distinct (user, week)
+    pre-aggregation bounds everything downstream at |users|·|weeks|;
+    the first-week table joins back broadcast-sized. Complements the
+    reference's order-status retention mart with the user-activity
+    formulation."""
+    ev = events_df(spark, sf_dir)
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = uw.join(firsts, "user_id").select(
+        "cohort_wk",
+        F.round(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7.0)
+        .cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    sizes = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    return (
+        joined.join(F.broadcast(sizes), "cohort_wk")
+        .groupBy("cohort_wk", "week_offset", "cohort_users")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.col("cohort_wk").cast("string").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.round(
+                F.col("active_users").cast("double") / F.col("cohort_users"), 6
+            ).alias("retention"),
+        )
+    )

@@ -364,3 +364,30 @@ def test_ohlc_is_single_aggregate(spark):
     assert "Window" not in plan and "Join" not in plan, plan
     assert "partial_min" in plan and "partial_max" in plan, plan
     assert plan.lower().count("partitioning(") == 1, plan
+
+
+def test_ab_assignment_is_deterministic_5050ish(spark):
+    """Same user always lands in the same variant; split is near 50/50;
+    Welch t is finite and consistent with the published means."""
+    import math
+
+    r = RAW_QUERIES["ab_test_analysis"](spark, SF01).collect()[0]
+    assert r.n_c + r.n_t > 0
+    assert 0.3 < r.n_c / (r.n_c + r.n_t) < 0.7
+    assert math.isfinite(r.welch_t)
+    assert abs(r.lift - round(r.mean_t - r.mean_c, 6)) < 1e-6
+    # determinism: a second build returns identical values
+    r2 = RAW_QUERIES["ab_test_analysis"](spark, SF01).collect()[0]
+    assert r == r2
+
+
+def test_cohort_triangle_week0_is_full_retention(spark):
+    """Offset 0 of every cohort contains the whole cohort (retention
+    1.0), and retention never exceeds 1."""
+    rows = RAW_QUERIES["user_cohort_retention_triangle"](spark, SF01).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.retention <= 1.0, r
+        if r.week_offset == 0:
+            assert r.active_users == r.cohort_users, r
+    assert any(r.week_offset > 0 for r in rows)
