@@ -189,6 +189,7 @@ HEADLINE = [
     "events_hourly_ohlc",
     "ab_test_analysis",
     "user_cohort_retention_triangle",
+    "split_leakage_check",
 ]
 
 

@@ -1032,3 +1032,84 @@ def q_user_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("retention"),
         )
     )
+
+
+# --- train/test split leakage check -------------------------------------------
+#
+# The gate a training-data pipeline runs after splitting: near-duplicate
+# PAIRS that straddle split boundaries leak evaluation data into
+# training. Composes two REGISTERED pipelines — the MinHash-LSH
+# near-dup pairs and the deterministic hash-bucket split rule — so the
+# leakage report is itself inside the correctness gate.
+
+from de_project_sprint_etl_spark.functions import dedup as _dedup  # noqa: E402
+from de_project_sprint_etl_spark.plans.llm import (  # noqa: E402
+    _sql_minhash_lsh,
+    mutant_shingles,
+)
+from de_project_sprint_etl_spark.plans.mlops import (  # noqa: E402
+    TRAIN_PCT,
+    VAL_PCT,
+    split_bucket,
+)
+
+
+def _sql_split_leakage() -> str:
+    split = (
+        f"CASE WHEN CAST(('0x' || substr(md5(CAST({{id}} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % 100 < {TRAIN_PCT} THEN 'train'"
+        f" WHEN CAST(('0x' || substr(md5(CAST({{id}} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH mh AS ({_sql_minhash_lsh()}),
+tagged AS (
+  SELECT {split.format(id='id_a')} AS s_a,
+         {split.format(id='id_b')} AS s_b
+  FROM mh)
+SELECT LEAST(s_a, s_b) AS split_a,
+       GREATEST(s_a, s_b) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       LEAST(s_a, s_b) <> GREATEST(s_a, s_b) AS leaked
+FROM tagged
+GROUP BY split_a, split_b, leaked
+"""
+
+
+@register("split_leakage_check", _sql_split_leakage())
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs per (split, split) cell with the leakage flag —
+    cross-split cells are eval contamination. Pair-level (no component
+    assembly needed): the report costs one projection over the already-
+    bounded candidate pair set."""
+    sigs = _dedup.minhash_signatures(
+        shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
+    )
+    pairs = _dedup.minhash_lsh_pairs(
+        sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
+    )
+    s_a = (
+        F.when(split_bucket(F.col("id_a")) < TRAIN_PCT, F.lit("train"))
+        .when(split_bucket(F.col("id_a")) < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    s_b = (
+        F.when(split_bucket(F.col("id_b")) < TRAIN_PCT, F.lit("train"))
+        .when(split_bucket(F.col("id_b")) < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = pairs.select(s_a.alias("s_a"), s_b.alias("s_b"))
+    return (
+        tagged.select(
+            F.least("s_a", "s_b").alias("split_a"),
+            F.greatest("s_a", "s_b").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("leaked"),
+        )
+    )

@@ -391,3 +391,24 @@ def test_cohort_triangle_week0_is_full_retention(spark):
         if r.week_offset == 0:
             assert r.active_users == r.cohort_users, r
     assert any(r.week_offset > 0 for r in rows)
+
+
+def test_split_leakage_detects_cross_split_pairs(spark):
+    """The mutant corpus's near-dup pairs straddle the hash split (the
+    mutant id differs from its source id, so buckets decorrelate):
+    leaked cells exist, and cell counts sum to the full pair count."""
+    rows = RAW_QUERIES["split_leakage_check"](spark, SF01).collect()
+    assert any(r.leaked for r in rows)
+    for r in rows:
+        assert r.leaked == (r.split_a != r.split_b)
+        assert r.split_a <= r.split_b  # normalized cell
+    from de_project_sprint_etl_spark.functions import dedup as dd
+    from de_project_sprint_etl_spark.plans.llm import mutant_shingles
+
+    sigs = dd.minhash_signatures(
+        shingles=mutant_shingles(spark, SF01, n=3), num_hashes=16
+    )
+    n_pairs = dd.minhash_lsh_pairs(
+        sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
+    ).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
