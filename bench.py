@@ -190,6 +190,7 @@ HEADLINE = [
     "ab_test_analysis",
     "user_cohort_retention_triangle",
     "split_leakage_check",
+    "bloom_semijoin_filter",
 ]
 
 

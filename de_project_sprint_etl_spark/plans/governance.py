@@ -1113,3 +1113,107 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("split_a") != F.col("split_b")).alias("leaked"),
         )
     )
+
+
+# --- Bloom-filter semi-join prune ---------------------------------------------
+#
+# The explicit form of the runtime bloom pruning Spark injects for
+# shuffle joins (test_plans pins that injection): the build side's key
+# set is compressed into k hashed bit positions, the distinct-position
+# set (<= m rows, here m=4096) is broadcast, and a probe row survives
+# only if ALL k of its positions are present. No false negatives by
+# construction; false positives are the price of the compression — this
+# op MEASURES them against the exact semi-join, which is the audit a
+# pipeline does before trusting a bloom prune at 100 TB.
+
+BLOOM_M = 4096  # bit positions
+BLOOM_K = 3  # hashes per key
+
+
+def _sql_bloom() -> str:
+    def pos(expr: str, i: int) -> str:
+        return f"{text.sql_h64(f'CAST({expr} AS VARCHAR)', seed=i)} % {BLOOM_M}"
+
+    probes = ", ".join(pos("o.o_custkey", i) for i in range(BLOOM_K))
+    builds = " UNION ".join(
+        f"SELECT DISTINCT {pos('o_custkey', i)} AS p FROM urgent"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+bloom AS ({builds}),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey, unnest([{probes}]) AS p
+  FROM orders o),
+hits AS (
+  SELECT o_orderkey, o_custkey
+  FROM probe JOIN bloom USING (p)
+  GROUP BY o_orderkey, o_custkey
+  HAVING COUNT(*) = {BLOOM_K}),
+truth AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT o_custkey FROM urgent)),
+m AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_probe,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_pass,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true)
+SELECT n_probe, n_pass, n_true,
+       n_pass - n_true AS n_false_pos,
+       ROUND(CAST(n_pass - n_true AS DOUBLE)
+             / GREATEST(n_probe - n_true, 1), 6) AS fp_rate
+FROM m
+"""
+
+
+@register("bloom_semijoin_filter", _sql_bloom())
+def q_bloom_semijoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prune audit: orders probed against a {m}-position /
+    {k}-hash bloom of the urgent-customer key set, compared with the
+    exact semi-join. The bloom is a <= m-row broadcast (the probe side
+    never shuffles to be pruned); pass ⊇ truth always (no false
+    negatives), and fp_rate quantifies the wasted post-prune work."""
+    orders = t(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+
+    def pos(col, i):
+        return (text.h64(col.cast("string"), seed=i) % BLOOM_M).alias("p")
+
+    bloom = None
+    for i in range(BLOOM_K):
+        part = urgent.select(pos(F.col("o_custkey"), i)).distinct()
+        bloom = part if bloom is None else bloom.union(part).distinct()
+    probe = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.array(*[pos(F.col("o_custkey"), i) for i in range(BLOOM_K)])
+        ).alias("p"),
+    )
+    hits = (
+        probe.join(F.broadcast(bloom), "p")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == BLOOM_K)
+    )
+    truth = orders.join(F.broadcast(urgent), "o_custkey", "left_semi")
+    m = (
+        orders.agg(F.count(F.lit(1)).alias("n_probe"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_pass")))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true")))
+    )
+    return m.select(
+        "n_probe",
+        "n_pass",
+        "n_true",
+        (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
+        F.round(
+            (F.col("n_pass") - F.col("n_true")).cast("double")
+            / F.greatest(F.col("n_probe") - F.col("n_true"), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -412,3 +412,19 @@ def test_split_leakage_detects_cross_split_pairs(spark):
         sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
     ).count()
     assert sum(r.n_pairs for r in rows) == n_pairs
+
+
+def test_bloom_never_false_negative(spark):
+    """pass ⊇ truth (n_pass >= n_true), fp accounting consistent, and
+    the bloom actually prunes (n_pass < n_probe on this data)."""
+    r = RAW_QUERIES["bloom_semijoin_filter"](spark, SF01).collect()[0]
+    assert r.n_pass >= r.n_true
+    assert r.n_false_pos == r.n_pass - r.n_true
+    assert r.n_pass < r.n_probe
+    assert 0.0 <= r.fp_rate <= 1.0
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    plan = plan_of(RAW_QUERIES["bloom_semijoin_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
