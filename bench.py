@@ -191,6 +191,7 @@ HEADLINE = [
     "user_cohort_retention_triangle",
     "split_leakage_check",
     "bloom_semijoin_filter",
+    "knn_label_coherence",
 ]
 
 

@@ -1217,3 +1217,87 @@ def q_bloom_semijoin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+
+# --- kNN label-coherence evaluation -------------------------------------------
+
+from de_project_sprint_etl_spark.functions import similarity  # noqa: E402
+from de_project_sprint_etl_spark.plans.llm import SQL_ANN_BRUTE  # noqa: E402
+from de_project_sprint_etl_spark.plans.llm import fan_out as _fan_out  # noqa: E402
+
+KNN_K = 5
+
+
+def _sql_knn_coherence() -> str:
+    return f"""
+WITH nn AS ({SQL_ANN_BRUTE}),
+votes AS (
+  SELECT nn.query_id, e.label AS neighbor_label, COUNT(*) AS n_votes,
+         MIN(nn.rank) AS best_rank
+  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+  GROUP BY nn.query_id, e.label),
+pred AS (
+  SELECT query_id, neighbor_label AS predicted_label
+  FROM (SELECT query_id, neighbor_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, best_rank,
+                                           neighbor_label) AS rk
+        FROM votes) v
+  WHERE rk = 1)
+SELECT p.query_id, q.label AS true_label, p.predicted_label,
+       p.predicted_label = q.label AS correct
+FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+"""
+
+
+@register("knn_label_coherence", _sql_knn_coherence())
+def q_knn_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-coherence evaluation: each query vector's label is
+    predicted by majority vote of its {k} exact nearest neighbours
+    (ties → better best-rank, then lower label — fully deterministic),
+    compared against its own label. The embedding-quality gate a
+    retrieval/classification pipeline runs on candidate embeddings;
+    composes the registered exact top-k ranking, so neighbour lists are
+    shared semantics. Query set broadcast, vote table is k·Q rows."""
+    emb = _fan_out(spark, t(spark, sf_dir, "embeddings"))
+    from de_project_sprint_etl_spark.plans.llm import N_QUERIES
+
+    nn = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=KNN_K
+    )
+    labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("neighbor_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "neighbor_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_votes"), F.min("rank").alias("best_rank")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), "best_rank", "neighbor_label"
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("neighbor_label").alias("predicted_label"))
+    )
+    return (
+        pred.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "true_label",
+            "predicted_label",
+            (F.col("predicted_label") == F.col("true_label")).alias("correct"),
+        )
+    )

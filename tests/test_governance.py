@@ -428,3 +428,31 @@ def test_bloom_probe_broadcasts_filter(spark):
     plan = plan_of(RAW_QUERIES["bloom_semijoin_filter"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_coherence_prediction_is_majority_vote(spark):
+    """Re-derive the majority vote from the registered exact top-k and
+    confirm every prediction, plus the deterministic tiebreak."""
+    from collections import Counter
+
+    rows = RAW_QUERIES["knn_label_coherence"](spark, SF01).collect()
+    assert len(rows) == 10
+    nn = RAW_QUERIES["ann_bruteforce_topk"](spark, SF01).collect()
+    emb = {
+        r.vec_id: r.label
+        for r in t(spark, SF01, "embeddings").select("vec_id", "label").collect()
+    }
+    by_q = {}
+    for r in nn:
+        by_q.setdefault(r.query_id, []).append((r.rank, emb[r.neighbor_id]))
+    for r in rows:
+        votes = Counter(lbl for _, lbl in by_q[r.query_id])
+        best_rank = {
+            lbl: min(rk for rk, l2 in by_q[r.query_id] if l2 == lbl)
+            for lbl in votes
+        }
+        expected = min(
+            votes, key=lambda lbl: (-votes[lbl], best_rank[lbl], lbl)
+        )
+        assert r.predicted_label == expected, (r, votes)
+        assert r.correct == (r.predicted_label == r.true_label)
