@@ -192,6 +192,7 @@ HEADLINE = [
     "split_leakage_check",
     "bloom_semijoin_filter",
     "knn_label_coherence",
+    "lateral_top_lineitems",
 ]
 
 

@@ -100,3 +100,47 @@ def q_retention_compact_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimizer."""
     create_views(spark, sf_dir)
     return spark.sql(SPARK_SQL_RETENTION_COMPACT)
+
+
+# --- LATERAL correlated subquery (SQL surface) ------------------------------
+
+SPARK_SQL_LATERAL_TOP_LINES = """
+SELECT o.o_orderkey, o.o_orderstatus,
+       t.l_linenumber, t.l_extendedprice
+FROM orders o,
+LATERAL (
+  SELECT l_linenumber, l_extendedprice
+  FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT 2
+) t
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+_SQL_LATERAL_ORACLE = """
+SELECT o.o_orderkey, o.o_orderstatus,
+       t.l_linenumber, t.l_extendedprice
+FROM orders o,
+LATERAL (
+  SELECT l_linenumber, l_extendedprice
+  FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber
+  LIMIT 2
+) t
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+
+
+@register("lateral_top_lineitems", _SQL_LATERAL_ORACLE)
+def q_lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — each urgent order's 2 highest-value
+    lineitems — run as literal SQL text on BOTH engines (the per-row
+    top-N idiom SQL users reach for before learning window functions).
+    Catalyst decorrelates the LATERAL ... LIMIT into a ranked
+    window-over-join, so the physical plan is the same shuffle shape as
+    the explicit row_number formulation (`distinct_on`/`argmax` family)
+    — no per-order re-scan of lineitem survives at any scale."""
+    create_views(spark, sf_dir)
+    return spark.sql(SPARK_SQL_LATERAL_TOP_LINES)

@@ -456,3 +456,12 @@ def test_knn_coherence_prediction_is_majority_vote(spark):
         )
         assert r.predicted_label == expected, (r, votes)
         assert r.correct == (r.predicted_label == r.true_label)
+
+
+def test_lateral_decorrelates_to_window(spark):
+    """Catalyst must rewrite the LATERAL ... ORDER BY ... LIMIT 2 into a
+    ranked window over one join — never a per-outer-row rescan (no
+    nested-loop / cartesian shape)."""
+    plan = plan_of(RAW_QUERIES["lateral_top_lineitems"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
