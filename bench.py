@@ -193,6 +193,7 @@ HEADLINE = [
     "bloom_semijoin_filter",
     "knn_label_coherence",
     "lateral_top_lineitems",
+    "active_versions_per_day",
 ]
 
 

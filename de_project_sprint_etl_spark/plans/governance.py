@@ -1301,3 +1301,54 @@ def q_knn_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("predicted_label") == F.col("true_label")).alias("correct"),
         )
     )
+
+
+# --- interval sweep-line: active dimension versions over time -----------------
+
+
+def _sql_active_versions() -> str:
+    scd2 = ORACLES["scd2_customer_priority"]
+    return f"""
+WITH dim AS ({scd2}),
+deltas AS (
+  SELECT valid_from AS d, 1 AS delta FROM dim
+  UNION ALL
+  SELECT CAST(CAST(CAST(valid_to AS DATE) + 1 AS DATE) AS VARCHAR), -1
+  FROM dim WHERE valid_to IS NOT NULL),
+net AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net_change
+  FROM deltas GROUP BY d)
+SELECT d AS boundary_date, net_change,
+       CAST(SUM(net_change) OVER (ORDER BY d
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS active_versions
+FROM net
+"""
+
+
+@register("active_versions_per_day", _sql_active_versions())
+def q_active_versions_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval counting: how many SCD2 validity intervals
+    are active at each boundary date. Each interval contributes a +1
+    at its start and a -1 the day after its end; a running INTEGER sum
+    over the (tiny, boundary-dates-sized) net-change table gives the
+    active count — the O(|boundaries|) answer to an interval-overlap
+    question that a naive day-explode would answer in O(|intervals| x
+    |days|). Integer deltas make the running sum associativity-free."""
+    dim = q_scd2_customer_priority(spark, sf_dir)
+    starts = dim.select(F.col("valid_from").alias("d"), F.lit(1).alias("delta"))
+    ends = dim.filter(F.col("valid_to").isNotNull()).select(
+        F.date_add(F.col("valid_to").cast("date"), 1).cast("string").alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("d")
+        .agg(F.sum("delta").cast("bigint").alias("net_change"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return net.select(
+        F.col("d").alias("boundary_date"),
+        "net_change",
+        F.sum("net_change").over(w).cast("bigint").alias("active_versions"),
+    )

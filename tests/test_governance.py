@@ -465,3 +465,20 @@ def test_lateral_decorrelates_to_window(spark):
     plan = plan_of(RAW_QUERIES["lateral_top_lineitems"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_active_versions_sweep_line_invariants(spark):
+    """Running count equals open intervals at every boundary: never
+    negative, ends at the number of open (is_current) versions, and the
+    global max equals the distinct-customer count once all have
+    history (every customer has >= 1 version)."""
+    rows = sorted(
+        RAW_QUERIES["active_versions_per_day"](spark, SF).collect(),
+        key=lambda r: r.boundary_date,
+    )
+    assert all(r.active_versions >= 0 for r in rows)
+    dim = RAW_QUERIES["scd2_customer_priority"](spark, SF).collect()
+    open_now = sum(1 for r in dim if r.is_current)
+    assert rows[-1].active_versions == open_now
+    n_customers = len({r.o_custkey for r in dim})
+    assert max(r.active_versions for r in rows) == n_customers
