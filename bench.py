@@ -194,6 +194,9 @@ HEADLINE = [
     "knn_label_coherence",
     "lateral_top_lineitems",
     "active_versions_per_day",
+    "item_cf_similarity",
+    "mad_outliers_event_values",
+    "forget_user_impact",
 ]
 
 

@@ -1352,3 +1352,187 @@ def q_active_versions_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_change",
         F.sum("net_change").over(w).cast("bigint").alias("active_versions"),
     )
+
+
+# --- item-item collaborative-filtering similarity -----------------------------
+
+CF_TOPK = 15
+
+_SQL_ITEM_CF = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM lineitem),
+deg AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS n_orders FROM op GROUP BY part),
+pairs AS (
+  SELECT a.part AS item_a, b.part AS item_b, CAST(COUNT(*) AS BIGINT) AS cooc
+  FROM op a JOIN op b ON a.ok = b.ok AND a.part < b.part
+  GROUP BY a.part, b.part)
+SELECT p.item_a, p.item_b, p.cooc,
+       ROUND(CAST(p.cooc AS DOUBLE)
+             / sqrt(CAST(da.n_orders * db.n_orders AS DOUBLE)), 6) AS cosine_sim
+FROM pairs p
+JOIN deg da ON da.part = p.item_a
+JOIN deg db ON db.part = p.item_b
+ORDER BY cosine_sim DESC, item_a, item_b
+LIMIT {CF_TOPK}
+"""
+
+
+@register("item_cf_similarity", _SQL_ITEM_CF)
+def q_item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine over binary
+    order-membership vectors (cooc / sqrt(deg_a*deg_b)) — the
+    "customers also bought" scorer. The pair join is keyed on the
+    order, whose basket size is bounded (<= 7 lineitems), so the
+    explode is O(|orders| * basket²), never |items|²; degree tables are
+    item-sized and joined after pair aggregation."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
+        .dropDuplicates(["ok", "part"])
+    )
+    deg = op.groupBy("part").agg(F.count(F.lit(1)).alias("n_orders"))
+    other = op.select("ok", F.col("part").alias("part2"))
+    pairs = (
+        op.join(other, "ok")
+        .filter(F.col("part") < F.col("part2"))
+        .groupBy(F.col("part").alias("item_a"), F.col("part2").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+    )
+    da = deg.select(F.col("part").alias("item_a"), F.col("n_orders").alias("na"))
+    db = deg.select(F.col("part").alias("item_b"), F.col("n_orders").alias("nb"))
+    return (
+        pairs.join(da, "item_a")
+        .join(db, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "cooc",
+            F.round(
+                F.col("cooc").cast("double")
+                / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), "item_a", "item_b")
+        .limit(CF_TOPK)
+    )
+
+
+# --- MAD robust outlier detection ---------------------------------------------
+
+MAD_K = 3
+
+_SQL_MAD = f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, MIN(med) AS med, median(dev) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MIN(m.med), 6) AS median_value,
+       ROUND(MIN(m.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN d.dev > {MAD_K} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register("mad_outliers_event_values", _SQL_MAD)
+def q_mad_outliers_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: |v - median| > {k} * MAD per event
+    type — immune to the outliers polluting a mean/std rule (the
+    rolling z-score op's robust twin). Exact interpolated medians
+    (identical rule in both engines), per-type medians broadcast back,
+    outlier test is a pure expression; two aggregate passes, each
+    partial-combined."""
+    ev = events_df(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dev"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"), F.median("dev").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("dev") > MAD_K * F.col("mad")).cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# --- GDPR forget-user impact report -------------------------------------------
+
+_SQL_FORGET = f"""
+WITH req AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders
+  WHERE {text.sql_h64("CAST(o_custkey AS VARCHAR)", seed=11)} % 100 = 0),
+ord AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT ck FROM req)),
+m AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM req) AS n_customers,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ord) AS n_orders,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM ord)) AS n_lineitems,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+          WHERE user_id IN (SELECT ck FROM req)) AS n_events)
+SELECT n_customers, n_orders, n_lineitems, n_events,
+       n_orders + n_lineitems + n_events AS n_rows_total
+FROM m
+"""
+
+
+@register("forget_user_impact", _SQL_FORGET)
+def q_forget_user_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact report: for a deterministic ~1%
+    hash-gated set of deletion-request customers, the row counts each
+    table would lose (orders, their lineitems via the order-key
+    cascade, events by user id). Requests and cascade keys broadcast
+    into LEFT SEMI joins — the fact tables are scanned once each and
+    never shuffled; the report a deletion job runs BEFORE mutating
+    anything at 100 TB."""
+    orders = t(spark, sf_dir, "orders")
+    req = (
+        orders.filter(
+            text.h64(F.col("o_custkey").cast("string"), seed=11) % 100 == 0
+        )
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    ord_keys = orders.join(
+        F.broadcast(req), orders["o_custkey"] == req["ck"], "left_semi"
+    ).select("o_orderkey")
+    li = t(spark, sf_dir, "lineitem")
+    ev = events_df(spark, sf_dir)
+    n_cust = req.agg(F.count(F.lit(1)).alias("n_customers"))
+    n_ord = ord_keys.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_li = li.join(
+        F.broadcast(ord_keys), li["l_orderkey"] == ord_keys["o_orderkey"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_lineitems"))
+    n_ev = ev.join(
+        F.broadcast(req), ev["user_id"] == req["ck"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        n_cust.crossJoin(n_ord)
+        .crossJoin(n_li)
+        .crossJoin(n_ev)
+        .select(
+            "n_customers",
+            "n_orders",
+            "n_lineitems",
+            "n_events",
+            (F.col("n_orders") + F.col("n_lineitems") + F.col("n_events")).alias(
+                "n_rows_total"
+            ),
+        )
+    )

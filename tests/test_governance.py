@@ -482,3 +482,56 @@ def test_active_versions_sweep_line_invariants(spark):
     assert rows[-1].active_versions == open_now
     n_customers = len({r.o_custkey for r in dim})
     assert max(r.active_versions for r in rows) == n_customers
+
+
+def test_item_cf_similarity_is_cosine_of_binary_vectors(spark):
+    """Spot-check: sim = cooc / sqrt(na*nb) against independently
+    recomputed degrees; bounded in (0, 1]; pair order normalized."""
+    import math
+
+    rows = RAW_QUERIES["item_cf_similarity"](spark, SF01).collect()
+    assert len(rows) == 15
+    deg = {
+        r.part: r.n
+        for r in t(spark, SF01, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.item_a < r.item_b
+        expected = r.cooc / math.sqrt(deg[r.item_a] * deg[r.item_b])
+        assert abs(r.cosine_sim - round(expected, 6)) < 1e-6
+        assert 0 < r.cosine_sim <= 1
+
+
+def test_mad_outlier_rule_matches_recompute(spark):
+    """Outlier counts match a pandas recompute of the same median/MAD
+    rule for every event type."""
+    rows = {
+        r.event_type: r
+        for r in RAW_QUERIES["mad_outliers_event_values"](spark, SF01).collect()
+    }
+    pdf = t(spark, SF01, "events").select("event_type", "value").toPandas()
+    for et, g in pdf.groupby("event_type"):
+        med = g["value"].median()
+        dev = (g["value"] - med).abs()
+        mad = dev.median()
+        n_out = int((dev > 3 * mad).sum())
+        r = rows[et]
+        assert r.n_events == len(g)
+        assert abs(r.median_value - round(med, 6)) < 1e-6
+        assert abs(r.mad - round(mad, 6)) < 1e-6
+        assert r.n_outliers == n_out, (et, r.n_outliers, n_out)
+
+
+def test_forget_user_cascade_counts_consistent(spark):
+    """The cascade is internally consistent: some requests exist, every
+    counted order belongs to a requested customer, totals add up."""
+    r = RAW_QUERIES["forget_user_impact"](spark, SF01).collect()[0]
+    assert r.n_customers > 0
+    assert r.n_orders >= r.n_customers  # customers have >= 1 order each
+    assert r.n_lineitems >= r.n_orders  # orders have >= 1 lineitem
+    assert r.n_rows_total == r.n_orders + r.n_lineitems + r.n_events
