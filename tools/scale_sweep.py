@@ -82,6 +82,15 @@ def build_scale_corpus() -> str:
             for r in range(REPLICAS)
         )
         con.execute(f"COPY ({branches}) TO '{dst}' (FORMAT PARQUET)")
+    # shared dimensions ride along un-replicated (they are the small
+    # broadcast side everywhere), so every registered query can run
+    # against the scale dir
+    import shutil
+
+    for tbl in ("region", "nation", "customer", "supplier", "part"):
+        dst = os.path.join(SCALE_DIR, f"{tbl}.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(os.path.join(BASE, f"{tbl}.parquet"), dst)
     return SCALE_DIR
 
 
