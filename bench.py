@@ -197,6 +197,7 @@ HEADLINE = [
     "item_cf_similarity",
     "mad_outliers_event_values",
     "forget_user_impact",
+    "streaming_hourly_ohlc",
 ]
 
 

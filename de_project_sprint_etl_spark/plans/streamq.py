@@ -314,3 +314,41 @@ def q_pysource_shard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+@register(
+    "streaming_hourly_ohlc",
+    """
+SELECT event_type,
+       CAST(DATE_TRUNC('hour', ts) AS VARCHAR) AS bar_hour,
+       (MIN(struct_pack(ts := ts, event_id := event_id, value := value))).value
+         AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (MAX(struct_pack(ts := ts, event_id := event_id, value := value))).value
+         AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type, bar_hour
+""",
+)
+def q_streaming_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars executed BY THE STREAMING ENGINE: struct-min/max
+    open/close inside the stateful window aggregation (state = one
+    struct pair + extremes + count per bar), AvailableNow into a memory
+    sink, hash-checked against the plain batch SQL — the fifth
+    streaming-executed gate query, proving struct-typed aggregation
+    state survives the state-store round trip bit-exactly."""
+    src = _events_stream_src(spark, sf_dir)
+    stream = jobs.windowed_ohlc(
+        jobs.read_event_stream(spark, src), window="1 hour", watermark="2 hours"
+    )
+    return _run_to_sink(spark, "ohlc", stream, "complete").select(
+        "event_type",
+        F.col("bar_hour").cast("string").alias("bar_hour"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )

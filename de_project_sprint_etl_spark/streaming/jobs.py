@@ -73,6 +73,39 @@ def windowed_event_counts(
     )
 
 
+def windowed_ohlc(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming OHLC bars: open/close as MIN/MAX over
+    (ts, event_id, value) structs inside the stateful window
+    aggregation — the same single-aggregate trick as the batch
+    ``events_hourly_ohlc`` (struct partials merge associatively, so the
+    state store carries one struct + two doubles + a count per bar).
+    Watermark bounds state exactly as in :func:`windowed_event_counts`.
+    """
+    s = F.struct("ts", "event_id", "value")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min(s).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(s).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bar_hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
 def sessionize_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -552,3 +552,37 @@ def test_streaming_cents_totals_exact_across_batches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_ohlc_matches_batch_across_batches(spark, tmp_path):
+    """Struct-min/max OHLC state merges correctly across MULTIPLE
+    micro-batches: a 3-file source (3 triggers) ends with bars equal to
+    the batch computation over the same rows."""
+    src = str(tmp_path / "ohlc_arrivals")
+    ev = events(spark, 400)
+    ev.repartition(3).write.parquet(src)
+
+    stream = jobs.read_event_stream(spark, src)
+    bars = jobs.windowed_ohlc(stream, window="1 hour", watermark="2 hours")
+    jobs.run_to_memory(bars, "ohlc_bars", complete=True)
+    got = {
+        (r.event_type, str(r.bar_hour)): (r.open, r.high, r.low, r.close, r.n_events)
+        for r in spark.table("ohlc_bars").collect()
+    }
+    s = F.struct("ts", "event_id", "value")
+    want_df = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min(s).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(s).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("bh"), "event_type", "open", "high", "low", "close", "n")
+    )
+    want = {
+        (r.event_type, str(r.bh)): (r.open, r.high, r.low, r.close, r.n)
+        for r in want_df.collect()
+    }
+    assert got == want
