@@ -198,6 +198,7 @@ HEADLINE = [
     "mad_outliers_event_values",
     "forget_user_impact",
     "streaming_hourly_ohlc",
+    "quality_model_calibration",
 ]
 
 

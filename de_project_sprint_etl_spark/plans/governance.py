@@ -1536,3 +1536,55 @@ def q_forget_user_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- model calibration curve ---------------------------------------------------
+
+from de_project_sprint_etl_spark.plans.mlops import (  # noqa: E402
+    q_linreg_quality_train,
+)
+
+
+def _sql_calibration() -> str:
+    train = ORACLES["linreg_quality_train"]
+    return f"""
+WITH scored AS ({train}),
+binned AS (
+  SELECT CAST(FLOOR(LEAST(GREATEST(pred, 0.0), 0.999999) * 10) AS INT) AS bin,
+         CAST(pred AS DECIMAL(18,6)) AS p, CAST(y AS DECIMAL(18,6)) AS yy
+  FROM scored)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS mean_pred,
+       ROUND(CAST(SUM(yy) AS DOUBLE) / COUNT(*), 6) AS mean_label
+FROM binned
+GROUP BY bin
+"""
+
+
+@register("quality_model_calibration", _sql_calibration())
+def q_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the in-engine-trained quality model:
+    predictions bucketed into 10 clamped equi-width bins, per-bin mean
+    prediction vs mean label — the calibration gate before using model
+    scores as filter thresholds. Means come from exact DECIMAL sums of
+    the already-6-decimal predictions (addition-order-free), one double
+    division each; the oracle replays the full GD training then the
+    same binning."""
+    scored = q_linreg_quality_train(spark, sf_dir)
+    binned = scored.select(
+        F.floor(
+            F.least(F.greatest(F.col("pred"), F.lit(0.0)), F.lit(0.999999)) * 10
+        )
+        .cast("int")
+        .alias("bin"),
+        F.col("pred").cast("decimal(18,6)").alias("p"),
+        F.col("y").cast("decimal(18,6)").alias("yy"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("p").cast("double") / F.count(F.lit(1)), 6).alias("mean_pred"),
+        F.round(F.sum("yy").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_label"
+        ),
+    )

@@ -535,3 +535,18 @@ def test_forget_user_cascade_counts_consistent(spark):
     assert r.n_orders >= r.n_customers  # customers have >= 1 order each
     assert r.n_lineitems >= r.n_orders  # orders have >= 1 lineitem
     assert r.n_rows_total == r.n_orders + r.n_lineitems + r.n_events
+
+
+def test_calibration_bins_consistent(spark):
+    """Bin ids valid, doc counts total the corpus, and each bin's mean
+    prediction actually lies inside (or at the clamped edge of) its
+    bin's value range."""
+    rows = RAW_QUERIES["quality_model_calibration"](spark, SF01).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_label <= 1.0
+        # mean_pred of a clamped bin can sit below bin/10 only for bin 0
+        if r.bin > 0:
+            assert r.mean_pred >= r.bin / 10 - 1e-6, r
+        assert r.mean_pred <= (r.bin + 1) / 10 + 1e-6 or r.bin == 9, r
