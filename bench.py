@@ -199,6 +199,7 @@ HEADLINE = [
     "forget_user_impact",
     "streaming_hourly_ohlc",
     "quality_model_calibration",
+    "psi_value_drift",
 ]
 
 

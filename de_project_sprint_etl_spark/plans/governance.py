@@ -1588,3 +1588,80 @@ def q_quality_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_label"
         ),
     )
+
+
+# --- population-stability-index drift monitor ----------------------------------
+
+PSI_BINS = 10
+PSI_SPLIT = "2024-01-15"  # events before/after = baseline vs current
+
+
+def _sql_psi() -> str:
+    return f"""
+WITH tagged AS (
+  SELECT value,
+         CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'a' ELSE 'b' END AS side
+  FROM events),
+rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM tagged),
+binned AS (
+  SELECT side,
+         LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {PSI_BINS})) AS INT),
+               {PSI_BINS - 1}) AS bin
+  FROM tagged CROSS JOIN rng),
+counts AS (
+  SELECT bin,
+         CAST(1 + SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(1 + SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM binned GROUP BY bin),
+tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+        FROM counts)
+SELECT bin, n_a, n_b,
+       ROUND((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+             * LN((CAST(n_a AS DOUBLE) / ta) / (CAST(n_b AS DOUBLE) / tb)), 6)
+         AS psi_term
+FROM counts CROSS JOIN tot
+"""
+
+
+@register("psi_value_drift", _sql_psi())
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: the event-value
+    distribution before vs after a split date, 10 equal-width bins over
+    the global range, add-one-smoothed counts (integer smoothing — no
+    epsilon float), per-bin PSI terms (each one a pure expression over
+    exact counts; psi_term >= 0 iff the proportions moved). Per-bin
+    rows keep every term addition-order-free; the caller sums 10
+    numbers for the headline PSI. Two aggregate passes, both
+    partial-combined; the 1-row range broadcasts."""
+    ev = events_df(spark, sf_dir).select(
+        "value",
+        F.when(F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("side"),
+    )
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "side",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / PSI_BINS)
+            ).cast("int"),
+            F.lit(PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        (1 + F.sum((F.col("side") == "a").cast("long"))).alias("n_a"),
+        (1 + F.sum((F.col("side") == "b").cast("long"))).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    pa = F.col("n_a").cast("double") / F.col("ta")
+    pb = F.col("n_b").cast("double") / F.col("tb")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )

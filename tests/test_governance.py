@@ -550,3 +550,29 @@ def test_calibration_bins_consistent(spark):
         if r.bin > 0:
             assert r.mean_pred >= r.bin / 10 - 1e-6, r
         assert r.mean_pred <= (r.bin + 1) / 10 + 1e-6 or r.bin == 9, r
+
+
+def test_psi_terms_nonnegative_and_identical_split_is_zero(spark, tmp_path):
+    """PSI terms are >= 0 by construction; identical before/after
+    distributions give ~0 PSI (hand fixture: same values both sides)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0] * 4
+    ts = [100 for _ in range(10)] + [2_000_000_000_000_000 for _ in range(10)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(20), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * 20, pa.int64()),
+            "event_type": pa.array(["a"] * 20),
+            "value": pa.array(vals[:10] + vals[:10], pa.float64()),
+            "props": pa.array(["{}"] * 20),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    rows = RAW_QUERIES["psi_value_drift"](spark, str(tmp_path)).collect()
+    assert all(r.psi_term >= 0 for r in rows)
+    assert sum(r.psi_term for r in rows) < 1e-9  # identical -> PSI 0
+    real = RAW_QUERIES["psi_value_drift"](spark, SF01).collect()
+    assert all(r.psi_term >= 0 for r in real)
