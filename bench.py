@@ -200,6 +200,7 @@ HEADLINE = [
     "streaming_hourly_ohlc",
     "quality_model_calibration",
     "psi_value_drift",
+    "recursive_date_spine",
 ]
 
 

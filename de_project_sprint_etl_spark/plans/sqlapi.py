@@ -144,3 +144,45 @@ def q_lateral_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no per-order re-scan of lineitem survives at any scale."""
     create_views(spark, sf_dir)
     return spark.sql(SPARK_SQL_LATERAL_TOP_LINES)
+
+
+# --- recursive CTE (Spark 4 WITH RECURSIVE) ----------------------------------
+
+SPARK_SQL_RECURSIVE_SPINE = """
+WITH RECURSIVE spine(d) AS (
+  SELECT DATE '1999-01-01'
+  UNION ALL
+  SELECT DATE_ADD(d, 1) FROM spine WHERE d < DATE '1999-03-31'
+)
+SELECT CAST(s.d AS STRING) AS day,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM spine s
+LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.d
+GROUP BY s.d
+"""
+
+_SQL_SPINE_ORACLE = """
+WITH spine AS (
+  SELECT CAST(unnest(generate_series(DATE '1999-01-01', DATE '1999-03-31',
+                                     INTERVAL 1 DAY)) AS DATE) AS d)
+SELECT CAST(s.d AS VARCHAR) AS day,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM spine s
+LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.d
+GROUP BY s.d
+"""
+
+
+@register("recursive_date_spine", _SQL_SPINE_ORACLE)
+def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (`WITH RECURSIVE ... UNION ALL`) executed
+    by the engine: a 90-day date spine generated by recursion, left-
+    joined to orders so zero-order days survive — the classic
+    gap-preserving calendar pattern, here exercising the NEW recursive
+    execution path (bounded depth 90 < the 100-level default limit).
+    The oracle states the same spine non-recursively via
+    generate_series, cross-checking the recursion against a closed
+    form. At scale a spine is generated, not recursed — this entry
+    exists to cover the SQL surface."""
+    create_views(spark, sf_dir)
+    return spark.sql(SPARK_SQL_RECURSIVE_SPINE)

@@ -576,3 +576,25 @@ def test_psi_terms_nonnegative_and_identical_split_is_zero(spark, tmp_path):
     assert sum(r.psi_term for r in rows) < 1e-9  # identical -> PSI 0
     real = RAW_QUERIES["psi_value_drift"](spark, SF01).collect()
     assert all(r.psi_term >= 0 for r in real)
+
+
+def test_recursive_spine_covers_gap_days(spark):
+    """The recursive spine emits all 90 days including zero-order days,
+    and per-day counts match a direct aggregation."""
+    rows = {r.day: r.n_orders for r in
+            RAW_QUERIES["recursive_date_spine"](spark, SF01).collect()}
+    assert len(rows) == 90
+    direct = {
+        str(r.d): r.n
+        for r in t(spark, SF01, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1999-01-01")
+            & (F.col("o_orderdate") < "1999-04-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for day, n in rows.items():
+        assert n == direct.get(day, 0), (day, n)
+    assert any(n == 0 for n in rows.values()) or len(direct) == 90
