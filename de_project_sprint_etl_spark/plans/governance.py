@@ -732,18 +732,18 @@ WITH counts AS (
   SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
   FROM lineitem GROUP BY l_partkey),
 total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+head AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT {SKEW_TOPK}),
 ranked AS (
   SELECT key, cnt,
          CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT) AS rank,
          CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key
                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
-  FROM counts)
+  FROM head)
 SELECT key, cnt, rank,
        ROUND(CAST(cnt AS DOUBLE) / n, 6) AS share,
        ROUND(CAST(cum_cnt AS DOUBLE) / n, 6) AS cum_share
 FROM ranked CROSS JOIN total
 ORDER BY rank
-LIMIT {SKEW_TOPK}
 """
 
 
@@ -751,17 +751,21 @@ LIMIT {SKEW_TOPK}
 def q_partition_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew report a pipeline runs on a join key before choosing a
     strategy (broadcast / salt / AQE skew-join): top-{K} heaviest keys
-    with each key's share and the cumulative head share. The running
-    total is an INTEGER window sum (associativity-free); shares are one
-    division each. At 100 TB this is one partial-combined count
-    aggregate — the per-key table is |distinct keys|, never row-scale.
-    Companion of the salted-join op (functions/skew), which consumes
-    exactly this head-of-distribution information."""
+    with each key's share and the cumulative head share. The head is
+    cut FIRST with orderBy().limit() — a distributed TakeOrdered over
+    the per-key counts — and only the {K}-row head enters the ranking
+    window, so no single partition ever sees the full distinct-key
+    table (a global window over per-key counts is itself a skew hazard
+    at 100 TB). The running total is an INTEGER window sum
+    (associativity-free); shares are one division each. Companion of
+    the salted-join op (functions/skew), which consumes exactly this
+    head-of-distribution information."""
     li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
     counts = li.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
     total = li.agg(F.count(F.lit(1)).alias("n"))
+    head = counts.orderBy(F.desc("cnt"), "key").limit(SKEW_TOPK)
     w_rank = Window.orderBy(F.desc("cnt"), "key")
-    ranked = counts.select(
+    ranked = head.select(
         "key",
         "cnt",
         F.row_number().over(w_rank).cast("int").alias("rank"),
@@ -781,7 +785,6 @@ def q_partition_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("rank")
-        .limit(SKEW_TOPK)
     )
 
 
