@@ -201,6 +201,8 @@ HEADLINE = [
     "quality_model_calibration",
     "psi_value_drift",
     "recursive_date_spine",
+    "delivery_latency_percentiles",
+    "inter_event_gap_histogram",
 ]
 
 

@@ -1668,3 +1668,101 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+# --- delivery-latency percentiles ----------------------------------------------
+
+_SQL_LATENCY = """
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE) AS BIGINT)
+           AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(quantile_cont(days, 0.5), 6) AS p50_days,
+       ROUND(quantile_cont(days, 0.9), 6) AS p90_days,
+       ROUND(quantile_cont(days, 0.99), 6) AS p99_days,
+       CAST(MAX(days) AS BIGINT) AS max_days
+FROM lat
+GROUP BY o_orderpriority
+"""
+
+
+@register("delivery_latency_percentiles", _SQL_LATENCY)
+def q_delivery_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLO report: exact interpolated p50/p90/p99
+    of the ship-minus-order day gap per priority class. Latencies are
+    exact INTEGER day differences (date arithmetic, no float until the
+    percentile interpolation both engines share); one join shuffle +
+    one 5-group aggregate."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.expr("percentile(days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(days, 0.9)"), 6).alias("p90_days"),
+        F.round(F.expr("percentile(days, 0.99)"), 6).alias("p99_days"),
+        F.max("days").alias("max_days"),
+    )
+
+
+# --- inter-event gap histogram ---------------------------------------------------
+
+GAP_EDGES_US = (1_000_000, 10_000_000, 60_000_000, 600_000_000, 3_600_000_000)
+GAP_LABELS = ("<1s", "1-10s", "10-60s", "1-10m", "10-60m", ">=1h")
+
+
+def _gap_bucket_sql(col: str) -> str:
+    cases = [
+        f"WHEN {col} < {edge} THEN '{label}'"
+        for edge, label in zip(GAP_EDGES_US, GAP_LABELS)
+    ]
+    return "CASE " + " ".join(cases) + f" ELSE '{GAP_LABELS[-1]}' END"
+
+
+_SQL_GAP_HIST = f"""
+WITH gaps AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type,
+       {_gap_bucket_sql('gap_us')} AS gap_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type, gap_bucket
+"""
+
+
+@register("inter_event_gap_histogram", _SQL_GAP_HIST)
+def q_inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per event type over fixed integer
+    microsecond thresholds (1s / 10s / 1m / 10m / 1h) — the cadence
+    profile that calibrates sessionization gaps and debounce windows.
+    Bucketing compares exact integer gaps against integer edges (no
+    log-scale float boundary to flip on a ulp); one user window shuffle
+    + a #types x #buckets aggregate."""
+    ev = events_df(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = F.when(F.col("gap_us") < GAP_EDGES_US[0], GAP_LABELS[0])
+    for edge, label in zip(GAP_EDGES_US[1:], GAP_LABELS[1:-1]):
+        bucket = bucket.when(F.col("gap_us") < edge, label)
+    bucket = bucket.otherwise(GAP_LABELS[-1])
+    return gaps.groupBy("event_type", bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps")
+    )

@@ -598,3 +598,24 @@ def test_recursive_spine_covers_gap_days(spark):
     for day, n in rows.items():
         assert n == direct.get(day, 0), (day, n)
     assert any(n == 0 for n in rows.values()) or len(direct) == 90
+
+
+def test_latency_percentiles_ordered_and_counted(spark):
+    rows = RAW_QUERIES["delivery_latency_percentiles"](spark, SF01).collect()
+    assert len(rows) == 5
+    li_n = t(spark, SF01, "lineitem").count()
+    assert sum(r.n_lines for r in rows) == li_n
+    for r in rows:
+        assert 0 <= r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
+
+
+def test_gap_histogram_buckets_partition_all_gaps(spark):
+    rows = RAW_QUERIES["inter_event_gap_histogram"](spark, SF01).collect()
+    n_gaps = sum(r.n_gaps for r in rows)
+    ev = t(spark, SF01, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert n_gaps == n_events - n_users  # one lost gap per user (first event)
+    from de_project_sprint_etl_spark.plans.governance import GAP_LABELS
+
+    assert {r.gap_bucket for r in rows} <= set(GAP_LABELS)
