@@ -203,6 +203,9 @@ HEADLINE = [
     "recursive_date_spine",
     "delivery_latency_percentiles",
     "inter_event_gap_histogram",
+    "kfold_assign_summary",
+    "orders_price_equidepth",
+    "markov_prediction_accuracy",
 ]
 
 

@@ -1766,3 +1766,152 @@ def q_inter_event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("event_type", bucket.alias("gap_bucket")).agg(
         F.count(F.lit(1)).alias("n_gaps")
     )
+
+
+# --- stratified k-fold assignment summary --------------------------------------
+
+KFOLDS = 5
+
+_SQL_KFOLD = f"""
+WITH assigned AS (
+  SELECT lang,
+         CAST({text.sql_h64("CAST(doc_id AS VARCHAR)", seed=21)} % {KFOLDS} AS INT)
+           AS fold
+  FROM documents)
+SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned
+GROUP BY lang, fold
+"""
+
+
+@register("kfold_assign_summary", _SQL_KFOLD)
+def q_kfold_assign_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {k}-fold cross-validation assignment audited per
+    language stratum: fold = shared-hash(doc_id) % k, so membership is
+    stable across runs/partitionings/engines (randomSplit is not), and
+    the (lang, fold) counts expose any imbalance before training. One
+    map-only assign + one tiny aggregate."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        docs.select(
+            "lang",
+            (text.h64(F.col("doc_id").cast("string"), seed=21) % KFOLDS)
+            .cast("int")
+            .alias("fold"),
+        )
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- equi-depth price deciles ---------------------------------------------------
+
+_SQL_EQUIDEPTH = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM ranked
+GROUP BY decile
+"""
+
+
+@register("orders_price_equidepth", _SQL_EQUIDEPTH)
+def q_orders_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the twin of the equi-width
+    orders_price_histogram): NTILE(10) over a totally-ordered key
+    (price, orderkey — the tiebreak is what makes bucket membership
+    deterministic), per-decile bounds and counts. The global sort is
+    the documented cost of exact equi-depth; the sketch path at scale
+    is quality_percentiles_approx."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).cast("int").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+# --- Markov next-event prediction accuracy --------------------------------------
+
+_SQL_MARKOV_ACC = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS actual
+  FROM events),
+obs AS (SELECT from_type, actual FROM seq WHERE actual IS NOT NULL),
+counts AS (
+  SELECT from_type, actual AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM obs GROUP BY from_type, to_type),
+pred AS (
+  SELECT from_type, to_type AS predicted
+  FROM (SELECT from_type, to_type,
+               ROW_NUMBER() OVER (PARTITION BY from_type
+                                  ORDER BY n DESC, to_type) AS rk
+        FROM counts) r
+  WHERE rk = 1)
+SELECT o.from_type, p.predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN o.actual = p.predicted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN o.actual = p.predicted THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM obs o JOIN pred p USING (from_type)
+GROUP BY o.from_type, p.predicted
+"""
+
+
+@register("markov_prediction_accuracy", _SQL_MARKOV_ACC)
+def q_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov model as a next-event
+    predictor: per source state, predict the argmax next type
+    (ties → lowest label) and measure accuracy against the observed
+    transitions — in-sample top-1 accuracy, the baseline every
+    sequence model must beat. Prediction table is #types rows
+    (broadcast); counts are exact integers with one division."""
+    ev = events_df(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("actual"),
+    ).filter(F.col("actual").isNotNull())
+    counts = obs.groupBy("from_type", F.col("actual").alias("to_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_rk = Window.partitionBy("from_type").orderBy(F.desc("n"), "to_type")
+    pred = (
+        counts.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    return (
+        obs.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum((F.col("actual") == F.col("predicted")).cast("bigint")).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "from_type",
+            "predicted",
+            "n_transitions",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_transitions"), 6
+            ).alias("accuracy"),
+        )
+    )

@@ -619,3 +619,47 @@ def test_gap_histogram_buckets_partition_all_gaps(spark):
     from de_project_sprint_etl_spark.plans.governance import GAP_LABELS
 
     assert {r.gap_bucket for r in rows} <= set(GAP_LABELS)
+
+
+def test_kfold_balance_and_determinism(spark):
+    rows = RAW_QUERIES["kfold_assign_summary"](spark, SF01).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == 500
+    assert {r.fold for r in rows} <= set(range(5))
+    per_fold = {}
+    for r in rows:
+        per_fold[r.fold] = per_fold.get(r.fold, 0) + r.n_docs
+    assert max(per_fold.values()) < 2 * min(per_fold.values())  # rough balance
+    rows2 = RAW_QUERIES["kfold_assign_summary"](spark, SF01).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_equidepth_deciles_are_contiguous_and_even(spark):
+    rows = sorted(
+        RAW_QUERIES["orders_price_equidepth"](spark, SF01).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    ns = [r.n_orders for r in rows]
+    assert max(ns) - min(ns) <= 1  # NTILE's even-split guarantee
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo  # value ranges stack
+
+
+def test_markov_accuracy_matches_transition_argmax(spark):
+    """Predicted state per source must equal the transition matrix's
+    argmax row (ties -> lowest label), and accuracy equals that row's
+    probability."""
+    tm = RAW_QUERIES["event_transition_matrix"](spark, SF01).collect()
+    best = {}
+    for r in tm:
+        cur = best.get(r.from_type)
+        cand = (-r.n, r.to_type)
+        if cur is None or cand < cur[0]:
+            best[r.from_type] = (cand, r.to_type, r.p)
+    acc = RAW_QUERIES["markov_prediction_accuracy"](spark, SF01).collect()
+    assert len(acc) == len(best)
+    for r in acc:
+        _, predicted, p = best[r.from_type]
+        assert r.predicted == predicted, r
+        assert abs(r.accuracy - p) < 2e-6, (r, p)
