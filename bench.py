@@ -206,6 +206,9 @@ HEADLINE = [
     "kfold_assign_summary",
     "orders_price_equidepth",
     "markov_prediction_accuracy",
+    "attribution_model_compare",
+    "funnel_time_to_convert",
+    "session_bounce_rate",
 ]
 
 

@@ -1915,3 +1915,207 @@ def q_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+# --- attribution-model comparison (first-touch vs last-touch) -------------------
+
+ATTR_WINDOW_US = 3_600_000_000  # 1 hour lookback
+
+
+def _sql_attribution_models() -> str:
+    return f"""
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'),
+purch AS (
+  SELECT event_id, user_id, epoch_us(ts) AS p_us,
+         CAST(value AS DECIMAL(18,2)) AS rev
+  FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT p.event_id, p.rev, c.c_us
+  FROM purch p JOIN clicks c ON c.user_id = p.user_id
+  WHERE c.c_us <= p.p_us AND p.p_us - c.c_us <= {ATTR_WINDOW_US}),
+attributed AS (
+  SELECT event_id, MIN(rev) AS rev,
+         MIN(c_us) AS first_us, MAX(c_us) AS last_us
+  FROM cand GROUP BY event_id)
+SELECT model, click_hour, n_purchases, attributed_revenue FROM (
+  SELECT 'first_touch' AS model,
+         CAST(EXTRACT(hour FROM make_timestamp(first_us)) AS INT) AS click_hour,
+         CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         CAST(SUM(rev) AS DOUBLE) AS attributed_revenue
+  FROM attributed GROUP BY click_hour
+  UNION ALL
+  SELECT 'last_touch',
+         CAST(EXTRACT(hour FROM make_timestamp(last_us)) AS INT),
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(rev) AS DOUBLE)
+  FROM attributed GROUP BY CAST(EXTRACT(hour FROM make_timestamp(last_us)) AS INT)) m
+"""
+
+
+@register("attribution_model_compare", _sql_attribution_models())
+def q_attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch click attribution over a 1-hour
+    lookback: the same candidate click set (equi-join on user + time
+    guard — never a bare range join) collapsed once per purchase with
+    MIN/MAX, then both models CREDIT a different click — revenue is
+    attributed to the credited click's hour-of-day, so the two models
+    produce genuinely different distributions over the same purchase
+    set (their totals must agree — the sanity invariant the test
+    pins). Revenue sums in exact decimal."""
+    ev = events_df(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("c_us")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("p_us"),
+        F.col("value").cast("decimal(18,2)").alias("rev"),
+    )
+    cand = purch.join(clicks, "user_id").filter(
+        (F.col("c_us") <= F.col("p_us"))
+        & (F.col("p_us") - F.col("c_us") <= ATTR_WINDOW_US)
+    )
+    attributed = cand.groupBy("event_id").agg(
+        F.min("rev").alias("rev"),
+        F.min("c_us").alias("first_us"),
+        F.max("c_us").alias("last_us"),
+    )
+    def summary(model, credited_us):
+        return (
+            attributed.groupBy(
+                F.hour(F.timestamp_micros(F.col(credited_us)))
+                .cast("int")
+                .alias("click_hour")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                F.sum("rev").cast("double").alias("attributed_revenue"),
+            )
+            .select(
+                F.lit(model).alias("model"),
+                "click_hour",
+                "n_purchases",
+                "attributed_revenue",
+            )
+        )
+
+    return summary("first_touch", "first_us").unionByName(
+        summary("last_touch", "last_us")
+    )
+
+
+# --- funnel time-to-convert percentiles -----------------------------------------
+
+_SQL_FUNNEL_TIME = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+  FROM events GROUP BY user_id),
+conv AS (
+  SELECT CAST(p_us - s_us AS BIGINT) AS lat_us
+  FROM per_user WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       ROUND(quantile_cont(lat_us, 0.5) / 1000000.0, 6) AS p50_sec,
+       ROUND(quantile_cont(lat_us, 0.9) / 1000000.0, 6) AS p90_sec,
+       CAST(MAX(lat_us) AS BIGINT) AS max_us
+FROM conv
+"""
+
+
+@register("funnel_time_to_convert", _SQL_FUNNEL_TIME)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-latency percentiles: per-user first
+    signup and first purchase-at-or-after it via conditional MIN over
+    one user aggregate (no self-join), exact integer microsecond
+    latencies into the shared interpolated percentile."""
+    ev = events_df(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", us)).alias("s_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    conv = per_user.filter(
+        F.col("s_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") >= F.col("s_us"))
+    ).select((F.col("p_us") - F.col("s_us")).cast("bigint").alias("lat_us"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lat_us, 0.5)") / 1000000.0, 6).alias("p50_sec"),
+        F.round(F.expr("percentile(lat_us, 0.9)") / 1000000.0, 6).alias("p90_sec"),
+        F.max("lat_us").alias("max_us"),
+    )
+
+
+# --- session bounce rate ----------------------------------------------------------
+
+from de_project_sprint_etl_spark.plans.llm import SESSION_GAP_US  # noqa: E402
+
+_SQL_BOUNCE = f"""
+WITH lagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM lagged),
+sessions AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked),
+sized AS (
+  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY user_id, session_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bounce_rate
+FROM sized
+"""
+
+
+@register("session_bounce_rate", _SQL_BOUNCE)
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over 30-minute-gap sessions: single-event sessions /
+    all sessions — one user shuffle shared by the lag and running-sum
+    windows (the registered sessionization machinery), one session-
+    grain aggregate, one division."""
+    ev = events_df(spark, sf_dir).select("user_id", "ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sessions = marked.select(
+        "user_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    sized = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sized.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("bigint")).alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("bigint")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )
