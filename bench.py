@@ -209,6 +209,7 @@ HEADLINE = [
     "attribution_model_compare",
     "funnel_time_to_convert",
     "session_bounce_rate",
+    "cohort_ltv_curve",
 ]
 
 

@@ -2119,3 +2119,84 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+# --- cohort LTV curve -------------------------------------------------------------
+
+_SQL_LTV = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+  FROM events),
+firsts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id),
+rev AS (
+  SELECT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE event_type = 'purchase'),
+weekly AS (
+  SELECT f.cohort_wk,
+         CAST(round((r.wk - f.cohort_wk) / 7.0) AS INT) AS week_offset,
+         SUM(r.v) AS wk_rev
+  FROM rev r JOIN firsts f USING (user_id)
+  GROUP BY f.cohort_wk, week_offset),
+sizes AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+          FROM firsts GROUP BY cohort_wk)
+SELECT CAST(w.cohort_wk AS VARCHAR) AS cohort_week, w.week_offset,
+       CAST(SUM(w2.wk_rev) AS DOUBLE) AS cum_revenue,
+       ROUND(CAST(SUM(w2.wk_rev) AS DOUBLE) / s.cohort_users, 6)
+         AS ltv_per_user
+FROM weekly w
+JOIN weekly w2 ON w2.cohort_wk = w.cohort_wk AND w2.week_offset <= w.week_offset
+JOIN sizes s ON s.cohort_wk = w.cohort_wk
+GROUP BY w.cohort_wk, w.week_offset, s.cohort_users
+"""
+
+
+@register("cohort_ltv_curve", _SQL_LTV)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime-value curve per first-active-week cohort:
+    weekly purchase revenue (exact decimal) accumulated over week
+    offsets, normalized by cohort size. The Spark side accumulates
+    with a cohort-partitioned running-sum WINDOW over the tiny
+    (cohort x offset) weekly table — the oracle states the same
+    cumulative with a self-join, cross-checking the two formulations.
+    Decimal sums keep accumulation order-free; one division per cell."""
+    ev = events_df(spark, sf_dir)
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    rev = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    weekly = (
+        rev.join(firsts, "user_id")
+        .groupBy(
+            "cohort_wk",
+            F.round(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7.0)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("v").alias("wk_rev"))
+    )
+    sizes = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.withColumn("cum", F.sum("wk_rev").over(w))
+        .join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            F.col("cohort_wk").cast("string").alias("cohort_week"),
+            "week_offset",
+            F.col("cum").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("cum").cast("double") / F.col("cohort_users"), 6
+            ).alias("ltv_per_user"),
+        )
+    )

@@ -693,3 +693,17 @@ def test_funnel_time_and_bounce_sane(spark):
     br = RAW_QUERIES["session_bounce_rate"](spark, SF01).collect()[0]
     assert br.n_sessions > 0 and 0 <= br.bounce_rate <= 1
     assert br.n_bounces <= br.n_sessions
+
+
+def test_ltv_curve_is_monotone_per_cohort(spark):
+    rows = RAW_QUERIES["cohort_ltv_curve"](spark, SF01).collect()
+    assert rows
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r.cohort_week].append((r.week_offset, r.cum_revenue, r.ltv_per_user))
+    for _, seq in per.items():
+        seq.sort()
+        for (o1, c1, l1), (o2, c2, l2) in zip(seq, seq[1:]):
+            assert o1 < o2 and c1 <= c2 and l1 <= l2
