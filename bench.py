@@ -210,6 +210,9 @@ HEADLINE = [
     "funnel_time_to_convert",
     "session_bounce_rate",
     "cohort_ltv_curve",
+    "dup_group_size_histogram",
+    "source_quality_report",
+    "events_dow_hour_heatmap",
 ]
 
 

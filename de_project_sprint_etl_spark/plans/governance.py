@@ -2200,3 +2200,130 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
     )
+
+
+# --- curation / reporting compositions --------------------------------------------
+
+from de_project_sprint_etl_spark.functions import dedup as _dedup2  # noqa: E402
+from de_project_sprint_etl_spark.plans.llm import (  # noqa: E402
+    PLANES,
+    _SQL_COS_PAIRS,
+    emb_with_copies,
+)
+from de_project_sprint_etl_spark.functions import similarity as _sim  # noqa: E402
+
+
+def _sql_dup_size_hist() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_SQL_COS_PAIRS}),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+lab AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id),
+sized AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+          FROM lab GROUP BY group_id)
+SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
+FROM sized
+GROUP BY group_size
+"""
+
+
+@register("dup_group_size_histogram", _sql_dup_size_hist())
+def q_dup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the shape report that
+    decides dedup policy (a fat tail of mega-clusters means boilerplate
+    to strip, not true duplicates). Composes the registered
+    connected-components pipeline; the histogram itself is two tiny
+    aggregates past the group table."""
+    pairs = _sim.cosine_near_dup_pairs(
+        emb_with_copies(spark, sf_dir), PLANES, min_cos=0.95
+    )
+    groups = _dedup2.dup_groups(pairs)
+    sized = groups.select("group_id", "group_size").dropDuplicates(["group_id"])
+    return sized.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.col("group_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+
+
+def _sql_source_quality() -> str:
+    gopher = text.sql_gopher_stats("documents")
+    return f"""
+WITH g AS ({gopher}),
+d AS (SELECT doc_id, source FROM documents)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.gopher_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN g.gopher_keep THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate,
+       CAST(SUM(CAST(g.n_words AS BIGINT)) AS BIGINT) AS total_words
+FROM g JOIN d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@register("source_quality_report", _sql_source_quality())
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard: Gopher keep-rate and word volume
+    by source — what decides which feeds to renegotiate or drop.
+    Composes the registered Gopher stats; integer counts + one division
+    per source."""
+    g = text.with_gopher_stats(docs_fanned(spark, sf_dir)).select(
+        "doc_id", "n_words", "gopher_keep"
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = F.sum(F.col("gopher_keep").cast("bigint"))
+    return (
+        g.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            kept.alias("n_kept"),
+            F.round(kept.cast("double") / F.count(F.lit(1)), 6).alias("keep_rate"),
+            F.sum(F.col("n_words").cast("bigint")).alias("total_words"),
+        )
+    )
+
+
+_SQL_DOW_HOUR = """
+SELECT CAST(EXTRACT(isodow FROM ts) AS INT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY dow, hour
+"""
+
+
+@register("events_dow_hour_heatmap", _SQL_DOW_HOUR)
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap (ISO weekday numbering both
+    engines share) with distinct-user depth — the load-shape profile
+    capacity planning reads; one partial-combined aggregate over a
+    <= 168-cell grid."""
+    ev = events_df(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.dayofweek(F.col("ts")).alias("__dow_sun1"),
+            F.hour(F.col("ts")).cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            # Spark dayofweek is 1=Sunday; ISO is 1=Monday..7=Sunday
+            F.when(F.col("__dow_sun1") == 1, 7)
+            .otherwise(F.col("__dow_sun1") - 1)
+            .cast("int")
+            .alias("dow"),
+            "hour",
+            "n_events",
+            "n_users",
+        )
+    )

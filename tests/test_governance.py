@@ -707,3 +707,29 @@ def test_ltv_curve_is_monotone_per_cohort(spark):
         seq.sort()
         for (o1, c1, l1), (o2, c2, l2) in zip(seq, seq[1:]):
             assert o1 < o2 and c1 <= c2 and l1 <= l2
+
+
+def test_dup_size_histogram_accounts_every_grouped_doc(spark):
+    rows = RAW_QUERIES["dup_group_size_histogram"](spark, SF01).collect()
+    assert rows and all(r.group_size >= 2 for r in rows)  # singletons aren't groups
+    assert all(r.n_docs == r.group_size * r.n_groups for r in rows)
+    total_docs = sum(r.n_docs for r in rows)
+    groups = RAW_QUERIES["dedup_groups"](spark, SF01).collect()
+    assert total_docs == len(groups)
+
+
+def test_source_quality_report_totals(spark):
+    rows = RAW_QUERIES["source_quality_report"](spark, SF01).collect()
+    assert sum(r.n_docs for r in rows) == 500
+    for r in rows:
+        assert 0 <= r.keep_rate <= 1
+        assert r.n_kept <= r.n_docs
+        assert abs(r.keep_rate - round(r.n_kept / r.n_docs, 6)) < 1e-6
+
+
+def test_dow_hour_heatmap_iso_numbering(spark):
+    rows = RAW_QUERIES["events_dow_hour_heatmap"](spark, SF01).collect()
+    assert {r.dow for r in rows} <= set(range(1, 8))
+    assert {r.hour for r in rows} <= set(range(24))
+    ev_total = t(spark, SF01, "events").count()
+    assert sum(r.n_events for r in rows) == ev_total
