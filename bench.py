@@ -213,6 +213,8 @@ HEADLINE = [
     "dup_group_size_histogram",
     "source_quality_report",
     "events_dow_hour_heatmap",
+    "revenue_wow_growth",
+    "wau_rolling_7d",
 ]
 
 

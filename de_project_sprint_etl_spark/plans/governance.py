@@ -2327,3 +2327,101 @@ def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+# --- week-over-week revenue growth ----------------------------------------------
+
+_SQL_WOW = """
+WITH weekly AS (
+  SELECT o_orderstatus,
+         CAST(DATE_TRUNC('week', o_orderdate) AS DATE) AS wk,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_orderstatus, wk),
+lagged AS (
+  SELECT o_orderstatus, wk, rev,
+         LAG(rev) OVER (PARTITION BY o_orderstatus ORDER BY wk) AS prev
+  FROM weekly)
+SELECT o_orderstatus, CAST(wk AS VARCHAR) AS week,
+       CAST(rev AS DOUBLE) AS revenue,
+       CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+            ELSE ROUND(CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+       END AS wow_growth
+FROM lagged
+"""
+
+
+@register("revenue_wow_growth", _SQL_WOW)
+def q_revenue_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per order status: exact decimal
+    weekly sums, LAG over the (status)-partitioned week series, one
+    double division per row (NULL for the first week). The growth
+    series every BI dashboard renders — weekly grain keeps the window
+    input at |statuses| x |weeks| rows."""
+    orders = t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        "o_orderstatus",
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.partitionBy("o_orderstatus").orderBy("wk")
+    lagged = weekly.withColumn("prev", F.lag("rev").over(w))
+    return lagged.select(
+        "o_orderstatus",
+        F.col("wk").cast("string").alias("week"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.when(
+            F.col("prev").isNull() | (F.col("prev") == 0), F.lit(None)
+        )
+        .otherwise(
+            F.round(
+                (F.col("rev") - F.col("prev")).cast("double")
+                / F.col("prev").cast("double"),
+                6,
+            )
+        )
+        .alias("wow_growth"),
+    )
+
+
+# --- rolling 7-day active users ---------------------------------------------------
+
+_SQL_WAU = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+  FROM events),
+contrib AS (
+  SELECT user_id, CAST(d + CAST(g.i AS INTEGER) AS DATE) AS target_d
+  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) g),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT CAST(c.target_d AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+FROM contrib c JOIN days dy ON dy.d = c.target_d
+GROUP BY c.target_d
+"""
+
+
+@register("wau_rolling_7d", _SQL_WAU)
+def q_wau_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU), restricted to days
+    that actually have activity. Shape: each DISTINCT (user, day)
+    contributes to the 7 target days it covers — a BOUNDED x7 explode
+    on the |users|·|days| pre-aggregate, then one distinct-count per
+    target day; never a sliding self-join of raw events and no
+    per-day rescans. The classic exact-DAU/WAU scale pattern."""
+    ev = events_df(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("target_d"))
+    days = ud.select("d").distinct()
+    return (
+        contrib.join(
+            F.broadcast(days), contrib["target_d"] == days["d"], "inner"
+        )
+        .groupBy("target_d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.col("target_d").cast("string").alias("day"), "wau")
+    )

@@ -733,3 +733,40 @@ def test_dow_hour_heatmap_iso_numbering(spark):
     assert {r.hour for r in rows} <= set(range(24))
     ev_total = t(spark, SF01, "events").count()
     assert sum(r.n_events for r in rows) == ev_total
+
+
+def test_wow_growth_identity(spark):
+    """growth = rev/prev - 1 for consecutive weeks within a status."""
+    rows = RAW_QUERIES["revenue_wow_growth"](spark, SF01).collect()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r.o_orderstatus].append((r.week, r.revenue, r.wow_growth))
+    for _, seq in per.items():
+        seq.sort()
+        assert seq[0][2] is None  # first week has no prior
+        for (w1, rev1, _), (w2, rev2, g2) in zip(seq, seq[1:]):
+            if g2 is not None:
+                assert abs(g2 - round((rev2 - rev1) / rev1, 6)) < 1e-6
+
+
+def test_wau_covers_dau_and_is_bounded(spark):
+    """WAU(day) >= DAU(day) and <= total users; every active day
+    appears."""
+    wau = {r.day: r.wau for r in RAW_QUERIES["wau_rolling_7d"](spark, SF01).collect()}
+    ev = t(spark, SF01, "events")
+    dau_rows = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("d"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .collect()
+    )
+    n_users = ev.select("user_id").distinct().count()
+    assert set(wau) == {r.d for r in dau_rows}
+    for r in dau_rows:
+        assert r.dau <= wau[r.d] <= n_users
