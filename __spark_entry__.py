@@ -32,6 +32,7 @@ from de_project_sprint_etl_spark.plans import curation  # noqa: E402,F401 — re
 from de_project_sprint_etl_spark.plans import streamq  # noqa: E402,F401 — registers streaming-executed windowed counts
 from de_project_sprint_etl_spark.plans import sqlapi  # noqa: E402,F401 — registers the SQL-text front door
 from de_project_sprint_etl_spark.plans import governance  # noqa: E402,F401 — registers Gopher-filter/CMS/k-anon/TWA/lift ops
+from de_project_sprint_etl_spark.plans import analytics  # noqa: E402,F401 — registers range-checksum/linear-attr/overlap-join/HLL-cascade/quantile-norm ops
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -215,6 +215,13 @@ HEADLINE = [
     "events_dow_hour_heatmap",
     "revenue_wow_growth",
     "wau_rolling_7d",
+    "orders_checksum_by_range",
+    "attribution_linear_touch",
+    "scd2_weeks_overlap",
+    "hll_distinct_cascade",
+    "quantile_normalize_doclen",
+    "daily_metric_correlation",
+    "null_safe_join_props",
 ]
 
 

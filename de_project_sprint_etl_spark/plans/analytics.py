@@ -1,0 +1,488 @@
+"""Round-4 reliability / allocation / normalization extension ops.
+
+Seven op families, Spark-first, each with an exact DuckDB oracle unless
+marked rows-only:
+
+- **Range-bucketed table checksum** (Merkle level-1): the per-bucket
+  refinement of ``orders_table_checksum`` — two replicas that disagree
+  exchange 64 (bucket, checksum) rows and re-sync ONLY the diverged
+  hash range instead of the whole table. The anti-entropy localization
+  step Dynamo/Cassandra run before streaming repairs.
+- **Linear multi-touch attribution with exact penny allocation**:
+  revenue split across all candidate clicks by largest-remainder
+  integer division (floor share + one extra cent to the earliest
+  ``rev_cents % n`` clicks) — allocation is conserved EXACTLY (the sum
+  of credits equals the attributed revenue to the cent), with no
+  floating-point credit drift across engines or partition orders.
+- **Interval-overlap join via temporal bucketing**: SCD2 validity
+  intervals joined to the calendar-week dimension by exploding each
+  interval into its covered week-Mondays and equi-joining on the
+  Monday key (+ an exact overlap guard for edge weeks). The classic
+  range-join decomposition: O(intervals x weeks-spanned) exploded rows
+  into a hash join, instead of an O(n x m) nested-loop/IEJoin — the
+  shape that survives 100 TB. (``active_versions_per_day`` is the
+  sweep-line COUNTING twin; this one EMITS the join pairs.)
+- **HLL sketch cascade** (rows-only): per-group DataSketches HLL
+  sketches merged upward with ``hll_union_agg`` — COUNT DISTINCT made
+  reaggregable, the distinct-count analog of the rollup cascade
+  (``events_rollup_cascade``). Sketch bytes are engine-specific, so the
+  driver records the weaker rows-only check; the merge==direct
+  invariant is pinned in pytest instead.
+- **Quantile normalization against a global grid**: each document's
+  within-source percent-rank mapped onto the GLOBAL length
+  distribution via a broadcast 101-point exact-quantile grid with
+  linear interpolation — the cross-source feature alignment step. The
+  grid keeps the global distribution O(1)-sized (no global sort /
+  single-partition rank window at corpus scale).
+- **Exact-moment Pearson correlation**: daily order count vs daily
+  revenue, with all five moment sums in integer/DECIMAL (addition-
+  order-free) and ONE double expression at the end — ``F.corr`` is
+  float-accumulation-order dependent, this is not.
+- **Null-safe join** (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+  match NULL keys — still a hash-joinable equi key in Catalyst (no
+  fallback to nested loop), pinned by the companion test.
+
+Reference parity note: none of these exist in the reference (SURVEY.md
+§2.12) — extension tier, same as plans/llm.py / plans/governance.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from de_project_sprint_etl_spark.functions.text import h64, sql_h64
+from de_project_sprint_etl_spark.plans.governance import ATTR_WINDOW_US
+from de_project_sprint_etl_spark.plans.registry import ORACLES, register
+from de_project_sprint_etl_spark.plans.testdata import (
+    SQL_WEEKS,
+    events_df,
+    t,
+    weeks_dim,
+)
+from de_project_sprint_etl_spark.plans.warehouse import q_scd2_customer_priority
+
+# --- range-bucketed table checksum (Merkle level-1) ---------------------------
+
+CHECKSUM_RANGES = 64
+
+# Canonical row encoding — keep in lockstep with
+# warehouse.q_orders_table_checksum (same fields, same casts).
+_SQL_ROW = (
+    "CONCAT_WS('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+    "o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), "
+    "CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)"
+)
+
+_SQL_RANGE_CHECKSUM = f"""
+SELECT CAST({sql_h64("CAST(o_orderkey AS VARCHAR)", seed=7)} % {CHECKSUM_RANGES}
+            AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       BIT_XOR({sql_h64(_SQL_ROW)}) AS checksum
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("orders_checksum_by_range", _SQL_RANGE_CHECKSUM)
+def q_orders_checksum_by_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle level-1 anti-entropy: per-hash-range XOR fingerprints of
+    the canonical row encoding. ``orders_table_checksum`` answers "are
+    these replicas equal"; this answers "WHERE do they differ" — a
+    diverged 100 TB table re-syncs one bucket (~1.6 TB), not the whole
+    table. One narrow scan, one 64-group partial-combining aggregate;
+    data rows never shuffle (only 64 x partitions partial rows do)."""
+    o = t(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    bucket = (h64(F.col("o_orderkey").cast("string"), seed=7) % CHECKSUM_RANGES).cast(
+        "int"
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h64(row)).alias("checksum"),
+    )
+
+
+# --- linear multi-touch attribution (exact penny allocation) ------------------
+
+_SQL_LINEAR_ATTR = f"""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'),
+purch AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS rev_cents
+  FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT p.p_id, p.rev_cents, c.click_id, c.c_us,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id
+                            ORDER BY c.c_us, c.click_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS n_touch
+  FROM purch p JOIN clicks c ON p.user_id = c.user_id
+  WHERE c.c_us <= p.p_us AND p.p_us - c.c_us <= {ATTR_WINDOW_US}),
+credited AS (
+  SELECT CAST(EXTRACT(hour FROM make_timestamp(c_us)) AS INT) AS click_hour,
+         rev_cents // n_touch
+           + CASE WHEN rn <= rev_cents % n_touch THEN 1 ELSE 0 END AS credit
+  FROM cand)
+SELECT click_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(CAST(SUM(credit) AS DOUBLE) / 100.0 AS DOUBLE)
+         AS attributed_revenue
+FROM credited GROUP BY click_hour
+"""
+
+
+@register("attribution_linear_touch", _SQL_LINEAR_ATTR)
+def q_attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution over the same
+    1-hour candidate set as ``attribution_model_compare``, with EXACT
+    integer penny allocation: every touch gets ``rev_cents DIV n``,
+    and the earliest ``rev_cents % n`` touches get one extra cent
+    (largest-remainder rule). Credit is conserved to the cent —
+    SUM(credits) == SUM(attributed rev_cents) — with zero float drift
+    across engines/partitionings (a ``rev/n`` double split is neither).
+    One equi-join on user + time guard (never a bare range join); both
+    windows share the per-purchase partitioning."""
+    ev = events_df(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", us.alias("c_us")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        us.alias("p_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("rev_cents"),
+    )
+    cand = purch.join(clicks, "user_id").filter(
+        (F.col("c_us") <= F.col("p_us"))
+        & (F.col("p_us") - F.col("c_us") <= ATTR_WINDOW_US)
+    )
+    by_p = Window.partitionBy("p_id")
+    ranked = cand.select(
+        "rev_cents",
+        "c_us",
+        F.row_number().over(by_p.orderBy("c_us", "click_id")).alias("rn"),
+        F.count(F.lit(1)).over(by_p).alias("n_touch"),
+    )
+    credit = F.expr("rev_cents DIV n_touch") + F.when(
+        F.col("rn") <= F.col("rev_cents") % F.col("n_touch"), 1
+    ).otherwise(0)
+    return (
+        ranked.select(
+            F.hour(F.timestamp_micros(F.col("c_us"))).cast("int").alias(
+                "click_hour"
+            ),
+            credit.alias("credit"),
+        )
+        .groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            (F.sum("credit").cast("double") / 100.0).alias("attributed_revenue"),
+        )
+    )
+
+
+# --- interval-overlap join via temporal bucketing ------------------------------
+
+
+def _sql_scd2_weeks_overlap() -> str:
+    scd2 = ORACLES["scd2_customer_priority"]
+    # Same week-Monday bucketing decomposition as the Spark plan (the
+    # alternative — a bare overlap-predicate join — is DuckDB 1.0
+    # IEJoin territory, which livelocks intermittently; see the weeks
+    # oracle note in plans/testdata.py). The date arithmetic, capping,
+    # explosion, and grouping are computed independently per engine.
+    return f"""
+WITH dim0 AS ({scd2}),
+weeks AS ({SQL_WEEKS}),
+cap AS (SELECT MAX(end_date) AS max_end FROM weeks),
+dim AS (
+  SELECT o_custkey, priority, CAST(valid_from AS DATE) AS vf,
+         COALESCE(CAST(valid_to AS DATE), (SELECT max_end FROM cap)) AS vt
+  FROM dim0),
+exploded AS (
+  SELECT d.o_custkey, d.priority, d.vf, d.vt,
+         UNNEST(generate_series(DATE_TRUNC('week', d.vf),
+                                DATE_TRUNC('week', d.vt),
+                                INTERVAL 7 DAY)) AS wk
+  FROM dim d
+  WHERE d.vf <= d.vt)
+SELECT w.period, e.priority,
+       CAST(COUNT(*) AS BIGINT) AS n_versions,
+       CAST(COUNT(DISTINCT e.o_custkey) AS BIGINT) AS n_customers
+FROM exploded e
+JOIN weeks w ON DATE_TRUNC('week', w.start_date) = e.wk
+WHERE e.vf <= w.end_date AND w.start_date <= e.vt
+GROUP BY w.period, e.priority
+"""
+
+
+@register("scd2_weeks_overlap", _sql_scd2_weeks_overlap())
+def q_scd2_weeks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap JOIN: which customer-priority regimes (SCD2
+    validity intervals) were active during each calendar week. Scale
+    shape: each interval explodes into its covered week-Mondays
+    (bounded by interval length) and equi-joins the week dimension on
+    the Monday key, with an exact overlap guard for the edge weeks —
+    a hash join over O(Σ weeks-spanned) rows instead of an
+    O(|dim| x |weeks|) nested-loop range join. ``active_versions_per_day``
+    sweep-line COUNTS overlaps; this EMITS the overlap pairs (then
+    aggregates them compactly for the gate)."""
+    dim = q_scd2_customer_priority(spark, sf_dir).select(
+        "o_custkey",
+        "priority",
+        F.col("valid_from").cast("date").alias("vf"),
+        F.col("valid_to").cast("date").alias("vt_raw"),
+    )
+    weeks = weeks_dim(spark, sf_dir)
+    cap = weeks.agg(F.max("end_date").alias("max_end"))
+    capped = dim.crossJoin(F.broadcast(cap)).select(
+        "o_custkey",
+        "priority",
+        "vf",
+        F.coalesce("vt_raw", "max_end").alias("vt"),
+    )
+    exploded = capped.filter(F.col("vf") <= F.col("vt")).select(
+        "o_custkey",
+        "priority",
+        "vf",
+        "vt",
+        F.explode(
+            F.sequence(
+                F.date_trunc("week", F.col("vf")).cast("date"),
+                F.date_trunc("week", F.col("vt")).cast("date"),
+                F.expr("interval 7 days"),
+            )
+        ).alias("wk"),
+    )
+    wk_weeks = weeks.select(
+        "period",
+        "start_date",
+        "end_date",
+        F.date_trunc("week", F.col("start_date")).cast("date").alias("wk"),
+    )
+    joined = exploded.join(F.broadcast(wk_weeks), "wk").filter(
+        (F.col("vf") <= F.col("end_date"))
+        & (F.col("start_date") <= F.col("vt"))
+    )
+    return joined.groupBy("period", "priority").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+# --- HLL sketch cascade (rows-only: sketch bytes are engine-specific) ---------
+
+
+@register("hll_distinct_cascade")  # no oracle: DataSketches HLL has no DuckDB twin
+def q_hll_distinct_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reaggregable COUNT DISTINCT: per-event-type HLL sketches of the
+    user set, plus an ALL row whose estimate comes from MERGING the
+    per-type sketches (``hll_union_agg``) — never from re-scanning the
+    fact table. This is the cascade property that makes distinct counts
+    maintainable at 100 TB (daily sketches roll up to monthly; exact
+    distinct does not compose). Exact distinct counts ride along per
+    scope so the estimate error is visible in the gate output; the
+    merge==direct-sketch invariant is pinned in
+    tests/test_analytics.py (sketch bytes differ across engines, so
+    this entry is rows-only by design, like the HLL++/t-digest ops)."""
+    ev = events_df(spark, sf_dir).select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    typed = per_type.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    all_row = merged.crossJoin(exact_all).select(
+        F.lit("ALL").alias("scope"), "approx_users", "exact_users"
+    )
+    return typed.unionByName(all_row)
+
+
+# --- quantile normalization against a global grid ------------------------------
+
+_GRID = [i / 100.0 for i in range(101)]
+
+
+def _sql_quantile_normalize() -> str:
+    grid = ", ".join(repr(q) for q in _GRID)
+    return f"""
+WITH g AS (SELECT quantile_cont(n_chars, [{grid}]) AS grid FROM documents),
+pr AS (
+  SELECT doc_id, source, n_chars,
+         PERCENT_RANK() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS pr
+  FROM documents),
+pos AS (
+  SELECT doc_id, source, n_chars, pr,
+         CAST(FLOOR(pr * 100.0) AS INT) AS lo,
+         pr * 100.0 - FLOOR(pr * 100.0) AS frac
+  FROM pr)
+SELECT p.doc_id, p.source, p.n_chars,
+       ROUND(list_extract(g.grid, p.lo + 1)
+             + p.frac * (list_extract(g.grid, LEAST(p.lo + 1, 100) + 1)
+                         - list_extract(g.grid, p.lo + 1)), 6) AS q_norm
+FROM pos p CROSS JOIN g
+"""
+
+
+@register("quantile_normalize_doclen", _sql_quantile_normalize())
+def q_quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization: each document's length percent-rank
+    WITHIN its source is mapped onto the GLOBAL length distribution via
+    a 101-point exact-quantile grid with linear interpolation — aligns
+    per-source length distributions before cross-source thresholding
+    (sources with systematically short docs stop being over-filtered).
+    Scale shape: the grid is ONE broadcast row (the global distribution
+    compressed to O(1)); the per-source rank window partitions by
+    source — no global sort, no corpus-wide single-partition window.
+    All interpolation math is a fixed-order double expression, rounded
+    once at the end, so both engines emit identical digits."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    grid = d.agg(
+        F.percentile("n_chars", F.lit(_GRID)).alias("grid")
+    )
+    pr = F.percent_rank().over(
+        Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    )
+    pos = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (pr * 100.0).alias("pos"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor("pos").cast("int").alias("lo"),
+        (F.col("pos") - F.floor("pos")).alias("frac"),
+    )
+    lo_v = F.element_at("grid", F.col("lo") + 1)
+    hi_v = F.element_at("grid", F.least(F.col("lo") + 1, F.lit(100)) + 1)
+    return pos.crossJoin(F.broadcast(grid)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(lo_v + F.col("frac") * (hi_v - lo_v), 6).alias("q_norm"),
+    )
+
+
+# --- exact-moment Pearson correlation ------------------------------------------
+
+_SQL_DAILY_CORR = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(15,2)) AS rev
+  FROM orders GROUP BY 1),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(n) AS sx,
+         SUM(CAST(n AS BIGINT) * n) AS sxx,
+         SUM(rev) AS sy,
+         SUM(rev * rev) AS syy,
+         SUM(CAST(n AS DECIMAL(10,0)) * rev) AS sxy
+  FROM daily)
+SELECT n_days,
+       ROUND((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         AS pearson_r
+FROM m
+"""
+
+
+@register("daily_metric_correlation", _SQL_DAILY_CORR)
+def q_daily_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between daily order count and daily revenue,
+    computed from EXACT moment sums (BIGINT / DECIMAL — addition-order-
+    free, map-side partial) with one fixed-order double expression at
+    the end. The built-in ``F.corr`` accumulates doubles in partition
+    order and is not reproducible across engines/partitionings; this
+    is. Two partial-combined aggregates, nothing corpus-sized moves."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        # (15,2) keeps the squared/cross products inside BOTH engines'
+        # 38-digit decimal cap (DuckDB errors on a (38,2)x(38,2) multiply)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(15,2)")
+        .alias("rev"),
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.sum("rev").alias("sy"),
+        F.sum(F.col("rev") * F.col("rev")).alias("syy"),
+        F.sum(F.col("n").cast("decimal(10,0)") * F.col("rev")).alias("sxy"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    r = (nd * F.col("sxy").cast("double") - sx * sy) / F.sqrt(
+        (nd * F.col("sxx").cast("double") - sx * sx)
+        * (nd * F.col("syy").cast("double") - sy * sy)
+    )
+    return m.select("n_days", F.round(r, 6).alias("pearson_r"))
+
+
+# --- null-safe join (<=> / IS NOT DISTINCT FROM) -------------------------------
+
+_SQL_NULL_SAFE_JOIN = """
+WITH keyed AS (
+  SELECT NULLIF(CAST(json_extract(props, '$.k') AS INT) % 7, 3) AS k7
+  FROM events),
+dim AS (SELECT DISTINCT k7 FROM keyed)
+SELECT COALESCE(CAST(d.k7 AS VARCHAR), '<NULL>') AS key_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM keyed e JOIN dim d ON e.k7 IS NOT DISTINCT FROM d.k7
+GROUP BY 1
+"""
+
+
+@register("null_safe_join_props", _SQL_NULL_SAFE_JOIN)
+def q_null_safe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join: ``<=>`` matches NULL keys to NULL keys (a
+    plain ``=`` silently drops them — the classic lost-rows bug when a
+    dimension has an "unknown" member). Catalyst keeps EqualNullSafe a
+    HASH-join key (no nested-loop fallback; pinned in
+    tests/test_analytics.py), so the null-safe form costs the same as
+    the unsafe one. Key = NULLIF(k % 7, 3) over the JSON prop — a
+    deterministic NULL population."""
+    ev = events_df(spark, sf_dir)
+    keyed = ev.select(
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("int") % 7, F.lit(3)
+        ).alias("k7")
+    )
+    dim = keyed.distinct()
+    joined = keyed.join(
+        F.broadcast(dim.withColumnRenamed("k7", "d_k7")),
+        F.col("k7").eqNullSafe(F.col("d_k7")),
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("d_k7").cast("string"), F.lit("<NULL>")).alias(
+            "key_label"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,214 @@
+"""Round-4 reliability / allocation / normalization ops: invariants +
+plan shapes (plans/analytics.py)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__  # noqa: E402,F401 — populates the registry
+
+from de_project_sprint_etl_spark.plans.governance import ATTR_WINDOW_US  # noqa: E402
+from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES  # noqa: E402
+from de_project_sprint_etl_spark.plans.testdata import events_df, t  # noqa: E402
+from de_project_sprint_etl_spark.plans.warehouse import (  # noqa: E402
+    q_scd2_customer_priority,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_range_checksums_fold_to_global_checksum(spark):
+    """XOR of the 64 per-range checksums == the whole-table checksum
+    (the Merkle property: the parent node is the fold of its children),
+    and the bucket row counts sum to the table count."""
+    buckets = RAW_QUERIES["orders_checksum_by_range"](spark, SF)
+    folded = buckets.agg(
+        F.sum("n_rows").alias("n_rows"), F.bit_xor("checksum").alias("checksum")
+    ).collect()[0]
+    total = RAW_QUERIES["orders_table_checksum"](spark, SF).collect()[0]
+    assert folded["n_rows"] == total["n_rows"]
+    assert folded["checksum"] == total["checksum"]
+
+
+def test_linear_attribution_conserves_pennies(spark):
+    """SUM(credit cents) across all touches == SUM(rev_cents) of the
+    purchases that have >=1 candidate click — allocation is exact, no
+    credit is created or destroyed by the split."""
+    out = RAW_QUERIES["attribution_linear_touch"](spark, SF)
+    credited_cents = out.agg(
+        F.round(F.sum("attributed_revenue") * 100).cast("bigint").alias("c")
+    ).collect()[0]["c"]
+
+    ev = events_df(spark, SF)
+    us = F.unix_micros(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("c_us")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        us.alias("p_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("rev_cents"),
+    )
+    attributed = (
+        purch.join(clicks, "user_id")
+        .filter(
+            (F.col("c_us") <= F.col("p_us"))
+            & (F.col("p_us") - F.col("c_us") <= ATTR_WINDOW_US)
+        )
+        .groupBy("p_id")
+        .agg(F.min("rev_cents").alias("rev_cents"))
+    )
+    expected = attributed.agg(F.sum("rev_cents").alias("c")).collect()[0]["c"]
+    assert credited_cents == expected
+
+
+def test_scd2_weeks_overlap_matches_naive_overlap_join(spark):
+    """The week-Monday bucketing decomposition emits exactly the pairs
+    a naive overlap-predicate join emits (Spark-side cross-check; the
+    oracle cross-checks the same decomposition on DuckDB)."""
+    fast = RAW_QUERIES["scd2_weeks_overlap"](spark, SF)
+
+    dim = q_scd2_customer_priority(spark, SF).select(
+        "o_custkey",
+        "priority",
+        F.col("valid_from").cast("date").alias("vf"),
+        F.col("valid_to").cast("date").alias("vt_raw"),
+    )
+    from de_project_sprint_etl_spark.plans.testdata import weeks_dim
+
+    weeks = weeks_dim(spark, SF)
+    cap = weeks.agg(F.max("end_date").alias("max_end"))
+    capped = dim.crossJoin(F.broadcast(cap)).select(
+        "o_custkey", "priority", "vf", F.coalesce("vt_raw", "max_end").alias("vt")
+    )
+    naive = (
+        capped.join(
+            F.broadcast(weeks),
+            (F.col("vf") <= F.col("end_date"))
+            & (F.col("start_date") <= F.col("vt")),
+        )
+        .groupBy("period", "priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+    assert fast.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast).count() == 0
+
+
+def test_hll_cascade_merge_equals_direct_sketch(spark):
+    """The ALL row's estimate (merge of per-type sketches) equals the
+    estimate of one sketch built directly over all users — the
+    reaggregability invariant — and estimates land within 10% of the
+    exact distinct counts."""
+    rows = {
+        r["scope"]: r
+        for r in RAW_QUERIES["hll_distinct_cascade"](spark, SF).collect()
+    }
+    ev = events_df(spark, SF).select("user_id")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    assert rows["ALL"]["approx_users"] == direct
+    for r in rows.values():
+        assert abs(r["approx_users"] - r["exact_users"]) <= 0.1 * max(
+            r["exact_users"], 1
+        ), r
+
+
+def test_null_safe_join_keeps_null_keys_and_hash_joins(spark):
+    """<=> keeps the NULL-key group (row total preserved); a plain
+    equality join silently drops it. The null-safe form still plans as
+    a broadcast HASH join — no nested-loop fallback."""
+    out = RAW_QUERIES["null_safe_join_props"](spark, SF)
+    n_joined = out.agg(F.sum("n")).collect()[0][0]
+    ev = events_df(spark, SF)
+    keyed = ev.select(
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("int") % 7, F.lit(3)
+        ).alias("k7")
+    )
+    assert n_joined == keyed.count()
+    labels = {r["key_label"] for r in out.collect()}
+    assert "<NULL>" in labels
+
+    dim = keyed.distinct().withColumnRenamed("k7", "d_k7")
+    unsafe = keyed.join(F.broadcast(dim), F.col("k7") == F.col("d_k7"))
+    assert unsafe.count() == keyed.filter(F.col("k7").isNotNull()).count()
+
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_normalization_bounds_and_extremes(spark):
+    """q_norm stays inside the global [min, max] n_chars range, and the
+    longest doc of every source maps to the global max (pr=1 hits the
+    top grid point exactly)."""
+    d = t(spark, SF, "documents")
+    lo, hi = d.agg(F.min("n_chars"), F.max("n_chars")).collect()[0]
+    out = RAW_QUERIES["quantile_normalize_doclen"](spark, SF)
+    bad = out.filter(
+        (F.col("q_norm") < float(lo) - 1e-9) | (F.col("q_norm") > float(hi) + 1e-9)
+    ).count()
+    assert bad == 0
+    tops = (
+        out.withColumn(
+            "rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("source")
+                .orderBy(F.desc("n_chars"), F.desc("doc_id"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    for r in tops:
+        assert abs(r["q_norm"] - float(hi)) < 1e-6, r
+
+
+def test_daily_correlation_matches_builtin_corr(spark):
+    """The exact-moment Pearson r agrees with F.corr to float precision
+    (the difference is reproducibility, not the statistic)."""
+    o = t(spark, SF, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    builtin = daily.agg(F.corr("n", "rev")).collect()[0][0]
+    ours = RAW_QUERIES["daily_metric_correlation"](spark, SF).collect()[0][
+        "pearson_r"
+    ]
+    assert abs(ours - builtin) < 1e-6
+
+
+def test_analytics_ops_stay_jvm_side(spark):
+    """No Python evaluation nodes, no cartesian products in any of the
+    new plans (all small sides broadcast)."""
+    for name in (
+        "orders_checksum_by_range",
+        "attribution_linear_touch",
+        "scd2_weeks_overlap",
+        "quantile_normalize_doclen",
+        "daily_metric_correlation",
+        "null_safe_join_props",
+        "hll_distinct_cascade",
+    ):
+        plan = plan_of(RAW_QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
