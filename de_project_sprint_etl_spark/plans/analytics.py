@@ -486,3 +486,219 @@ def q_null_safe_join_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_label"
         )
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- weekly churn accounting ----------------------------------------------------
+
+_SQL_WEEKLY_CHURN = """
+WITH uw AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events),
+seq AS (
+  SELECT user_id, wk,
+         LAG(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+         LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+  FROM uw)
+SELECT CAST(CAST(wk AS DATE) AS VARCHAR) AS week,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN prev_wk = wk - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN prev_wk IS NULL OR prev_wk < wk - INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_new_or_resurrected,
+       CAST(SUM(CASE WHEN next_wk IS NULL OR next_wk > wk + INTERVAL 7 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned_after
+FROM seq GROUP BY wk
+"""
+
+
+@register("weekly_churn_accounting", _SQL_WEEKLY_CHURN)
+def q_weekly_churn_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-week active/retained/new/churned user accounting: each
+    user's DISTINCT active weeks in sequence, LAG/LEAD deciding whether
+    the adjacent week was also active. Scale shape: the (user, week)
+    pre-aggregate bounds everything at |users| x |weeks|; both windows
+    and the final rollup reuse ONE user_id shuffle — no week-over-week
+    self-join of the fact table (the naive form joins events to itself
+    per week pair). The growth-accounting identity
+    active(w) = retained(w) + new_or_resurrected(w) is pinned in
+    tests/test_analytics.py."""
+    ev = events_df(spark, sf_dir)
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    week_len = F.expr("interval 7 days")
+    return seq.groupBy(
+        F.col("wk").cast("date").cast("string").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(
+            F.when(F.col("prev_wk") == F.col("wk") - week_len, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNull()
+                | (F.col("prev_wk") < F.col("wk") - week_len),
+                1,
+            ).otherwise(0)
+        ).alias("n_new_or_resurrected"),
+        F.sum(
+            F.when(
+                F.col("next_wk").isNull()
+                | (F.col("next_wk") > F.col("wk") + week_len),
+                1,
+            ).otherwise(0)
+        ).alias("n_churned_after"),
+    )
+
+
+# --- time-bounded funnel conversion ---------------------------------------------
+
+BOUNDED_CONV_US = 24 * 3_600_000_000  # purchase must land within 24h of the click
+
+_SQL_BOUNDED_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id) AS signup_us
+  FROM events),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us >= signup_us
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS click_us
+  FROM s1),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us >= click_us
+                     AND ts_us - click_us <= {BOUNDED_CONV_US}
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS conv_us
+  FROM s2),
+per_user AS (
+  SELECT user_id, MAX(signup_us) AS signup_us, MAX(click_us) AS click_us,
+         MAX(conv_us) AS conv_us
+  FROM s3 GROUP BY user_id)
+SELECT COUNT(signup_us) AS n_signup,
+       COUNT(click_us) AS n_click_after_signup,
+       COUNT(conv_us) AS n_converted_within_24h,
+       ROUND(CAST(COUNT(conv_us) AS DOUBLE)
+             / CAST(COUNT(click_us) AS DOUBLE), 6) AS conversion_rate
+FROM per_user
+"""
+
+
+@register("funnel_bounded_conversion", _SQL_BOUNDED_FUNNEL)
+def q_funnel_bounded_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: signup → click → purchase WITHIN 24 h of
+    the qualifying click (the unbounded twin is
+    ``funnel_signup_click_purchase``; real conversion SLAs are always
+    windowed). Same scale shape — chained conditional window minima
+    over ONE user_id shuffle, no self-joins — with the bound as a pure
+    predicate inside the third stage's conditional."""
+    ev = events_df(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    by_user = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "signup_us",
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(
+            by_user
+        ),
+    )
+    s2 = s1.withColumn(
+        "click_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") >= F.col("signup_us")),
+                F.col("ts_us"),
+            )
+        ).over(by_user),
+    )
+    s3 = s2.withColumn(
+        "conv_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") >= F.col("click_us"))
+                & (F.col("ts_us") - F.col("click_us") <= BOUNDED_CONV_US),
+                F.col("ts_us"),
+            )
+        ).over(by_user),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("signup_us").alias("signup_us"),
+        F.max("click_us").alias("click_us"),
+        F.max("conv_us").alias("conv_us"),
+    )
+    return per_user.agg(
+        F.count("signup_us").alias("n_signup"),
+        F.count("click_us").alias("n_click_after_signup"),
+        F.count("conv_us").alias("n_converted_within_24h"),
+        F.round(
+            F.count("conv_us").cast("double")
+            / F.count("click_us").cast("double"),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
+# --- group-aware dataset split (leakage prevention) ------------------------------
+
+SPLIT_FOLDS = 5
+
+
+def _sql_group_aware_split() -> str:
+    from de_project_sprint_etl_spark.plans.llm import SQL_EMB_COPIES
+
+    groups = ORACLES["dedup_groups"]
+    key = "CAST(COALESCE(g.group_id, c.vec_id) AS VARCHAR)"
+    return f"""
+WITH corpus AS ({SQL_EMB_COPIES}),
+g AS ({groups})
+SELECT CAST({sql_h64(key, seed=11)} % {SPLIT_FOLDS} AS INT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN g.group_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_grouped,
+       CAST(COUNT(DISTINCT g.group_id) AS BIGINT) AS n_groups
+FROM corpus c LEFT JOIN g ON g.id = c.vec_id
+GROUP BY 1
+"""
+
+
+@register("group_aware_split", _sql_group_aware_split())
+def q_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/test split: fold membership is hashed from the
+    near-dup GROUP id (the connected component's canonical label), not
+    the item id — so a near-duplicate pair can never straddle the
+    train/test boundary. This is the PREVENTION twin of
+    ``split_leakage_check`` (which detects straddling pairs after an
+    item-hashed split). Composes the registered component pipeline; the
+    join-back is component-sized, the fold gate is the same
+    deterministic h64 discipline as ``dataset_split_assign``. The
+    no-group-spans-folds invariant is pinned in tests."""
+    from de_project_sprint_etl_spark.plans.llm import emb_with_copies, q_dedup_groups
+
+    corpus = emb_with_copies(spark, sf_dir).select("vec_id")
+    groups = q_dedup_groups(spark, sf_dir).select("id", "group_id")
+    joined = corpus.join(
+        F.broadcast(groups), corpus["vec_id"] == groups["id"], "left"
+    )
+    fold = (
+        h64(
+            F.coalesce(F.col("group_id"), F.col("vec_id")).cast("string"),
+            seed=11,
+        )
+        % SPLIT_FOLDS
+    ).cast("int")
+    return joined.groupBy(fold.alias("fold")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("group_id").isNotNull(), 1).otherwise(0)).alias(
+            "n_grouped"
+        ),
+        F.countDistinct("group_id").alias("n_groups"),
+    )

@@ -186,3 +186,86 @@ def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to cover the SQL surface."""
     create_views(spark, sf_dir)
     return spark.sql(SPARK_SQL_RECURSIVE_SPINE)
+
+
+# --- PIVOT clause (SQL surface) ------------------------------------------------
+
+SPARK_SQL_PIVOT = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+PIVOT (
+  CAST(SUM(price) AS DOUBLE) AS revenue, COUNT(*) AS n
+  FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)
+)
+"""
+
+_SQL_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS f_revenue,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS f_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS o_revenue,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS o_n,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS p_revenue,
+       CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS p_n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("pivot_sqltext", _SQL_PIVOT_ORACLE)
+def q_pivot_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL `PIVOT` clause (multi-aggregate, pinned value list) as
+    literal query text — the reshaping surface SQL users get without
+    the DataFrame `groupBy().pivot()` API (`pivot_status_revenue` is
+    the API twin). Pinned IN-list = one Expand + one hash aggregate,
+    no value-discovery pass; the oracle states the same table as
+    portable conditional aggregation. Money sums ride DECIMAL until
+    the final DOUBLE cast."""
+    create_views(spark, sf_dir)
+    return spark.sql(SPARK_SQL_PIVOT)
+
+
+# --- join-strategy hint (SQL surface) --------------------------------------------
+
+SPARK_SQL_BROADCAST_HINT = """
+SELECT /*+ BROADCAST(n) */
+       n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+_SQL_BROADCAST_HINT_ORACLE = """
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("broadcast_hint_sqltext", _SQL_BROADCAST_HINT_ORACLE)
+def q_broadcast_hint_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `/*+ BROADCAST(alias) */` optimizer-hint surface: user-
+    directed join strategy through SQL text, the escape hatch when
+    statistics mislead the planner (a dim under the auto-broadcast
+    threshold needs no hint; one OVER it at 100 TB — but known-small
+    after filters — does). The hint changes ONLY the physical plan:
+    the oracle is the same query unhinted, and
+    tests/test_analytics.py pins that the hint forces a
+    BroadcastHashJoin even with the auto-broadcast threshold disabled
+    while the unhinted twin shuffle-joins."""
+    create_views(spark, sf_dir)
+    return spark.sql(SPARK_SQL_BROADCAST_HINT)
