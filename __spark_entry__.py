@@ -53,65 +53,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries pass the full local differential regardless of order
 # (tools/oracle_check.py runs every one); this only widens what an
 # externally-truncated check gets to see.
+# ROUND-4 ROTATION (VERDICT r3, Next-round #1): every name below was
+# OUTSIDE rounds 1–3's driver windows, so this round's 50-entry prefix
+# converts previously builder-attested queries into externally-verified
+# ones. Round 3's window (CORRECTNESS_r03.json — all 50 green) moves to
+# the tail; the committed FULLDIFF artifact covers the whole registry.
 GATE_PRIORITY = [
-    # reference parity (retention pipeline, facts, dims)
-    "retention_compact",
-    "retention_mart",
-    "retention_compact_ordered",
-    "order_log_v2_merge",
-    "fact_sales_v2",
-    "calendar_dim",
-    "week_range_join",
-    "new_customers",
-    "returned_customers",
-    "distinct_on_customer",
-    "status_counts",
-    "date_functions",
-    # TPC-H spread (agg / multi-join / subquery / exists / decorrelation)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_profit",
-    "tpch_q21_suppliers_kept_waiting",
-    # dedup family
-    "exact_dedup",
-    "minhash_lsh_dedup",
-    "simhash_dedup",
-    "ngram_jaccard_dedup",
-    "dedup_groups",
-    "semdedup_embeddings",
-    "incremental_minhash_dedup",
-    # ANN / vector index
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk_indexed",
-    "ivfpq_topk",
-    "cosine_near_dup",
-    "kmeans_embeddings",
-    "embedding_normalize",
-    # text curation / tokenization
-    "text_quality",
-    "lang_id",
-    "token_histogram",
-    "tfidf_topk_terms",
-    "bm25_topk_docs",
-    "bpe_encode_vocab",
-    "pii_redaction",
-    "doc_fingerprint",
-    # event analytics
-    "events_windowed_agg",
-    "events_sessionize",
-    "events_rolling_anomaly",
-    "funnel_signup_click_purchase",
-    "grouping_sets_events",
-    # warehouse / CDC / graph
-    "scd2_customer_priority",
-    "cdc_apply_orders",
-    "pagerank_copurchase",
-    # round-3 governance / sketch / hybrid tier
-    "heavy_hitters_cms",
-    "scd2_point_in_time_join",
-    "hybrid_rrf_retrieval",
+    # reference parity — the variants r1-r3 windows never showed
+    "calendar_weeks",
+    "fact_sales",
+    "distinct_on_item",
+    "new_customers_compact",
+    "returned_customers_compact",
+    "refunded_customers",
+    "refunded_customers_compact",
+    "ivm_customer_revenue",
+    # TPC-H — the 10 of 22 not yet driver-windowed
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q20_potential_promotion",
+    # streaming-executed (real micro-batch drain, then hash-checked)
+    "streaming_windowed_counts",
+    "streaming_sessionize",
+    "streaming_click_attribution",
+    "streaming_running_totals",
+    "streaming_hourly_ohlc",
+    # SQL-text front door (parser/dialect tier)
+    "retention_compact_sqltext",
+    "lateral_top_lineitems",
+    "recursive_date_spine",
+    "pivot_sqltext",
+    # analytics / reliability tier
+    "wau_rolling_7d",
+    "revenue_wow_growth",
+    "orders_checksum_by_range",
+    "attribution_linear_touch",
+    "scd2_weeks_overlap",
+    "quantile_normalize_doclen",
+    "daily_metric_correlation",
+    "hll_distinct_cascade",
+    "null_safe_join_props",
+    # LLM curation / eval harnesses
+    "substring_span_dedup",
+    "dsir_importance_weights",
+    "minhash_dedup_eval",
+    "pq_recall_eval",
+    "gopher_quality_filter",
+    # relational extension ops
+    "asof_join_clicks_purchases",
+    "salted_join_revenue",
+    "window_frames_customer_orders",
+    "approx_count_distinct_customers",
+    # warehouse / quality ops
+    "argmax_order_per_priority",
+    "gap_fill_daily_events",
+    "schema_evolution_union",
+    "cogroup_user_activity",
+    "bucketed_join_revenue",
 ]
 
 

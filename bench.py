@@ -310,7 +310,13 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # The driver tails stdout and long one-line JSON gets truncated
+    # (BENCH_r0*.json "parsed": null) — also persist the full JSON to a
+    # file so totals stay machine-readable regardless of tail length.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as fh:
+        fh.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -281,37 +281,57 @@ def q_scd2_weeks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- HLL sketch cascade (rows-only: sketch bytes are engine-specific) ---------
+# --- HLL sketch cascade (verdict-hashed: sketch bytes stay engine-side) -------
 
 
-@register("hll_distinct_cascade")  # no oracle: DataSketches HLL has no DuckDB twin
+@register(
+    "hll_distinct_cascade",
+    """
+SELECT event_type AS scope,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS scope,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events
+""",
+)
 def q_hll_distinct_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reaggregable COUNT DISTINCT: per-event-type HLL sketches of the
     user set, plus an ALL row whose estimate comes from MERGING the
     per-type sketches (``hll_union_agg``) — never from re-scanning the
     fact table. This is the cascade property that makes distinct counts
     maintainable at 100 TB (daily sketches roll up to monthly; exact
-    distinct does not compose). Exact distinct counts ride along per
-    scope so the estimate error is visible in the gate output; the
-    merge==direct-sketch invariant is pinned in
-    tests/test_analytics.py (sketch bytes differ across engines, so
-    this entry is rows-only by design, like the HLL++/t-digest ops)."""
+    distinct does not compose). DataSketches HLL bytes have no DuckDB
+    twin, so the hashed output is the VERDICT, not the estimate:
+    ``within_bound`` is true iff each scope's sketch estimate (the ALL
+    row's coming from the sketch MERGE, never a rescan) lands within 8%
+    of the exact distinct count (lgConfigK=12 → rsd≈1.6%, so 8% ≈ 5σ);
+    the oracle asserts TRUE per scope. The merge==direct-sketch
+    invariant stays pinned in tests/test_analytics.py."""
+    rel_bound = 0.08
     ev = events_df(spark, sf_dir).select("event_type", "user_id")
     per_type = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    verdict = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        <= rel_bound * F.col("exact_users")
+    ).alias("within_bound")
     typed = per_type.select(
         F.col("event_type").alias("scope"),
         F.hll_sketch_estimate("sk").alias("approx_users"),
         "exact_users",
-    )
+    ).select("scope", "exact_users", verdict)
     merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     )
     exact_all = ev.agg(F.countDistinct("user_id").alias("exact_users"))
     all_row = merged.crossJoin(exact_all).select(
-        F.lit("ALL").alias("scope"), "approx_users", "exact_users"
+        F.lit("ALL").alias("scope"), "exact_users", verdict
     )
     return typed.unionByName(all_row)
 

@@ -956,23 +956,59 @@ def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
 
 
-@register("quality_percentiles_approx")  # t-digest sketch ≠ DuckDB's → rows-only
+@register(
+    "quality_percentiles_approx",
+    # The Spark side hashes the VERDICT (each sketch percentile inside
+    # the exact rank-neighborhood), so the oracle asserts TRUE per lang.
+    "SELECT lang, COUNT(*) AS n_docs, "
+    + ", ".join(f"TRUE AS p{int(p * 100)}_ok" for p in [0.25, 0.5, 0.75, 0.95])
+    + " FROM documents GROUP BY lang",
+)
 def q_quality_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch twin of quality_percentiles via percentile_approx —
     bounded memory per group at any corpus size (the 100 TB path when
     exact order statistics would shuffle the full value stream).
     Spark's QuantileSummaries sketch is not bit-compatible with
-    DuckDB's, so this takes the driver's rows-only check;
-    quality_percentiles above is the exact hash-matched twin."""
+    DuckDB's, so the hashed output is the VERDICT, stated exactly as
+    the sketch's own guarantee (a RANK bound, not a value bound):
+    ``p*_ok`` is true iff the returned value's rank interval
+    [#(<v)/n, #(<=v)/n] overlaps [p−0.01, p+0.01] (accuracy=1000
+    guarantees rank error ≤0.001 — the check is 10× the bound); the
+    oracle asserts TRUE. The rank recheck is one broadcast join of the
+    4-row sketch output back onto the stream plus a second map-side
+    agg — no extra shuffle of the values. quality_percentiles above
+    stays the exact value-hashed twin."""
     docs = fan_out(spark, t(spark, sf_dir, "documents"))
-    q = text.with_text_stats(docs, "text")
-    aggs = [
-        F.round(F.expr(f"percentile_approx(quality_score, {p}, 1000)"), 6).alias(
-            f"p{int(p * 100)}"
-        )
+    q = text.with_text_stats(docs, "text").select("lang", "quality_score")
+    delta = 0.01
+    sketch = q.groupBy("lang").agg(
+        *[
+            F.expr(f"percentile_approx(quality_score, {p}, 1000)").alias(
+                f"_a{int(p * 100)}"
+            )
+            for p in _QP
+        ]
+    )
+    joined = q.join(F.broadcast(sketch), "lang")
+    rank_aggs = []
+    for p in _QP:
+        a = F.col(f"_a{int(p * 100)}")
+        rank_aggs += [
+            F.sum((F.col("quality_score") < a).cast("long")).alias(f"_lt{int(p*100)}"),
+            F.sum((F.col("quality_score") <= a).cast("long")).alias(f"_le{int(p*100)}"),
+        ]
+    ranks = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), *rank_aggs
+    )
+    n = F.col("n_docs")
+    verdicts = [
+        (
+            (F.col(f"_lt{int(p*100)}") / n <= p + delta)
+            & (F.col(f"_le{int(p*100)}") / n >= p - delta)
+        ).alias(f"p{int(p*100)}_ok")
         for p in _QP
     ]
-    return q.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"), *aggs)
+    return ranks.select("lang", "n_docs", *verdicts)
 
 
 BENCH_MOD = 20  # doc_id % 20 == 0 <=> source 'src0' — the held-out eval set

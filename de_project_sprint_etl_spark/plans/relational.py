@@ -274,20 +274,44 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_count_distinct_customers")  # sketch ≠ DuckDB's → rows-only check
+@register(
+    "approx_count_distinct_customers",
+    """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers_exact,
+       COUNT(*) AS n_orders,
+       TRUE AS within_bound
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct customers per priority —
     constant sketch memory per group at any corpus size (the 100 TB
     answer when ±2% is acceptable). Spark's HLL++ sketch is not
-    bit-compatible with DuckDB's HLL, so this entry has no oracle and
-    takes the driver's rows-only check; count_distinct_customers above
-    is the exact twin that hash-matches."""
+    bit-compatible with DuckDB's HLL, so the raw estimate cannot be
+    value-hashed across engines; instead the query emits the VERDICT:
+    ``within_bound`` is true iff the sketch estimate lands within 5×rsd
+    of the exact count (≥5σ — deterministic given Spark's deterministic
+    sketch), and the oracle asserts TRUE. A drifting sketch now fails
+    the hash check instead of sliding through a rows-only count."""
+    rsd = 0.02
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_customers_approx"),
+            F.approx_count_distinct("o_custkey", rsd=rsd).alias("approx"),
+            F.count_distinct("o_custkey").alias("n_customers_exact"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_customers_exact",
+            "n_orders",
+            (
+                F.abs(F.col("approx") - F.col("n_customers_exact"))
+                <= 5 * rsd * F.col("n_customers_exact")
+            ).alias("within_bound"),
         )
     )
 
