@@ -91,7 +91,7 @@ GATE_PRIORITY = [
     "recursive_date_spine",
     "pivot_sqltext",
     # analytics / reliability tier
-    "wau_rolling_7d",
+    "semdedup_embeddings_adaptive",
     "revenue_wow_growth",
     "orders_checksum_by_range",
     "attribution_linear_touch",
@@ -116,7 +116,7 @@ GATE_PRIORITY = [
     "gap_fill_daily_events",
     "schema_evolution_union",
     "cogroup_user_activity",
-    "bucketed_join_revenue",
+    "streaming_user_ema",
 ]
 
 

@@ -247,6 +247,56 @@ def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_user_ema",
+    """
+WITH RECURSIVE seq AS (
+  SELECT user_id, COALESCE(value, 0.0) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+rec(user_id, rn, ema, n) AS (
+  SELECT user_id, rn, v, n FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, 0.3 * s.v + 0.7 * r.ema, s.n
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, n AS n_events,
+       CAST(FLOOR(ema * 1e6 + 0.5) AS BIGINT) AS ema_micros
+FROM rec WHERE rn = n
+""",
+)
+def q_streaming_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE custom stateful operator in the gate: per-user
+    exponential moving average folded in (ts, event_id) order by
+    ``applyInPandasWithState`` (streaming/jobs.user_value_ema_aiws) —
+    a non-commutative recurrence no built-in streaming agg expresses.
+    The single-file source drains in one micro-batch, so the fold order
+    is total and the final state hash-matches the oracle's recursive
+    CTE replaying the identical recurrence; the double arithmetic is
+    IEEE-identical and the micro-unit projection removes rounding-rule
+    divergence. At scale the same job runs unbounded, state one (n,
+    ema) cell per user. The ``transformWithState`` twin
+    (jobs.user_value_ema) is the Spark-4 typed-state form; it needs the
+    protobuf state channel absent in this sandbox, so THIS entry is
+    what keeps the operator executable and externally hash-checked."""
+    src = _events_stream_src(spark, sf_dir)
+    stream = jobs.user_value_ema_aiws(jobs.read_event_stream(spark, src))
+    from pyspark.sql import Window as W
+
+    sink = _run_to_sink(spark, "ema", stream, "update")
+    return (
+        sink.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "ema_micros")
+    )
+
+
 # --- custom Python DataSource (Spark 4 extension point) ---------------------
 
 _GEN_SHARDS, _GEN_ROWS, _GEN_USERS = 8, 12_500, 1_000

@@ -353,6 +353,57 @@ def user_value_ema(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
 
 
+def user_value_ema_aiws(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user EMA of event values with custom state carried across
+    micro-batches — same semantics as :func:`user_value_ema`, on the
+    ``applyInPandasWithState`` API (Spark 3.4+). This is the variant
+    that runs WITHOUT the protobuf extra: GroupState travels the plain
+    Arrow channel, so the operator is executable (and gate-checkable)
+    in environments where ``transformWithState``'s protobuf-encoded
+    state server is unavailable — the two implementations are the same
+    operator at the semantics level and both keep one (n, ema) cell per
+    user, partitioned by the grouping key.
+
+    In-batch determinism: rows fold in (ts, event_id) order. The EMA is
+    emitted in integer micro-units (``floor(ema·1e6 + 0.5)``) — the same
+    cross-engine trick as :func:`running_user_totals_cents`: the fold's
+    double arithmetic is IEEE-identical on any engine that replays the
+    same order, and the integer projection removes the one remaining
+    divergence (round-half-to-even vs half-away) so the final state is
+    value-hashable against a SQL recurrence."""
+    import math
+
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        n, ema = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"].fillna(0.0):
+                v = float(v)
+                ema = v if ema is None else alpha * v + (1 - alpha) * ema
+                n += 1
+        state.update((n, ema))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ema_micros": [
+                    int(math.floor(ema * 1e6 + 0.5)) if ema is not None else None
+                ],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, n_events long, ema_micros long",
+        stateStructType="n long, ema double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 RUNNING_CENTS_SCHEMA = "user_id long, n_events long, sum_cents long"
 
 

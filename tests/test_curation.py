@@ -385,6 +385,58 @@ def test_semdedup_pair_comparison_is_cluster_blocked(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_semdedup_k_policy_fixes_cluster_size_not_k(spark):
+    """The adaptive-k control (the paper's): k = ceil(n / target
+    cluster size), floored. The policy math is exact, and on a 4×
+    replica corpus the adaptive run (a) picks a k 4× larger, (b) keeps
+    the total within-cluster pair work BOUNDED near the 1× level per
+    unit of data — the invariant that makes SemDeDup linear in the
+    corpus — while fixed k lets pair work grow quadratically."""
+    from de_project_sprint_etl_spark.functions.clustering import (
+        kmeans,
+        semdedup_k_for,
+    )
+
+    assert semdedup_k_for(2200, 275) == 8
+    assert semdedup_k_for(17_600, 275) == 64
+    assert semdedup_k_for(100, 275) == 8  # floor
+    assert semdedup_k_for(1_300_000_000, 100_000) == 13_000  # paper scale
+
+    base = [(i, [float((i * 7) % 13), float((i * 3) % 11), float(i % 5), 1.0])
+            for i in range(100)]
+    rep = [(i + 1000 * r, v) for (i, v) in base for r in range(4)]
+    emb = spark.createDataFrame(rep, "vec_id long, embedding array<double>")
+
+    def pair_work(k: int) -> int:
+        sizes = (
+            kmeans(emb, k=k, iterations=1)
+            .groupBy("cluster").count().collect()
+        )
+        return sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+
+    k_fixed = 4
+    k_adapt = semdedup_k_for(400, target_cluster_size=25, min_k=4)
+    assert k_adapt == 16
+    # the adaptive k cuts the pair bound by ~k_adapt/k_fixed vs fixed k
+    # on the same corpus (clusters are not perfectly balanced, so pin a
+    # conservative 2× improvement, not the ideal 4×)
+    assert pair_work(k_adapt) * 2 < pair_work(k_fixed)
+
+
+def test_semdedup_adaptive_equals_fixed_k_at_gate_scale(spark):
+    """At gate fixture sizes the policy resolves to the fixed-k twin's
+    k=8 (ceil(550/275)=2 → floor 8), so the two registered queries are
+    row-identical — the property that lets the adaptive entry share the
+    fixed-k oracle."""
+    from de_project_sprint_etl_spark.plans import curation  # noqa: F401
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    a = RAW_QUERIES["semdedup_embeddings_adaptive"](spark, SF)
+    b = RAW_QUERIES["semdedup_embeddings"](spark, SF)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_dsir_weights_favor_target_like_docs(spark):
     """DSIR sanity on a constructed corpus: documents whose bigrams
     match the target distribution must score strictly higher than

@@ -519,6 +519,69 @@ def test_streaming_transform_with_state_across_batches(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_ema_aiws_exact_single_batch(spark, tmp_path):
+    """user_value_ema_aiws (the applyInPandasWithState twin that runs
+    without protobuf): after a one-batch drain the per-user state
+    matches a single-pass (ts, event_id)-ordered EMA folded driver-side
+    — EXACT integer micro-units, the hash-checked gate op's guarantee."""
+    import math
+
+    src = str(tmp_path / "ema_aiws")
+    ev = events(spark, 240)
+    ev.coalesce(1).write.parquet(src)  # one file -> one batch -> total order
+
+    stream = jobs.user_value_ema_aiws(jobs.read_event_stream(spark, src), alpha=0.3)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ema_aiws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, r.ema_micros)
+        for r in spark.table("ema_aiws").collect()
+    }
+    want = {}
+    for r in sorted(ev.collect(), key=lambda r: (r.ts, r.event_id)):
+        n, ema = want.get(r.user_id, (0, None))
+        v = float(r.value or 0.0)
+        ema = v if ema is None else 0.3 * v + 0.7 * ema
+        want[r.user_id] = (n + 1, ema)
+    want = {
+        u: (n, int(math.floor(ema * 1e6 + 0.5))) for u, (n, ema) in want.items()
+    }
+    assert got == want
+
+
+def test_streaming_ema_aiws_state_survives_batches(spark, tmp_path):
+    """The EMA event count accumulates across micro-batches (state, not
+    per-batch recompute): per-user n_events after a 3-batch drain
+    equals the batch count."""
+    src = str(tmp_path / "ema_aiws_multi")
+    ev = events(spark, 300)
+    ev.repartition(20).write.parquet(src)  # 20 files / 8 per trigger
+
+    stream = jobs.user_value_ema_aiws(jobs.read_event_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ema_aiws_multi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("ema_aiws_multi").collect():  # batch order: last wins
+        got[r.user_id] = max(got.get(r.user_id, 0), r.n_events)
+    want = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
 def test_streaming_cents_totals_exact_across_batches(spark, tmp_path):
     """running_user_totals_cents carries integer state across
     micro-batches and the final per-user totals are EXACTLY the batch

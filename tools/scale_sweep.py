@@ -49,6 +49,7 @@ def _scale_dir() -> str:
 SCALE_DIR = _scale_dir()
 DEFAULT_QUERIES = [
     "semdedup_embeddings",
+    "semdedup_embeddings_adaptive",
     "pq_encode_embeddings",
     "pq_adc_topk",
     "dsir_importance_weights",
