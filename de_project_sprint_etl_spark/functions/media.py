@@ -151,19 +151,54 @@ def _fake_decode(kind: str, payload: bytes) -> tuple[str, int, int, int, int]:
     return digest, width, height, duration_ms, int(n_frames)
 
 
+def pil_image_module():
+    """Optional-dependency probe for the real image codec path: returns
+    ``PIL.Image`` when Pillow is importable, else None. Called on the
+    driver (to decide plan-time whether real decode is available) AND
+    inside the Arrow batches (executors re-probe — the import is
+    memoized by Python)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _real_decode(kind: str, payload: bytes) -> tuple[str, int, int, int, int]:
+    """Real decode where a codec exists: images via Pillow (dims from
+    the actual bitstream; digest still md5-of-payload so lineage keys
+    stay stable). Audio/video need ffmpeg-class codecs that have no
+    optional pure-Python probe here — still guarded."""
+    if kind != "image":
+        raise NotImplementedError(
+            "real audio/video decoding requires ffmpeg-class codecs not "
+            "present in this environment"
+        )
+    import io  # noqa: PLC0415
+
+    img = pil_image_module().open(io.BytesIO(bytes(payload)))
+    return hashlib.md5(payload).hexdigest(), img.width, img.height, 0, 1
+
+
 def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow-batched; one
-    Python pass per partition, no shuffle)."""
-    if real_decode:
+    Python pass per partition, no shuffle). ``real_decode=True`` uses
+    Pillow when importable (images; audio/video still need ffmpeg) and
+    raises plan-time when no codec is available — the deterministic
+    fake stays the default for codec-less environments."""
+    if real_decode and pil_image_module() is None:
         raise NotImplementedError(
-            "real media decoding requires codec libraries not present in "
-            "this environment; only the deterministic fake decode is available"
+            "real media decoding requires codec libraries (Pillow) not "
+            "present in this environment; only the deterministic fake "
+            "decode is available"
         )
+    decode = _real_decode if real_decode else _fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                _fake_decode(k, bytes(p)) for k, p in zip(pdf["kind"], pdf["payload"])
+                decode(k, bytes(p)) for k, p in zip(pdf["kind"], pdf["payload"])
             ]
             yield pd.DataFrame(
                 {
@@ -217,11 +252,13 @@ def resize_images(
     deterministic digest of (payload, out dims) so the plumbing is
     testable end-to-end. Non-image rows are filtered JVM-side before
     any Python is paid."""
-    if real_decode:
+    if real_decode and pil_image_module() is None:
         raise NotImplementedError(
-            "real image resizing requires codec libraries not present in "
-            "this environment; only the deterministic fake path is available"
+            "real image resizing requires codec libraries (Pillow) not "
+            "present in this environment; only the deterministic fake "
+            "path is available"
         )
+    decode = _real_decode if real_decode else _fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -229,16 +266,28 @@ def resize_images(
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                _, w, h, _, _ = _fake_decode(kind, bytes(payload))
+                _, w, h, _, _ = decode(kind, bytes(payload))
                 # integer scaling: the long side lands EXACTLY on the
                 # target (float scale+truncate can undershoot by 1 px)
                 long_in = max(w, h)
                 out_long = min(max_side, long_in)
                 ow = max(1, (w * out_long) // long_in)
                 oh = max(1, (h * out_long) // long_in)
-                digest = hashlib.md5(
-                    bytes(payload) + f"|{ow}x{oh}".encode()
-                ).hexdigest()
+                if real_decode:
+                    # real path: resample the actual pixels and digest
+                    # the resized raster (deterministic for a fixed
+                    # Pillow version — NEAREST has no filter kernel)
+                    import io  # noqa: PLC0415
+
+                    img = pil_image_module().open(io.BytesIO(bytes(payload)))
+                    resized = img.resize(
+                        (ow, oh), pil_image_module().Resampling.NEAREST
+                    )
+                    digest = hashlib.md5(resized.tobytes()).hexdigest()
+                else:
+                    digest = hashlib.md5(
+                        bytes(payload) + f"|{ow}x{oh}".encode()
+                    ).hexdigest()
                 rows.append((mid, kind, w, h, ow, oh, digest))
             yield pd.DataFrame(
                 rows,

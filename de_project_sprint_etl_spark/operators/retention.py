@@ -33,8 +33,14 @@ def build_weeks(dates: DataFrame, date_col: str = "fact_date") -> DataFrame:
     per ISO week (Monday-truncated in both Postgres and Spark), the min and
     max observed date plus a sequential period number ordered by week.
 
-    One row per week — tiny; the unpartitioned row_number window is safe.
+    One row per week — tiny, so the unpartitioned row_number window is
+    safe BY CONSTRUCTION (cardinality = observed calendar weeks, which
+    grows with time, not data volume). The guard makes that argument
+    executable: past ``guards.WEEK_DIM_BOUND`` rows the window raises
+    instead of silently single-partition-sorting a mis-fed stream.
     """
+    from de_project_sprint_etl_spark.functions import guards
+
     agg = (
         dates.groupBy(F.date_trunc("week", F.col(date_col)).alias("__wk"))
         .agg(
@@ -44,11 +50,14 @@ def build_weeks(dates: DataFrame, date_col: str = "fact_date") -> DataFrame:
         .drop("__wk")
     )
     w = Window.orderBy("start_date")
-    return agg.select(
-        "start_date",
-        "end_date",
-        F.row_number().over(w).cast("long").alias("period"),
+    period = guards.bounded_global_window(
+        F.row_number().over(w).cast("long"),
+        w,
+        guards.WEEK_DIM_BOUND,
+        "build_weeks period numbering",
+        "a pre-built calendar dimension keyed by date_trunc('week')",
     )
+    return agg.select("start_date", "end_date", period.alias("period"))
 
 
 def assign_week_period(

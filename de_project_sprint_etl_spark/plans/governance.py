@@ -1827,13 +1827,23 @@ def q_orders_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price, orderkey — the tiebreak is what makes bucket membership
     deterministic), per-decile bounds and counts. The global sort is
     the documented cost of exact equi-depth; the sketch path at scale
-    is quality_percentiles_approx."""
+    is quality_percentiles_approx — and the guard enforces the
+    boundary: past guards.EQUIDEPTH_BOUND rows the window raises and
+    names that alternative instead of silently single-partition-sorting
+    the corpus."""
+    from de_project_sprint_etl_spark.functions import guards
+
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     w = Window.orderBy("o_totalprice", "o_orderkey")
+    decile = guards.bounded_global_window(
+        F.ntile(10).over(w).cast("int"),
+        w,
+        guards.EQUIDEPTH_BOUND,
+        "orders_price_equidepth exact NTILE",
+        "quality_percentiles_approx (sketch-based equi-depth)",
+    )
     return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).cast("int").alias("decile")
-        )
+        orders.select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -74,12 +74,46 @@ def test_binary_file_media_source_roundtrip(spark, tmp_path):
 
 
 def test_media_real_decode_is_stubbed(spark):
+    """Without Pillow the real-decode path refuses plan-time (honest
+    guard); with Pillow present the guard must NOT fire (the real-path
+    test below covers behavior)."""
     m = media.synth_media(docs(spark))
-    try:
-        media.extract_features(m, real_decode=True)
-        raise AssertionError("expected NotImplementedError")
-    except NotImplementedError:
-        pass
+    if media.pil_image_module() is None:
+        try:
+            media.extract_features(m, real_decode=True)
+            raise AssertionError("expected NotImplementedError")
+        except NotImplementedError:
+            pass
+    else:
+        media.extract_features(m, real_decode=True)  # plan builds fine
+
+
+@pytest.mark.skipif(
+    media.pil_image_module() is None,
+    reason="real decode path requires Pillow (not in this env)",
+)
+def test_media_real_decode_with_pillow(spark):
+    """When Pillow IS importable, real_decode=True decodes actual image
+    bitstreams: dims come from the raster (not the md5 fake), and
+    resize_images digests the resampled pixels."""
+    import io
+
+    Image = media.pil_image_module()
+    rows = []
+    for i, (w, h) in enumerate([(320, 200), (64, 64), (1000, 250)]):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (i * 40 % 255, 10, 200)).save(buf, format="PNG")
+        rows.append((i, "image", bytearray(buf.getvalue())))
+    m = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r.media_id: r for r in media.extract_features(m, real_decode=True).collect()}
+    assert (got[0].width, got[0].height) == (320, 200)
+    assert (got[1].width, got[1].height) == (64, 64)
+    assert (got[2].width, got[2].height) == (1000, 250)
+    rz = {r.media_id: r for r in media.resize_images(m, 224, real_decode=True).collect()}
+    assert (rz[0].out_width, rz[0].out_height) == (224, 140)
+    assert (rz[1].out_width, rz[1].out_height) == (64, 64)  # never upscaled
+    assert (rz[2].out_width, rz[2].out_height) == (224, 56)
+    assert len(set(r.resized_digest for r in rz.values())) == 3
 
 
 def test_frame_sampling_only_videos(spark):
@@ -426,10 +460,11 @@ def test_resize_images_dims_and_determinism(spark):
     again = {r.media_id: r.resized_digest for r in media.resize_images(m, 224).collect()}
     assert again == {r.media_id: r.resized_digest for r in out}
 
-    import pytest as _pytest
+    if media.pil_image_module() is None:
+        import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        media.resize_images(m, real_decode=True)
+        with _pytest.raises(NotImplementedError):
+            media.resize_images(m, real_decode=True)
 
 
 def _has_protobuf() -> bool:

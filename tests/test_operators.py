@@ -46,6 +46,44 @@ def test_build_weeks_disjoint_sequential(spark):
         assert a.end_date < b.start_date
 
 
+def test_global_window_guard_fires_past_bound(spark):
+    """The unpartitioned-window guard: values are untouched while the
+    input is within the bound (current fixtures), and the window raises
+    — naming the scale alternative — the moment the bound is crossed."""
+    from pyspark.sql import Window
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from de_project_sprint_etl_spark.functions import guards
+
+    df = spark.range(10).select(F.col("id").alias("v"))
+    w = Window.orderBy("v")
+    ok = df.select(
+        guards.bounded_global_window(
+            F.row_number().over(w), w, 10, "test op", "a partitioned path"
+        ).alias("rn")
+    )
+    assert [r.rn for r in ok.collect()] == list(range(1, 11))
+
+    over = df.select(
+        guards.bounded_global_window(
+            F.row_number().over(w), w, 9, "test op", "a partitioned path"
+        ).alias("rn")
+    )
+    try:
+        over.collect()
+        raise AssertionError("expected the guard to raise past the bound")
+    except Exception as exc:  # Py4J wraps the SparkRuntimeException
+        assert "a partitioned path" in str(exc)
+
+
+def test_build_weeks_guard_is_value_neutral(spark):
+    """Promoting the safety docstring into a guard must not change a
+    single value on in-bound inputs (the registered queries' case)."""
+    dates = order_log(spark).select(F.col("date_time").alias("fact_date")).distinct()
+    got = retention.build_weeks(dates).collect()
+    assert [w.period for w in got] == [1, 2, 3]
+
+
 def test_assign_week_equi_matches_range_join(spark):
     log = order_log(spark)
     dates = log.select(F.col("date_time").alias("fact_date")).distinct()
