@@ -11,11 +11,20 @@ gives EVERY participating column tight per-file and per-row-group
 min/max bounds, and predicates on any of them skip data at both the
 file-listing and row-group level.
 
-All pure JVM bit expressions (shift/and/or) — the key costs one narrow
-projection; the clustering write is one range exchange, paid once at
-materialization and amortized over every later scan, exactly like
-bucketing. This is the same mechanism Delta/Iceberg expose as
-``OPTIMIZE ZORDER BY`` — here as a plain-parquet writer.
+Two layers here:
+
+1. The WRITE path (``z_order_key``, ``overwrite_zorder``): pure JVM bit
+   expressions; one narrow projection + one range exchange, paid once
+   at materialization and amortized over every later scan — the same
+   mechanism Delta/Iceberg expose as ``OPTIMIZE ZORDER BY``, as a
+   plain-parquet writer.
+2. The MEASURE path (``*_sql`` builders): the per-bucket min/max
+   skipping index and a three-layout effectiveness comparison, emitted
+   as SQL text evaluated verbatim by BOTH engines (Catalyst ``F.expr``
+   and DuckDB) so the layout keys and skipping metrics are value-hash
+   checkable in the gate. Normalization stats are one aggregated row
+   broadcast back; keying is map-only; the index is one
+   partial-combined groupBy on the bucket id.
 """
 
 from __future__ import annotations
@@ -24,6 +33,8 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+ZBITS = 8  # bits per interleaved dimension in the MEASURE path
 
 
 def z_order_key(cols: list[Column | str], bits: int = 16) -> Column:
@@ -69,3 +80,138 @@ def overwrite_zorder(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
+
+
+# --- measure path: cross-engine SQL builders ----------------------------------
+
+
+def scaled_sql(col: str, mn: str, mx: str, bits: int = ZBITS) -> str:
+    """SQL for affine-scaling ``col`` into the [0, 2^bits - 1] integer
+    grid given min/max expressions — identical IEEE double ops on any
+    engine, clamped, degenerate span (min==max) -> 0."""
+    top = (1 << bits) - 1
+    span = f"NULLIF(CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE), 0.0)"
+    raw = (
+        f"CAST(FLOOR((CAST({col} AS DOUBLE) - CAST({mn} AS DOUBLE)) "
+        f"* {top} / {span}) AS BIGINT)"
+    )
+    return (
+        f"COALESCE(LEAST(CAST({top} AS BIGINT), "
+        f"GREATEST(CAST(0 AS BIGINT), {raw})), CAST(0 AS BIGINT))"
+    )
+
+
+def interleave_sql(a: str, b: str, bits: int = ZBITS) -> str:
+    """SQL for the Morton interleave of two ``bits``-wide integers:
+    bit i of ``a`` lands at position 2i, of ``b`` at 2i+1. Written as a
+    sum of disjoint-bit terms using only >> & << (+), which Spark 4 and
+    DuckDB parse identically."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_index_sql(
+    rel: str,
+    col_a: str,
+    col_b: str,
+    bucket_shift: int = 6,
+    bits: int = ZBITS,
+) -> str:
+    """Full SQL (oracle + Catalyst share it): per-Z-bucket file-skipping
+    index — row count and min/max of both interleaved columns. Bucket =
+    z >> bucket_shift, i.e. 2^(2*bits - bucket_shift) buckets ≈ files."""
+    sa = scaled_sql(col_a, "mn_a", "mx_a", bits)
+    sb = scaled_sql(col_b, "mn_b", "mx_b", bits)
+    z = interleave_sql("za", "zb", bits)
+    return f"""
+WITH stats AS (
+  SELECT MIN({col_a}) AS mn_a, MAX({col_a}) AS mx_a,
+         MIN({col_b}) AS mn_b, MAX({col_b}) AS mx_b
+  FROM {rel}),
+scaled AS (
+  SELECT {col_a} AS va, {col_b} AS vb, {sa} AS za, {sb} AS zb
+  FROM {rel} CROSS JOIN stats),
+keyed AS (
+  SELECT va, vb, {z} >> {bucket_shift} AS bucket FROM scaled)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(va) AS mn_a, MAX(va) AS mx_a,
+       MIN(vb) AS mn_b, MAX(vb) AS mx_b
+FROM keyed
+GROUP BY bucket
+"""
+
+
+def skipping_effectiveness_sql(
+    rel: str,
+    col_a: str,
+    col_b: str,
+    lo_a: str,
+    hi_a: str,
+    lo_b: str,
+    hi_b: str,
+    bucket_shift: int = 6,
+    bits: int = ZBITS,
+) -> str:
+    """SQL comparing file-skipping for a 2-D box predicate under three
+    layouts of the SAME table into the SAME number of buckets:
+    Z-order on (a, b), single-column sort on a, single-column sort on b.
+    A bucket must be scanned iff its [min, max] box intersects the
+    predicate box — the exact rule engines apply to file stats. Output:
+    one row per layout with buckets_scanned / buckets_total /
+    rows_scanned (rows inside scanned buckets) / rows_matched.
+
+    The linear layouts bucket by NTILE over the sort key — equal-sized
+    "files", the honest comparison."""
+    sa = scaled_sql(col_a, "mn_a", "mx_a", bits)
+    sb = scaled_sql(col_b, "mn_b", "mx_b", bits)
+    z = interleave_sql("za", "zb", bits)
+    n_buckets = 1 << (2 * bits - bucket_shift)
+    # bucket-level stats are b_* and the predicate-box bounds box_* —
+    # distinct names so the global stats never shadow the bucket index
+    pred_overlap = (
+        "b_mn_a <= box_hi_a AND box_lo_a <= b_mx_a "
+        "AND b_mn_b <= box_hi_b AND box_lo_b <= b_mx_b"
+    )
+    row_match = (
+        "va >= box_lo_a AND va <= box_hi_a "
+        "AND vb >= box_lo_b AND vb <= box_hi_b"
+    )
+
+    def layout(name: str, bucket_expr: str) -> str:
+        return f"""
+SELECT '{name}' AS layout,
+       CAST(COUNT(*) FILTER (WHERE {pred_overlap}) AS BIGINT) AS buckets_scanned,
+       CAST(COUNT(*) AS BIGINT) AS buckets_total,
+       CAST(SUM(CASE WHEN {pred_overlap} THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(SUM(n_matched) AS BIGINT) AS rows_matched
+FROM (
+  SELECT {bucket_expr} AS bucket,
+         COUNT(*) AS n_rows,
+         SUM(CASE WHEN {row_match} THEN 1 ELSE 0 END) AS n_matched,
+         MIN(box_lo_a) AS box_lo_a, MIN(box_hi_a) AS box_hi_a,
+         MIN(box_lo_b) AS box_lo_b, MIN(box_hi_b) AS box_hi_b,
+         MIN(va) AS b_mn_a, MAX(va) AS b_mx_a,
+         MIN(vb) AS b_mn_b, MAX(vb) AS b_mx_b
+  FROM scaled
+  GROUP BY {bucket_expr}) idx"""
+
+    return f"""
+WITH stats AS (
+  SELECT MIN({col_a}) AS mn_a, MAX({col_a}) AS mx_a,
+         MIN({col_b}) AS mn_b, MAX({col_b}) AS mx_b
+  FROM {rel}),
+scaled AS (
+  SELECT {col_a} AS va, {col_b} AS vb, {sa} AS za, {sb} AS zb,
+         {lo_a} AS box_lo_a, {hi_a} AS box_hi_a,
+         {lo_b} AS box_lo_b, {hi_b} AS box_hi_b
+  FROM {rel} CROSS JOIN stats),
+z_l AS ({layout("zorder", f"({z} >> {bucket_shift})")}),
+a_l AS ({layout("sort_a", f"(za * {n_buckets}) >> {bits}")}),
+b_l AS ({layout("sort_b", f"(zb * {n_buckets}) >> {bits}")})
+SELECT * FROM z_l UNION ALL SELECT * FROM a_l UNION ALL SELECT * FROM b_l
+"""

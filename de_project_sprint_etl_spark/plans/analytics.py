@@ -806,3 +806,162 @@ def q_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("group_id").alias("n_groups"),
     )
+
+
+# --- Z-order layout: Morton keys + file-skipping index ------------------------
+
+_ZBOX = {  # reference 2-D box predicate: middle decile on both dims
+    "lo_a": "CAST(mn_a + (mx_a - mn_a) * 0.45 AS DOUBLE)",
+    "hi_a": "CAST(mn_a + (mx_a - mn_a) * 0.55 AS DOUBLE)",
+    "lo_b": "CAST(mn_b + (mx_b - mn_b) * 0.45 AS DOUBLE)",
+    "hi_b": "CAST(mn_b + (mx_b - mn_b) * 0.55 AS DOUBLE)",
+}
+
+
+def _zorder_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders scaled into the z grid: va/vb raw, za/zb integer grid
+    coords — the shared prefix of both layout queries (one agg row
+    broadcast back; the fact table is touched map-side only)."""
+    from de_project_sprint_etl_spark.functions import layout
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("double").alias("ca"),
+        F.col("o_totalprice").cast("double").alias("cb"),
+    )
+    stats = orders.agg(
+        F.min("ca").alias("mn_a"),
+        F.max("ca").alias("mx_a"),
+        F.min("cb").alias("mn_b"),
+        F.max("cb").alias("mx_b"),
+    )
+    return orders.crossJoin(F.broadcast(stats)).select(
+        F.col("ca").alias("va"),
+        F.col("cb").alias("vb"),
+        F.expr(layout.scaled_sql("ca", "mn_a", "mx_a")).alias("za"),
+        F.expr(layout.scaled_sql("cb", "mn_b", "mx_b")).alias("zb"),
+        "mn_a", "mx_a", "mn_b", "mx_b",
+    )
+
+
+from de_project_sprint_etl_spark.functions import layout as _layout  # noqa: E402
+
+
+@register(
+    "zorder_skipping_index",
+    _layout.zorder_index_sql(
+        "(SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice"
+        " FROM orders) o",
+        "o_custkey",
+        "o_totalprice",
+    ),
+)
+def q_zorder_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key + the per-bucket min/max index it
+    yields — the layout step behind lakehouse OPTIMIZE ZORDER BY
+    (extension op; functions/layout). Interleaving the bits of
+    (custkey, price) gives BOTH columns partial locality, so each
+    z-bucket ('file') covers a small rectangle of the value space and
+    its min/max stats let a 2-D predicate skip most buckets. The whole
+    key is deterministic integer/double arithmetic shared verbatim with
+    the oracle; one stats row broadcast back, map-only keying, one
+    partial-combined groupBy on the bucket id."""
+    from de_project_sprint_etl_spark.functions import layout
+
+    scaled = _zorder_scaled(spark, sf_dir)
+    keyed = scaled.select(
+        "va",
+        "vb",
+        F.expr(layout.interleave_sql("za", "zb") + " >> 6").alias("bucket"),
+    )
+    return keyed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("va").alias("mn_a"),
+        F.max("va").alias("mx_a"),
+        F.min("vb").alias("mn_b"),
+        F.max("vb").alias("mx_b"),
+    )
+
+
+@register(
+    "zorder_skipping_effectiveness",
+    _layout.skipping_effectiveness_sql(
+        "(SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice"
+        " FROM orders) o",
+        "o_custkey",
+        "o_totalprice",
+        **_ZBOX,
+    ),
+)
+def q_zorder_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness of three layouts of the SAME table
+    into the same bucket space for a 2-D box predicate (middle decile
+    on both dims): Z-order vs sort-by-custkey vs sort-by-price. A
+    bucket is scanned iff its [min,max] box intersects the predicate
+    box — the exact rule engines apply to file/row-group stats. The
+    hashed output (buckets scanned / rows scanned / rows matched per
+    layout) is the quantitative argument for Z-ordering multi-dim
+    query tables at 100 TB; single-column sorts skip perfectly on
+    their own column and not at all on the other."""
+    from de_project_sprint_etl_spark.functions import layout
+
+    scaled = _zorder_scaled(spark, sf_dir).select(
+        "va", "vb", "za", "zb",
+        F.expr(_ZBOX["lo_a"]).alias("box_lo_a"),
+        F.expr(_ZBOX["hi_a"]).alias("box_hi_a"),
+        F.expr(_ZBOX["lo_b"]).alias("box_lo_b"),
+        F.expr(_ZBOX["hi_b"]).alias("box_hi_b"),
+    )
+    n_buckets = 1 << (2 * layout.ZBITS - 6)
+    row_match = (
+        (F.col("va") >= F.col("box_lo_a"))
+        & (F.col("va") <= F.col("box_hi_a"))
+        & (F.col("vb") >= F.col("box_lo_b"))
+        & (F.col("vb") <= F.col("box_hi_b"))
+    )
+    pred = (
+        (F.col("b_mn_a") <= F.col("box_hi_a"))
+        & (F.col("box_lo_a") <= F.col("b_mx_a"))
+        & (F.col("b_mn_b") <= F.col("box_hi_b"))
+        & (F.col("box_lo_b") <= F.col("b_mx_b"))
+    )
+
+    def one_layout(name: str, bucket: F.Column) -> DataFrame:
+        idx = (
+            scaled.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(row_match.cast("long")).alias("n_matched"),
+                F.min("box_lo_a").alias("box_lo_a"),
+                F.min("box_hi_a").alias("box_hi_a"),
+                F.min("box_lo_b").alias("box_lo_b"),
+                F.min("box_hi_b").alias("box_hi_b"),
+                F.min("va").alias("b_mn_a"),
+                F.max("va").alias("b_mx_a"),
+                F.min("vb").alias("b_mn_b"),
+                F.max("vb").alias("b_mx_b"),
+            )
+        )
+        return idx.agg(
+            F.lit(name).alias("layout"),
+            F.sum(pred.cast("long")).alias("buckets_scanned"),
+            F.count(F.lit(1)).alias("buckets_total"),
+            F.sum(F.when(pred, F.col("n_rows")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+            F.sum("n_matched").alias("rows_matched"),
+        ).select(
+            "layout", "buckets_scanned", "buckets_total",
+            "rows_scanned", "rows_matched",
+        )
+
+    z = one_layout(
+        "zorder", F.expr(layout.interleave_sql("za", "zb") + " >> 6")
+    )
+    a = one_layout(
+        "sort_a", F.expr(f"(za * {n_buckets}) >> {layout.ZBITS}")
+    )
+    b = one_layout(
+        "sort_b", F.expr(f"(zb * {n_buckets}) >> {layout.ZBITS}")
+    )
+    return z.unionByName(a).unionByName(b)

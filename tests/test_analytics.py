@@ -198,6 +198,14 @@ def test_daily_correlation_matches_builtin_corr(spark):
     assert abs(ours - builtin) < 1e-6
 
 
+def test_scd2_weeks_overlap_is_sweepline_not_explode(spark):
+    """The round-4 rewrite must stay explode-free: the old plan's
+    Generate node (interval -> covered weeks) was the 22M-row blowup;
+    the sweep line has no row-generating operator at all."""
+    plan = plan_of(RAW_QUERIES["scd2_weeks_overlap"](spark, SF))
+    assert "Generate" not in plan, plan
+
+
 def test_analytics_ops_stay_jvm_side(spark):
     """No Python evaluation nodes, no cartesian products in any of the
     new plans (all small sides broadcast)."""
