@@ -206,6 +206,23 @@ def test_scd2_weeks_overlap_is_sweepline_not_explode(spark):
     assert "Generate" not in plan, plan
 
 
+def test_zorder_effectiveness_favors_zorder_on_2d_box(spark):
+    """The hashed metric itself must show the layout argument: for the
+    2-D box predicate, z-order scans strictly fewer rows than either
+    single-column sort at the same match count."""
+    rows = {
+        r["layout"]: r
+        for r in RAW_QUERIES["zorder_skipping_effectiveness"](spark, SF).collect()
+    }
+    assert rows["zorder"]["rows_matched"] == rows["sort_a"]["rows_matched"]
+    assert rows["zorder"]["rows_matched"] == rows["sort_b"]["rows_matched"]
+    assert rows["zorder"]["rows_scanned"] < rows["sort_a"]["rows_scanned"]
+    assert rows["zorder"]["rows_scanned"] < rows["sort_b"]["rows_scanned"]
+    # skipping never misses: every matched row lives in a scanned bucket
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_matched"]
+
+
 def test_analytics_ops_stay_jvm_side(spark):
     """No Python evaluation nodes, no cartesian products in any of the
     new plans (all small sides broadcast)."""
@@ -217,6 +234,8 @@ def test_analytics_ops_stay_jvm_side(spark):
         "daily_metric_correlation",
         "null_safe_join_props",
         "hll_distinct_cascade",
+        "zorder_skipping_index",
+        "zorder_skipping_effectiveness",
     ):
         plan = plan_of(RAW_QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
