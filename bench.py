@@ -159,6 +159,7 @@ HEADLINE = [
     "pysource_user_totals",
     "events_rollup_cascade",
     "semdedup_embeddings",
+    "semdedup_embeddings_adaptive",
     "dsir_importance_weights",
     "linreg_quality_train",
     "pq_encode_embeddings",
@@ -218,6 +219,9 @@ HEADLINE = [
     "orders_checksum_by_range",
     "attribution_linear_touch",
     "scd2_weeks_overlap",
+    "streaming_user_ema",
+    "zorder_skipping_index",
+    "zorder_skipping_effectiveness",
     "hll_distinct_cascade",
     "quantile_normalize_doclen",
     "daily_metric_correlation",

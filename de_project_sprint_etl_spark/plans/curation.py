@@ -338,12 +338,13 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semdedup_embeddings_adaptive",
     # Same oracle as the fixed-k entry: the adaptive policy resolves to
-    # k=8 at every gate scale (550 vectors at sf0.01 and 2200 at sf0.1,
-    # both ceil(n/275) <= 8), so the two sides stay hash-identical. The
-    # policy only departs from 8 on larger corpora — the 8× scale sweep
-    # (tools/scale_sweep.py, 17600 vectors → k=64) is where it earns
-    # its keep, and tests/test_curation.py pins the policy math and the
-    # fixed-point equality with this oracle's k.
+    # k=8 at every gate scale (550 vectors at sf0.01 and 2200 at sf0.1:
+    # ceil(n/400) <= 8 with headroom to n=3200 against fixture-count
+    # drift), so the two sides stay hash-identical. The policy only
+    # departs from 8 on larger corpora — the 8× scale sweep
+    # (tools/scale_sweep.py, 17600 vectors → k=44, cluster size pinned
+    # ~400) is where it earns its keep; tests/test_curation.py pins the
+    # policy math and the fixed-point equality with this oracle's k.
     clustering.sql_semdedup(f"({SQL_EMB_COPIES}) ec", k=8, iterations=1, min_cos=0.95),
 )
 def q_semdedup_embeddings_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,7 +355,7 @@ def q_semdedup_embeddings_adaptive(spark: SparkSession, sf_dir: str) -> DataFram
     (extension op; functions/clustering.semdedup_adaptive)."""
     return clustering.semdedup_adaptive(
         emb_with_copies(spark, sf_dir),
-        target_cluster_size=275,
+        target_cluster_size=400,
         iterations=1,
         min_cos=0.95,
     )
