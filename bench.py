@@ -226,6 +226,7 @@ HEADLINE = [
     "quantile_normalize_doclen",
     "daily_metric_correlation",
     "null_safe_join_props",
+    "match_recognize_funnel",
 ]
 
 

@@ -965,3 +965,92 @@ def q_zorder_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFra
         "sort_b", F.expr(f"(zb * {n_buckets}) >> {layout.ZBITS}")
     )
     return z.unionByName(a).unionByName(b)
+
+
+# --- MATCH_RECOGNIZE-style repeated pattern matching ---------------------------
+
+_SQL_MATCH_FUNNEL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events),
+isl AS (
+  SELECT user_id, event_type, pos,
+         COALESCE(SUM(CASE WHEN event_type IN ('purchase', 'error')
+                           THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS island
+  FROM seq),
+per_island AS (
+  SELECT user_id, island,
+         MIN(CASE WHEN event_type = 'signup' THEN pos END) AS s_min,
+         MAX(CASE WHEN event_type = 'click' THEN pos END) AS c_max,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+  FROM isl GROUP BY user_id, island)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(has_p) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN has_p = 1 AND s_min IS NOT NULL
+                     AND c_max > s_min THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches
+FROM per_island
+GROUP BY user_id
+"""
+
+
+@register("match_recognize_funnel", _SQL_MATCH_FUNNEL)
+def q_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style REPEATED sequential pattern matching:
+    per user, count non-overlapping ``signup … click … purchase`` runs
+    uninterrupted by ``error`` — SQL:2016 ``PATTERN (S ANY* C ANY* P)``
+    with ``AFTER MATCH SKIP PAST LAST ROW`` and error as a hard reset.
+    The first-touch funnels (funnel_signup_click_purchase /
+    funnel_bounded_conversion) find ONE conversion per user; this finds
+    every one, the CEP semantics Spark has no native operator for.
+
+    Implemented relationally, not with per-row state: a position index
+    per user, reset-island segmentation (running count of PRIOR
+    purchase/error rows — each island ends at its reset, so a purchase
+    belongs to the run it closes), then one groupBy where a match is
+    ``island has a purchase AND min(signup pos) < max(click pos)``.
+    Two windows and one agg all sharing the single user_id shuffle —
+    no UDF, no self-join, no regex-engine dialect risk."""
+    ev = events_df(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pos = ev.withColumn("pos", F.row_number().over(w))
+    wp = Window.partitionBy("user_id").orderBy("pos")
+    isl = pos.withColumn(
+        "island",
+        F.coalesce(
+            F.sum(
+                F.col("event_type").isin("purchase", "error").cast("int")
+            ).over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    per_island = isl.groupBy("user_id", "island").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("pos"))).alias(
+            "s_min"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("pos"))).alias(
+            "c_max"
+        ),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("has_p"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("has_p").cast("bigint").alias("n_purchases"),
+        F.sum(
+            F.when(
+                (F.col("has_p") == 1)
+                & F.col("s_min").isNotNull()
+                & (F.col("c_max") > F.col("s_min")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_matches"),
+    )

@@ -223,6 +223,50 @@ def test_zorder_effectiveness_favors_zorder_on_2d_box(spark):
         assert r["rows_scanned"] >= r["rows_matched"]
 
 
+def test_match_recognize_funnel_semantics(spark, tmp_path):
+    """Pattern semantics on a constructed sequence, pinned exactly:
+    non-overlapping s..c..p matches, error resets the run, a purchase
+    closes its run (SKIP PAST LAST ROW), click must FOLLOW a signup."""
+    import datetime as dt
+
+    rows = []
+    # user 1: s c p | s c p        -> 2 purchases, 2 matches
+    # user 2: s e c p              -> error resets: purchase, no match
+    # user 3: c s p                -> click before signup: no match
+    # user 4: s c e p              -> error between click and purchase
+    # user 5: s c p c p            -> 2nd p has click but no NEW signup
+    seqs = {1: "scpscp", 2: "secp", 3: "csp", 4: "scep", 5: "scpcp"}
+    kinds = {"s": "signup", "c": "click", "p": "purchase", "e": "error"}
+    eid = 0
+    for u, seq in seqs.items():
+        for i, ch in enumerate(seq):
+            eid += 1
+            rows.append(
+                (eid, u, kinds[ch], dt.datetime(2024, 1, 1, 0, i), 1.0)
+            )
+    src = str(tmp_path / "mr_events")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    ).write.parquet(src)
+
+    from unittest.mock import patch
+
+    from de_project_sprint_etl_spark.plans import analytics
+
+    with patch.object(
+        analytics, "events_df", lambda s, d: s.read.parquet(src)
+    ):
+        got = {
+            r.user_id: (r.n_purchases, r.n_matches)
+            for r in analytics.q_match_recognize_funnel(spark, src).collect()
+        }
+    assert got[1] == (2, 2)
+    assert got[2] == (1, 0)
+    assert got[3] == (1, 0)
+    assert got[4] == (1, 0)
+    assert got[5] == (2, 1)
+
+
 def test_analytics_ops_stay_jvm_side(spark):
     """No Python evaluation nodes, no cartesian products in any of the
     new plans (all small sides broadcast)."""
