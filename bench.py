@@ -227,6 +227,7 @@ HEADLINE = [
     "daily_metric_correlation",
     "null_safe_join_props",
     "match_recognize_funnel",
+    "pandas_trimmed_mean_price",
 ]
 
 

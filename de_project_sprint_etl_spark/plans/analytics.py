@@ -1054,3 +1054,56 @@ def q_match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("bigint").alias("n_matches"),
     )
+
+
+# --- pandas GROUPED_AGG UDF (the aggregate escape hatch) -----------------------
+
+_SQL_TRIMMED_MEAN = """
+WITH cents AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders),
+lists AS (
+  SELECT o_orderstatus, COUNT(*) AS n_orders,
+         LIST_SORT(LIST(c)) AS vs
+  FROM cents GROUP BY o_orderstatus),
+trimmed AS (
+  SELECT o_orderstatus, n_orders,
+         CASE WHEN n_orders - 2 * CAST(FLOOR(n_orders * 0.1) AS BIGINT) > 0
+              THEN LIST_SLICE(vs, CAST(FLOOR(n_orders * 0.1) AS BIGINT) + 1,
+                              n_orders - CAST(FLOOR(n_orders * 0.1) AS BIGINT))
+              ELSE vs END AS mid
+  FROM lists)
+SELECT o_orderstatus, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(CAST(LIST_AGGREGATE(mid, 'sum') AS DOUBLE) / LEN(mid) / 100.0
+            AS DOUBLE) AS trimmed_mean_price
+FROM trimmed
+"""
+
+
+@register("pandas_trimmed_mean_price", _SQL_TRIMMED_MEAN)
+def q_pandas_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF inside the gate: per-status
+    10%-trimmed mean order price (functions/pyudaf.trimmed_mean_price)
+    — an order statistic with no Catalyst aggregate, the designated
+    AGGREGATE escape hatch alongside the mapInPandas / cogroup / UDTF /
+    stateful-streaming tiers. Exact integer-cents arithmetic inside the
+    UDF (sort → trim → integer sum → one double division) makes the
+    Python aggregate value-hash-identical to DuckDB's list replay —
+    the escape hatch is held to the same cross-engine standard as the
+    native operators."""
+    from de_project_sprint_etl_spark.functions import pyudaf
+
+    orders = t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    # Catalyst refuses to mix GROUPED_AGG pandas UDFs with native
+    # aggregates in one agg() — the count comes from its own (tiny,
+    # partial-combined) agg and joins back on the 3-value status key
+    counts = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    trimmed = orders.groupBy("o_orderstatus").agg(
+        pyudaf.trimmed_mean_price("o_totalprice").alias("trimmed_mean_price")
+    )
+    return counts.join(F.broadcast(trimmed), "o_orderstatus").select(
+        "o_orderstatus", "n_orders", "trimmed_mean_price"
+    )

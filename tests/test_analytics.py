@@ -267,6 +267,31 @@ def test_match_recognize_funnel_semantics(spark, tmp_path):
     assert got[5] == (2, 1)
 
 
+def test_pandas_trimmed_mean_matches_python_reference(spark):
+    """The grouped-agg pandas UDF equals a driver-side sort→trim→mean
+    over exact cents, per group — and trimming actually trims (the
+    trimmed mean differs from the plain mean on this data)."""
+    rows = RAW_QUERIES["pandas_trimmed_mean_price"](spark, SF).collect()
+    from de_project_sprint_etl_spark.plans.testdata import t
+
+    vals = {}
+    for r in t(spark, SF, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect():
+        vals.setdefault(r.o_orderstatus, []).append(
+            int(r.o_totalprice * 100 + 0.5)
+        )
+    assert rows
+    for r in rows:
+        v = sorted(vals[r.o_orderstatus])
+        k = int(len(v) * 0.1)
+        mid = v[k : len(v) - k] if len(v) - 2 * k > 0 else v
+        assert r.n_orders == len(v)
+        assert r.trimmed_mean_price == (sum(mid) / len(mid)) / 100.0
+        plain = sum(v) / len(v) / 100.0
+        assert r.trimmed_mean_price != plain
+
+
 def test_analytics_ops_stay_jvm_side(spark):
     """No Python evaluation nodes, no cartesian products in any of the
     new plans (all small sides broadcast)."""

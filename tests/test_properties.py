@@ -294,3 +294,88 @@ def test_canonicalize_wraps_every_ref_and_preserves_results(data, joiner):
         sql,
         out,
     )
+
+
+# --- scd2_weeks_overlap sweep line vs naive overlap ---------------------------
+
+_intervals = st.lists(
+    st.tuples(
+        st.integers(0, 3),              # custkey
+        st.integers(0, 1),              # priority
+        st.integers(0, 30),             # valid_from day offset
+        st.one_of(st.none(), st.integers(0, 40)),  # run length (None = open)
+    ),
+    min_size=0,
+    max_size=20,
+)
+_obs_dates = st.lists(st.integers(0, 34), min_size=1, max_size=20)
+
+
+@SETTINGS
+@given(intervals=_intervals, dates=_obs_dates)
+def test_scd2_weeks_overlap_sweepline_matches_naive(spark, intervals, dates):
+    """The round-4 sweep-line rewrite must equal the naive per-(interval,
+    week) overlap count on RANDOM interval sets and week dims — ties,
+    contained intervals, open intervals, multi-interval customers,
+    weeks with no overlaps, intervals outside the calendar."""
+    import datetime as dt
+    from unittest.mock import patch
+
+    from pyspark.sql import Row
+
+    from de_project_sprint_etl_spark.plans import analytics
+
+    base = dt.date(2024, 1, 1)
+    day = lambda o: base + dt.timedelta(days=o)  # noqa: E731
+
+    # weeks dim: [min,max] observed date per 7-day bucket, period = rank
+    buckets = {}
+    for d in dates:
+        buckets.setdefault(d // 7, []).append(d)
+    weeks = [
+        (day(min(v)), day(max(v)), i + 1)
+        for i, (_, v) in enumerate(sorted(buckets.items()))
+    ]
+    weeks_df = spark.createDataFrame(
+        [Row(start_date=s, end_date=e, period=p) for s, e, p in weeks]
+    )
+    max_end = max(e for _, e, _ in weeks)
+
+    dim_rows = [
+        Row(
+            o_custkey=c,
+            priority=str(p),
+            valid_from=str(day(vf)),
+            valid_to=None if ln is None else str(day(vf + ln)),
+        )
+        for c, p, vf, ln in intervals
+    ]
+    dim_df = spark.createDataFrame(
+        dim_rows,
+        "o_custkey long, priority string, valid_from string, valid_to string",
+    )
+
+    with patch.object(
+        analytics, "q_scd2_customer_priority", lambda s, d: dim_df
+    ), patch.object(analytics, "weeks_dim", lambda s, d: weeks_df):
+        got = {
+            (r.period, r.priority): (r.n_versions, r.n_customers)
+            for r in analytics.q_scd2_weeks_overlap(spark, "x").collect()
+        }
+    spark.catalog.clearCache()
+
+    want = {}
+    for s, e, p in weeks:
+        per_prio = {}
+        for c, pr, vf, ln in intervals:
+            a = day(vf)
+            b = max_end if ln is None else day(vf + ln)
+            if a > b:
+                continue
+            if a <= e and s <= b:  # overlap with the week's [min,max]
+                n, cs = per_prio.get(str(pr), (0, set()))
+                cs.add(c)
+                per_prio[str(pr)] = (n + 1, cs)
+        for pr, (n, cs) in per_prio.items():
+            want[(p, pr)] = (n, len(cs))
+    assert got == want, (got, want, weeks, intervals)
