@@ -96,8 +96,8 @@ GATE_PRIORITY = [
     "orders_checksum_by_range",
     "attribution_linear_touch",
     "scd2_weeks_overlap",
-    "quantile_normalize_doclen",
-    "daily_metric_correlation",
+    "zorder_skipping_effectiveness",
+    "streaming_match_recognize",
     "hll_distinct_cascade",
     "null_safe_join_props",
     # LLM curation / eval harnesses

@@ -228,6 +228,7 @@ HEADLINE = [
     "null_safe_join_props",
     "match_recognize_funnel",
     "pandas_trimmed_mean_price",
+    "streaming_match_recognize",
 ]
 
 

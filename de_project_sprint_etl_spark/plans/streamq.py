@@ -297,6 +297,66 @@ def q_streaming_user_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_match_recognize",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+  FROM events),
+isl AS (
+  SELECT user_id, event_type, pos,
+         COALESCE(SUM(CASE WHEN event_type IN ('purchase', 'error')
+                           THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS island
+  FROM seq),
+per_island AS (
+  SELECT user_id, island,
+         MIN(CASE WHEN event_type = 'signup' THEN pos END) AS s_min,
+         MAX(CASE WHEN event_type = 'click' THEN pos END) AS c_max,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p,
+         COUNT(*) AS n_rows
+  FROM isl GROUP BY user_id, island)
+SELECT user_id,
+       CAST(SUM(n_rows) AS BIGINT) AS n_events,
+       CAST(SUM(has_p) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN has_p = 1 AND s_min IS NOT NULL
+                     AND c_max > s_min THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches
+FROM per_island
+GROUP BY user_id
+""",
+)
+def q_streaming_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern matching executed BY THE STREAMING ENGINE: the
+    MATCH_RECOGNIZE state machine (streaming/jobs.user_pattern_match_stream)
+    drains the single-file events source and its final per-user state
+    hash-matches the batch-relational island formulation — two utterly
+    different computations (per-row state fold vs window/groupBy
+    algebra) on two engines agreeing on every count is the strongest
+    parity check in the streaming tier. 7th streaming-executed gate
+    query; state is 4 small values per user, watermark-free because the
+    pattern never expires (a production deployment adds timers for
+    TTL)."""
+    src = _events_stream_src(spark, sf_dir)
+    stream = jobs.user_pattern_match_stream(jobs.read_event_stream(spark, src))
+    from pyspark.sql import Window as W
+
+    sink = _run_to_sink(spark, "cep", stream, "update")
+    return (
+        sink.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "n_purchases", "n_matches")
+    )
+
+
 # --- custom Python DataSource (Spark 4 extension point) ---------------------
 
 _GEN_SHARDS, _GEN_ROWS, _GEN_USERS = 8, 12_500, 1_000

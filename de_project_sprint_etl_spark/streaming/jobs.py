@@ -404,6 +404,60 @@ def user_value_ema_aiws(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
 
 
+def user_pattern_match_stream(events: DataFrame) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE: the CEP pattern of
+    plans/analytics.q_match_recognize_funnel (signup … click … purchase,
+    error resets, SKIP PAST LAST ROW) as a per-user state machine
+    carried ACROSS micro-batches by ``applyInPandasWithState`` — the
+    form that runs unbounded, one 3-value stage cell + three counters
+    per user. In-batch fold order is (ts, event_id), so the final state
+    after a drain equals the batch-relational answer exactly — the
+    batch/streaming parity the gate hash-checks."""
+    import pandas as pd  # local: keep module import light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        stage, n_events, n_purchases, n_matches = (
+            state.get if state.exists else (0, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for et in pdf["event_type"]:
+                n_events += 1
+                if et == "signup":
+                    if stage == 0:
+                        stage = 1
+                elif et == "click":
+                    if stage == 1:
+                        stage = 2
+                elif et == "purchase":
+                    n_purchases += 1
+                    if stage == 2:
+                        n_matches += 1
+                    stage = 0
+                elif et == "error":
+                    stage = 0
+        state.update((stage, n_events, n_purchases, n_matches))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "n_purchases": [n_purchases],
+                "n_matches": [n_matches],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=(
+            "user_id long, n_events long, n_purchases long, n_matches long"
+        ),
+        stateStructType="stage int, n_events long, n_purchases long, n_matches long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 RUNNING_CENTS_SCHEMA = "user_id long, n_events long, sum_cents long"
 
 

@@ -617,6 +617,47 @@ def test_streaming_ema_aiws_state_survives_batches(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_cep_state_survives_batches(spark, tmp_path):
+    """The MATCH_RECOGNIZE state machine (stage + counters) carries
+    across micro-batches: a user whose signup and click arrive in one
+    batch and purchase in a later one still scores the match. One file
+    per phase + maxFilesPerTrigger=8 on 9 files forces ≥2 batches with
+    the phase files in order."""
+    import pandas as pd  # noqa: F401
+
+    src = str(tmp_path / "cep_arrivals")
+    # 9 single-row files: user 1 = s,c in early files, p in the last;
+    # user 2 = s,e,c,p (error resets before click -> no match)
+    seq = [
+        (1, "signup"), (2, "signup"), (1, "click"), (2, "error"),
+        (2, "click"), (1, "view"), (2, "purchase"), (1, "purchase"),
+        (1, "signup"),
+    ]
+    import datetime as dt
+
+    for i, (u, et) in enumerate(seq):
+        spark.createDataFrame(
+            [(i + 1, u, et, dt.datetime(2024, 1, 1, 0, i), 1.0)],
+            "event_id long, user_id long, event_type string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = jobs.user_pattern_match_stream(jobs.read_event_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cep_multi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("cep_multi").collect():
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, r.n_purchases, r.n_matches)
+    assert got[1] == (5, 1, 1)   # s c view p (+ trailing s): one match
+    assert got[2] == (4, 1, 0)   # s e c p: error reset kills the match
+
+
 def test_streaming_cents_totals_exact_across_batches(spark, tmp_path):
     """running_user_totals_cents carries integer state across
     micro-batches and the final per-user totals are EXACTLY the batch
