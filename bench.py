@@ -229,6 +229,7 @@ HEADLINE = [
     "match_recognize_funnel",
     "pandas_trimmed_mean_price",
     "streaming_match_recognize",
+    "distribution_match_sample",
 ]
 
 

@@ -872,3 +872,116 @@ def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PRI_K)
         .select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), "rank")
     )
+
+
+# --- distribution-matching rejection sampler ---------------------------------
+
+DM_BUCKETS = 16
+DM_SEED = 4242
+DM_PPM = 1_000_000
+
+
+@register(
+    "distribution_match_sample",
+    f"""
+WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+st AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM d),
+bk AS (
+  SELECT doc_id, lang,
+         CAST((n_chars - st.mn) * {DM_BUCKETS} // (st.mx - st.mn + 1) AS BIGINT)
+           AS bucket
+  FROM d CROSS JOIN st),
+hist AS (
+  SELECT bucket, COUNT(*) AS s_b,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
+  FROM bk GROUP BY bucket),
+mbk AS (
+  SELECT bucket AS m_bucket, s_b AS s_m, t_b AS t_m
+  FROM hist WHERE t_b > 0
+  ORDER BY CAST(t_b AS DOUBLE) / s_b DESC, bucket ASC LIMIT 1),
+rates AS (
+  SELECT h.bucket, h.s_b, h.t_b,
+         (h.t_b * m.s_m) // (h.s_b * m.t_m) * {DM_PPM}
+           + ((h.t_b * m.s_m) % (h.s_b * m.t_m)) * {DM_PPM}
+             // (h.s_b * m.t_m) AS rate_ppm
+  FROM hist h CROSS JOIN mbk m),
+kept AS (
+  SELECT b.bucket, COUNT(*) AS n_kept
+  FROM bk b JOIN rates r ON b.bucket = r.bucket
+  WHERE {sql_h64("CAST(doc_id AS VARCHAR)", DM_SEED)} % {DM_PPM} < r.rate_ppm
+  GROUP BY b.bucket)
+SELECT r.bucket, CAST(r.s_b AS BIGINT) AS n_source,
+       CAST(r.t_b AS BIGINT) AS n_target,
+       CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k ON r.bucket = k.bucket
+""",
+)
+def q_distribution_match_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching rejection sampler: resample the WHOLE
+    corpus so its document-length distribution matches the English
+    subset's (the target-domain shape), per bucketed histogram ratio —
+    the classic acceptance rule r(b) = P_target(b) / (M · P_source(b))
+    with M = max ratio, so the kept set's length histogram is
+    proportional to the target's. The curation move for matching a
+    pre-training mix to a reference domain when DSIR-style reweighting
+    must produce an actual SUBSET, not weights.
+
+    Determinism discipline: rates are EXACT integer rationals — the
+    normalizers cancel to r(b) = (t_b·s_m)/(s_b·t_m), computed as
+    quotient+remainder ppm so both engines produce identical integers
+    (per-bucket counts beyond ~3e9 need the DECIMAL path; the argmax M
+    uses one double compare of identical IEEE divisions) — and the keep
+    gate is the shared 60-bit doc-id hash, reproducible across runs,
+    partitionings, and engines. Scale shape: two aggregates over a
+    16-bucket space, one broadcast rate table, map-side gate; the
+    corpus never shuffles."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    st = docs.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    bk = docs.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"CAST((n_chars - mn) * {DM_BUCKETS} DIV (mx - mn + 1) AS BIGINT)"
+        ).alias("bucket"),
+    )
+    hist = bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("s_b"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
+    )
+    mbk = (
+        hist.filter(F.col("t_b") > 0)
+        .orderBy(
+            (F.col("t_b").cast("double") / F.col("s_b")).desc(),
+            F.col("bucket").asc(),
+        )
+        .limit(1)
+        .select(
+            F.col("s_b").alias("s_m"), F.col("t_b").alias("t_m")
+        )
+    )
+    rates = hist.crossJoin(F.broadcast(mbk)).select(
+        "bucket",
+        "s_b",
+        "t_b",
+        F.expr(
+            f"(t_b * s_m) DIV (s_b * t_m) * {DM_PPM}"
+            f" + ((t_b * s_m) % (s_b * t_m)) * {DM_PPM} DIV (s_b * t_m)"
+        ).alias("rate_ppm"),
+    )
+    gate = h64(F.col("doc_id").cast("string"), seed=DM_SEED) % DM_PPM
+    kept = (
+        bk.join(F.broadcast(rates.select("bucket", "rate_ppm")), "bucket")
+        .filter(gate < F.col("rate_ppm"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "bucket", "left").select(
+        "bucket",
+        F.col("s_b").cast("bigint").alias("n_source"),
+        F.col("t_b").cast("bigint").alias("n_target"),
+        F.col("rate_ppm").cast("bigint").alias("rate_ppm"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )

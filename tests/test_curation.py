@@ -437,6 +437,32 @@ def test_semdedup_adaptive_equals_fixed_k_at_gate_scale(spark):
     assert b.exceptAll(a).count() == 0
 
 
+def test_distribution_match_sample_matches_target_shape(spark):
+    """Acceptance-sampling property: the kept set's bucket histogram is
+    proportional to the TARGET (English) histogram — each bucket's
+    expected kept share equals its target share; allow generous
+    hash-sampling noise. The max-ratio bucket must keep everything
+    (rate exactly 1e6 ppm), and no rate may exceed it."""
+    from de_project_sprint_etl_spark.plans import curation
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    rows = RAW_QUERIES["distribution_match_sample"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows
+    assert max(r.rate_ppm for r in rows) == curation.DM_PPM
+    n_t = sum(r.n_target for r in rows)
+    n_kept = sum(r.n_kept for r in rows)
+    assert n_kept > 0
+    for r in rows:
+        assert 0 <= r.rate_ppm <= curation.DM_PPM
+        want = r.n_target / n_t
+        got = r.n_kept / n_kept
+        # binomial noise bound, very loose: ±(0.5/sqrt(expected)+2%)
+        exp = max(want * n_kept, 1.0)
+        assert abs(got - want) <= 0.5 / exp**0.5 + 0.02, (r, got, want)
+
+
 def test_dsir_weights_favor_target_like_docs(spark):
     """DSIR sanity on a constructed corpus: documents whose bigrams
     match the target distribution must score strictly higher than
