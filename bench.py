@@ -230,6 +230,7 @@ HEADLINE = [
     "pandas_trimmed_mean_price",
     "streaming_match_recognize",
     "distribution_match_sample",
+    "bfs_copurchase_distances",
 ]
 
 

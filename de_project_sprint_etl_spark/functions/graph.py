@@ -161,6 +161,78 @@ r0 AS (SELECT node, {PR_SCALE} // (SELECT n FROM nn) AS rank FROM nodes),
 """
 
 
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Multi-source breadth-first search: minimum hop distance from any
+    source node, bounded at ``max_depth`` — the path primitive next to
+    :func:`pagerank` (importance) and :func:`dup_groups` (components).
+
+    Pregel shape: per level, the frontier equi-joins the stationary
+    adjacency (hash-partitioned on src, persisted once — only the
+    O(frontier) side moves per level), an anti-join against the settled
+    set keeps first-discovery distances (= minimum, since levels are
+    explored in order), and the new frontier is ``localCheckpoint``ed
+    to flatten lineage like pagerank's rank vector. No driver-side
+    convergence check: the depth bound is the loop bound, and an empty
+    frontier just joins to empty — collect-free.
+
+    Input: ``edges (src, dst)``, ``sources (node)``.
+    Output: ``node, dist`` for every node within ``max_depth`` hops
+    (sources at dist 0).
+    """
+    adj = edges.select("src", "dst").repartition("src").persist()
+    settled = (
+        sources.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for depth in range(1, max_depth + 1):
+        reached = (
+            frontier.join(adj, frontier["node"] == adj["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(settled.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        settled = settled.unionByName(new)
+        frontier = new
+    return settled
+
+
+def sql_copurchase_bfs(lineitem_rel: str, max_depth: int = 3) -> str:
+    """DuckDB mirror of ``bfs_distances(copurchase_edges(lineitem),
+    hub)`` where the source is the max-out-degree part (ties → smallest
+    part id): depth-bounded recursive CTE with per-level dedup, then
+    MIN(d) per node."""
+    return f"""
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM {lineitem_rel}
+),
+edges AS (
+  SELECT DISTINCT a.part AS src, b.part AS dst
+  FROM op a JOIN op b ON a.ok = b.ok AND a.part <> b.part
+),
+hub AS (
+  SELECT src AS node FROM edges
+  GROUP BY src ORDER BY COUNT(*) DESC, src ASC LIMIT 1
+),
+reach(node, d) AS (
+  SELECT node, 0 FROM hub
+  UNION
+  SELECT e.dst, r.d + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < {max_depth}
+)
+SELECT node, CAST(MIN(d) AS INT) AS dist FROM reach GROUP BY node
+"""
+
+
 # --- triangle counting ------------------------------------------------------
 
 

@@ -719,6 +719,33 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(copurchase_edges_cached(spark, sf_dir))
 
 
+@register(
+    "bfs_copurchase_distances",
+    graph.sql_copurchase_bfs("lineitem", max_depth=3),
+)
+def q_bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop BFS distances from the co-purchase hub (max-out-degree
+    part, ties → smallest id), bounded at 3 hops — the PATH primitive
+    completing the graph tier next to importance (pagerank), cliques
+    (triangles), and components (dup_groups). Per level: one
+    frontier×adjacency equi-join against the stationary persisted edge
+    partitioning + one anti-join against the settled set — O(frontier)
+    moves per level, collect-free (the depth bound is the loop bound).
+    The oracle replays a depth-bounded recursive CTE with MIN(d) per
+    node; first-discovery == minimum because levels explore in order."""
+    edges = copurchase_edges_cached(spark, sf_dir)
+    hub = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    return graph.bfs_distances(edges, hub, max_depth=3).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+
+
 # --- data-integrity fingerprint ---------------------------------------------
 
 _CHECKSUM_ROW = (

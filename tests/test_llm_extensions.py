@@ -490,6 +490,31 @@ def test_copurchase_edges_symmetric_simple(spark):
     assert edges == {(100, 200), (200, 100)}
 
 
+def test_bfs_distances_chain_and_multisource(spark):
+    """BFS semantics pinned: hop distances along a chain, depth bound
+    respected, unreachable nodes absent, and with TWO sources each node
+    gets the MINIMUM distance over sources."""
+    from de_project_sprint_etl_spark.functions import graph
+
+    # chain 1->2->3->4->5, plus island 9->10
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)], "src long, dst long"
+    )
+    one = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in graph.bfs_distances(edges, one, max_depth=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 beyond depth; island absent
+
+    two = spark.createDataFrame([(1,), (4,)], "node long")
+    got2 = {
+        r.node: r.dist
+        for r in graph.bfs_distances(edges, two, max_depth=3).collect()
+    }
+    assert got2 == {1: 0, 4: 0, 2: 1, 5: 1, 3: 2}  # 5 via source 4; min wins
+
+
 def test_triangle_count_known_graphs(spark):
     from de_project_sprint_etl_spark.functions import graph
 
