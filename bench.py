@@ -231,6 +231,7 @@ HEADLINE = [
     "streaming_match_recognize",
     "distribution_match_sample",
     "bfs_copurchase_distances",
+    "daily_metric_corr_matrix",
 ]
 
 

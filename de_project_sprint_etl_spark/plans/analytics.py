@@ -14,20 +14,20 @@ marked rows-only:
   ``rev_cents % n`` clicks) — allocation is conserved EXACTLY (the sum
   of credits equals the attributed revenue to the cent), with no
   floating-point credit drift across engines or partition orders.
-- **Interval-overlap join via temporal bucketing**: SCD2 validity
-  intervals joined to the calendar-week dimension by exploding each
-  interval into its covered week-Mondays and equi-joining on the
-  Monday key (+ an exact overlap guard for edge weeks). The classic
-  range-join decomposition: O(intervals x weeks-spanned) exploded rows
-  into a hash join, instead of an O(n x m) nested-loop/IEJoin — the
-  shape that survives 100 TB. (``active_versions_per_day`` is the
-  sweep-line COUNTING twin; this one EMITS the join pairs.)
-- **HLL sketch cascade** (rows-only): per-group DataSketches HLL
-  sketches merged upward with ``hll_union_agg`` — COUNT DISTINCT made
-  reaggregable, the distinct-count analog of the rollup cascade
-  (``events_rollup_cascade``). Sketch bytes are engine-specific, so the
-  driver records the weaker rows-only check; the merge==direct
-  invariant is pinned in pytest instead.
+- **Interval-overlap join as a sweep line** (round-4 rewrite): SCD2
+  validity intervals against the calendar-week dimension WITHOUT
+  materializing (interval x covered-week) pairs — broadcast sorted
+  week array, map-side [p_lo, p_hi] period ranges with exact edge
+  guards, +/-1 deltas and cumulative sums over the priority x week
+  grid; distinct customers via per-(customer, priority) island merge.
+  O(intervals + weeks), zero row blowup.
+  (``active_versions_per_day`` is the day-grain counting twin.)
+- **HLL sketch cascade**: per-group DataSketches HLL sketches merged
+  upward with ``hll_union_agg`` — COUNT DISTINCT made reaggregable,
+  the distinct-count analog of the rollup cascade
+  (``events_rollup_cascade``). Sketch bytes are engine-specific, so
+  the hashed output is the estimate-within-bound VERDICT (round 4);
+  the merge==direct invariant stays pinned in pytest.
 - **Quantile normalization against a global grid**: each document's
   within-source percent-rank mapped onto the GLOBAL length
   distribution via a broadcast 101-point exact-quantile grid with
@@ -1107,3 +1107,107 @@ def q_pandas_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(F.broadcast(trimmed), "o_orderstatus").select(
         "o_orderstatus", "n_orders", "trimmed_mean_price"
     )
+
+
+# --- one-pass correlation MATRIX from exact moments ----------------------------
+
+_CM_METRICS = ["n_events", "n_clicks", "n_purchases", "rev_cents"]
+_CM_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CM_METRICS)
+    for b in _CM_METRICS[i + 1 :]
+]
+
+
+def _cm_corr_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND((CAST(n_days AS DOUBLE) * CAST(q_{a}_{b} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        f" / SQRT((CAST(n_days AS DOUBLE) * CAST(q_{a}_{a} AS DOUBLE)"
+        f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        f" * (CAST(n_days AS DOUBLE) * CAST(q_{b}_{b} AS DOUBLE)"
+        f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+    )
+
+
+_SQL_CORR_MATRIX = (
+    """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS n_purchases,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS rev_cents
+  FROM events GROUP BY 1),
+m AS (
+  SELECT COUNT(*) AS n_days,
+"""
+    + ",\n".join(
+        f"         CAST(SUM({a}) AS BIGINT) AS s_{a}" for a in _CM_METRICS
+    )
+    + ",\n"
+    + ",\n".join(
+        f"         CAST(SUM({a} * {b}) AS BIGINT) AS q_{a}_{b}"
+        for i, a in enumerate(_CM_METRICS)
+        for b in _CM_METRICS[i:]
+    )
+    + "\n  FROM d)\n"
+    + "\nUNION ALL ".join(
+        f"SELECT '{a}' AS metric_a, '{b}' AS metric_b, {_cm_corr_sql(a, b)}"
+        f" AS pearson_r FROM m"
+        for a, b in _CM_PAIRS
+    )
+)
+
+
+@register("daily_metric_corr_matrix", _SQL_CORR_MATRIX)
+def q_daily_metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pearson correlation MATRIX over k=4 daily event metrics in
+    ONE pass: every Σx, Σx², Σxy moment for all k(k+1)/2 pairs comes
+    from a single map-side-combined aggregate over the daily table
+    (exact BIGINT sums — addition-order-free), then one fixed-order
+    double expression per pair. Generalizes daily_metric_correlation:
+    the k² pair space costs k² tiny columns in one agg row, NOT k²
+    passes over the data — the one-pass moment pattern every metrics
+    warehouse needs at 100 TB."""
+    ev = events_df(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.col("value"),
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purchases"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint"),
+            ).otherwise(0)
+        ).alias("rev_cents"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_days")]
+    aggs += [F.sum(a).cast("bigint").alias(f"s_{a}") for a in _CM_METRICS]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"q_{a}_{b}")
+        for i, a in enumerate(_CM_METRICS)
+        for b in _CM_METRICS[i:]
+    ]
+    m = daily.agg(*aggs)
+    rows = [
+        m.select(
+            F.lit(a).alias("metric_a"),
+            F.lit(b).alias("metric_b"),
+            F.expr(_cm_corr_sql(a, b)).alias("pearson_r"),
+        )
+        for a, b in _CM_PAIRS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -50,6 +50,13 @@ SCALE_DIR = _scale_dir()
 DEFAULT_QUERIES = [
     "semdedup_embeddings",
     "semdedup_embeddings_adaptive",
+    "match_recognize_funnel",
+    "zorder_skipping_index",
+    "zorder_skipping_effectiveness",
+    "distribution_match_sample",
+    "pandas_trimmed_mean_price",
+    "bfs_copurchase_distances",
+    "scd2_weeks_overlap",
     "pq_encode_embeddings",
     "pq_adc_topk",
     "dsir_importance_weights",
