@@ -232,6 +232,7 @@ HEADLINE = [
     "distribution_match_sample",
     "bfs_copurchase_distances",
     "daily_metric_corr_matrix",
+    "phrase_search",
 ]
 
 

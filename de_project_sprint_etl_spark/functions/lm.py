@@ -660,3 +660,98 @@ SELECT word, CAST(freq AS BIGINT) AS freq, s AS pieces,
        CAST(len(string_split(s, ' ')) AS INT) AS n_pieces
 FROM {prev}"""
     )
+
+
+# --- exact phrase search over a positional inverted index --------------------
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching the way a search engine does it: a
+    positional posting list ``(doc, term, pos)`` filtered to the query
+    phrases' terms ONLY (predicate pushed below the explode — the index
+    touched is O(query-term postings), never the corpus vocabulary),
+    then one equi-join per adjacency ``pos_{i+1} = pos_i + 1``. The
+    positional primitive that completes the search tier next to BM25
+    (bag-of-words) and RRF fusion.
+
+    Output: ``phrase, n_docs, n_occurrences`` (phrases with no match
+    included with zeros — the query set is the left side).
+    """
+    from de_project_sprint_etl_spark.functions.text import tokens
+
+    terms = sorted({w for p in phrases for w in p.split()})
+    post = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+        )
+        .filter(F.col("term").isin(terms))
+    )
+    spark = docs.sparkSession
+    out = None
+    for phrase in phrases:
+        ws = phrase.split()
+        cur = post.filter(F.col("term") == ws[0]).select(
+            "doc", F.col("pos").alias("p0")
+        )
+        for i, w in enumerate(ws[1:], start=1):
+            nxt = post.filter(F.col("term") == w).select(
+                F.col("doc").alias("d2"), F.col("pos").alias("pi")
+            )
+            cur = cur.join(
+                nxt,
+                (F.col("doc") == F.col("d2"))
+                & (F.col("pi") == F.col("p0") + i),
+            ).select("doc", "p0")
+        agg = cur.agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        ).select(
+            F.lit(phrase).alias("phrase"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_occurrences", F.lit(0)).alias("n_occurrences"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def sql_phrase_occurrences(rel: str, phrases: list[str]) -> str:
+    """DuckDB mirror of :func:`phrase_occurrences` (same normalization,
+    same positional joins; posexplode is 0-based so the 1-based
+    generate_series subscript is shifted to match)."""
+    from de_project_sprint_etl_spark.functions.text import SQL_NORM
+
+    terms = sorted({w for p in phrases for w in p.split()})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    branches = []
+    for phrase in phrases:
+        ws = phrase.split()
+        joins = []
+        for i, w in enumerate(ws[1:], start=1):
+            joins.append(
+                f"JOIN post t{i} ON t{i}.doc = t0.doc"
+                f" AND t{i}.term = '{w}' AND t{i}.pos = t0.pos + {i}"
+            )
+        branches.append(
+            f"""SELECT '{phrase}' AS phrase,
+       CAST(COALESCE(COUNT(DISTINCT t0.doc), 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_occurrences
+FROM post t0 {' '.join(joins)}
+WHERE t0.term = '{ws[0]}'"""
+        )
+    return f"""
+WITH tk AS (
+  SELECT doc_id AS doc,
+         STRING_SPLIT({SQL_NORM.format(c='text')}, ' ') AS tks
+  FROM {rel}),
+post AS (
+  SELECT doc, tks[CAST(u.i AS INT)] AS term, CAST(u.i - 1 AS BIGINT) AS pos
+  FROM tk, UNNEST(generate_series(1, len(tks))) u(i)
+  WHERE tks[CAST(u.i AS INT)] IN ({in_list}))
+{' UNION ALL '.join(branches)}
+"""

@@ -1442,6 +1442,25 @@ def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bm25_topk(docs_fanned(spark, sf_dir), BM25_QUERY_TERMS, k=20)
 
 
+PHRASE_QUERIES = ["table value", "fast merge batch"]
+
+
+@register(
+    "phrase_search",
+    lm.sql_phrase_occurrences("documents", PHRASE_QUERIES),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional inverted index — the
+    positional primitive completing the search tier (BM25 bag-of-words
+    scoring, RRF fusion): posting lists (doc, term, pos) filtered to
+    the query phrases' terms BEFORE the explode leaves the row (the
+    touched index is O(query-term postings), never the vocabulary),
+    then one equi-join per adjacency pos_{i+1} = pos_i + 1 — phrase
+    match as a chain of hash joins, the standard positional-index
+    evaluation (extension op; functions/lm.phrase_occurrences)."""
+    return lm.phrase_occurrences(docs_fanned(spark, sf_dir), PHRASE_QUERIES)
+
+
 # --- k-means clustering (functions/clustering.py) ---------------------------
 
 from de_project_sprint_etl_spark.functions import clustering  # noqa: E402

@@ -646,3 +646,28 @@ def test_event_journeys_orders_within_session(spark):
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
     for r in rows:
         assert 1 <= len(r["journey"].split(">")) <= 3
+
+
+def test_phrase_occurrences_positions_and_zero_match(spark):
+    """Phrase semantics pinned: adjacency must be exact (reversed or
+    gapped words don't match), overlapping occurrences each count, and
+    a no-match phrase reports zeros instead of disappearing."""
+    from de_project_sprint_etl_spark.functions import lm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data big data big"),   # "big data" x2 (overlap-adjacent)
+            (2, "data big"),                # reversed -> no match
+            (3, "big red data"),            # gapped -> no match
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.phrase: (r.n_docs, r.n_occurrences)
+        for r in lm.phrase_occurrences(
+            docs, ["big data", "red data", "missing phrase"]
+        ).collect()
+    }
+    assert out["big data"] == (1, 2)
+    assert out["red data"] == (1, 1)
+    assert out["missing phrase"] == (0, 0)
