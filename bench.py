@@ -233,6 +233,8 @@ HEADLINE = [
     "bfs_copurchase_distances",
     "daily_metric_corr_matrix",
     "phrase_search",
+    "running_balance_clamped",
+    "seasonal_naive_backtest",
 ]
 
 

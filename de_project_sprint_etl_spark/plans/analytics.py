@@ -1211,3 +1211,142 @@ def q_daily_metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- clamped running balance (non-linear recurrence made relational) -----------
+
+_SQL_CLAMPED_BALANCE = """
+WITH deltas AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+              WHEN event_type = 'click'
+              THEN -CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+              ELSE 0 END AS d_cents
+  FROM events),
+csum AS (
+  SELECT user_id, pos, d_cents,
+         SUM(d_cents) OVER (PARTITION BY user_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS c
+  FROM deltas),
+cums AS (
+  SELECT user_id, pos, d_cents, c,
+         MIN(c) OVER (PARTITION BY user_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS run_min
+  FROM csum)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(c - LEAST(run_min, 0)) AS BIGINT) AS peak_balance_cents,
+       CAST(SUM(CASE WHEN c - LEAST(run_min, 0) = 0 AND d_cents < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_floored,
+       CAST((MAX(CASE WHEN pos = mx THEN c END)
+             - LEAST(MAX(CASE WHEN pos = mx THEN run_min END), 0))
+            AS BIGINT) AS final_balance_cents
+FROM (SELECT *, MAX(pos) OVER (PARTITION BY user_id) AS mx FROM cums) x
+GROUP BY user_id
+"""
+
+
+@register("running_balance_clamped", _SQL_CLAMPED_BALANCE)
+def q_running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance — the classic "needs a UDF"
+    recurrence ``b_t = max(0, b_{t-1} + d_t)`` (a wallet that cannot go
+    negative; deficits are lost, not borrowed) — computed RELATIONALLY
+    via the reflection identity ``b_t = c_t − min(0, min_{s≤t} c_s)``
+    where ``c`` is the plain cumulative sum: subtracting the running
+    minimum of the cumsum replays every floor hit exactly. Two window
+    passes over one user_id shuffle, integer cents throughout; emitted
+    per user as (peak, floor-hit count, final balance). Purchases
+    credit, clicks debit — an arbitrary but deterministic delta
+    assignment over the fixture stream."""
+    ev = events_df(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    deltas = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("pos"),
+        F.when(F.col("event_type") == "purchase", cents)
+        .when(F.col("event_type") == "click", -cents)
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("d_cents"),
+    )
+    wp = Window.partitionBy("user_id").orderBy("pos")
+    run = Window.partitionBy("user_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = deltas.withColumn("c", F.sum("d_cents").over(run)).withColumn(
+        "run_min", F.min("c").over(run)
+    )
+    bal = F.col("c") - F.least(F.col("run_min"), F.lit(0))
+    last = Window.partitionBy("user_id")
+    out = cums.withColumn("mx", F.max("pos").over(last))
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(bal).cast("bigint").alias("peak_balance_cents"),
+        F.sum(
+            F.when((bal == 0) & (F.col("d_cents") < 0), 1).otherwise(0)
+        ).cast("bigint").alias("n_floored"),
+        (
+            F.max(F.when(F.col("pos") == F.col("mx"), F.col("c")))
+            - F.least(
+                F.max(F.when(F.col("pos") == F.col("mx"), F.col("run_min"))),
+                F.lit(0).cast("bigint"),
+            )
+        ).cast("bigint").alias("final_balance_cents"),
+    )
+
+
+# --- seasonal-naive forecast backtest ------------------------------------------
+
+_SQL_SEASONAL_NAIVE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT a.day, a.rev_cents AS actual_cents, f.rev_cents AS forecast_cents
+  FROM daily a JOIN daily f ON f.day = a.day - INTERVAL 7 DAY)
+SELECT CAST(day AS VARCHAR) AS day, actual_cents, forecast_cents,
+       ABS(actual_cents - forecast_cents) AS abs_err_cents
+FROM j
+"""
+
+
+@register("seasonal_naive_backtest", _SQL_SEASONAL_NAIVE)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: forecast(day) = revenue(day−7),
+    joined BY DATE (never by row offset — gap days must not slide the
+    season), per-day absolute error in exact integer cents. The
+    evaluation-tier twin of the WoW growth series: summing
+    abs_err_cents / actual_cents downstream gives WAPE with one
+    division, no float-accumulation-order dependence. One date-grain
+    aggregate + one self equi-join on the tiny daily table."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    f = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"),
+        F.col("rev_cents").alias("forecast_cents"),
+    )
+    return (
+        daily.join(f, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("rev_cents").alias("actual_cents"),
+            "forecast_cents",
+            F.abs(F.col("rev_cents") - F.col("forecast_cents")).alias(
+                "abs_err_cents"
+            ),
+        )
+    )

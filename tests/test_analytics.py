@@ -292,6 +292,38 @@ def test_pandas_trimmed_mean_matches_python_reference(spark):
         assert r.trimmed_mean_price != plain
 
 
+def test_clamped_balance_reflection_identity(spark):
+    """The relational form b_t = c_t − min(0, running_min(c)) must equal
+    the imperative fold b_t = max(0, b_{t-1} + d_t) on the real fixture
+    stream — peak, final, and floor-hit counts per user."""
+    from de_project_sprint_etl_spark.plans.testdata import events_df
+
+    got = {
+        r.user_id: (r.n_events, r.peak_balance_cents, r.n_floored,
+                    r.final_balance_cents)
+        for r in RAW_QUERIES["running_balance_clamped"](spark, SF).collect()
+    }
+    ev = sorted(
+        events_df(spark, SF).select(
+            "user_id", "event_id", "event_type", "value", "ts"
+        ).collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    want = {}
+    for r in ev:
+        n, b, peak, floored = want.get(r.user_id, (0, 0, 0, 0))
+        cents = int(r.value * 100 + 0.5) if r.value is not None else 0
+        d = cents if r.event_type == "purchase" else (
+            -cents if r.event_type == "click" else 0
+        )
+        nb = max(0, b + d)
+        if nb == 0 and d < 0:
+            floored += 1
+        want[r.user_id] = (n + 1, nb, max(peak, nb), floored)
+    want = {u: (n, peak, fl, b) for u, (n, b, peak, fl) in want.items()}
+    assert got == want
+
+
 def test_analytics_ops_stay_jvm_side(spark):
     """No Python evaluation nodes, no cartesian products in any of the
     new plans (all small sides broadcast)."""
