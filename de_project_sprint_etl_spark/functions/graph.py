@@ -202,6 +202,11 @@ def bfs_distances(
         )
         settled = settled.unionByName(new)
         frontier = new
+    # every level was materialized eagerly through its localCheckpoint,
+    # so the returned union references only checkpointed RDDs — the
+    # adjacency cache has served its purpose and can go now (otherwise
+    # each invocation leaks a persisted edge copy for the session)
+    adj.unpersist()
     return settled
 
 

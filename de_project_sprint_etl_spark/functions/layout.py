@@ -158,14 +158,18 @@ def skipping_effectiveness_sql(
 ) -> str:
     """SQL comparing file-skipping for a 2-D box predicate under three
     layouts of the SAME table into the SAME number of buckets:
-    Z-order on (a, b), single-column sort on a, single-column sort on b.
-    A bucket must be scanned iff its [min, max] box intersects the
-    predicate box — the exact rule engines apply to file stats. Output:
-    one row per layout with buckets_scanned / buckets_total /
-    rows_scanned (rows inside scanned buckets) / rows_matched.
+    Z-order on (a, b), lexicographic sort on (a, b), lexicographic
+    sort on (b, a). A bucket must be scanned iff its [min, max] box
+    intersects the predicate box — the exact rule engines apply to file
+    stats. Output: one row per layout with buckets_scanned /
+    buckets_total / rows_scanned (rows inside scanned buckets) /
+    rows_matched.
 
-    The linear layouts bucket by NTILE over the sort key — equal-sized
-    "files", the honest comparison."""
+    Fairness: all three layouts cut the SAME 2·bits-bit key space into
+    the same 2^(2·bits − bucket_shift) buckets — the sort layouts use
+    the lexicographic key (hi<<bits)|lo, so their bucket granularity is
+    identical to z-order's and the comparison measures the LAYOUT, not
+    a bucket-count handicap."""
     sa = scaled_sql(col_a, "mn_a", "mx_a", bits)
     sb = scaled_sql(col_b, "mn_b", "mx_b", bits)
     z = interleave_sql("za", "zb", bits)
@@ -211,7 +215,7 @@ scaled AS (
          {lo_b} AS box_lo_b, {hi_b} AS box_hi_b
   FROM {rel} CROSS JOIN stats),
 z_l AS ({layout("zorder", f"({z} >> {bucket_shift})")}),
-a_l AS ({layout("sort_a", f"(za * {n_buckets}) >> {bits}")}),
-b_l AS ({layout("sort_b", f"(zb * {n_buckets}) >> {bits}")})
+a_l AS ({layout("sort_a", f"(((za << {bits}) + zb) >> {bucket_shift})")}),
+b_l AS ({layout("sort_b", f"(((zb << {bits}) + za) >> {bucket_shift})")})
 SELECT * FROM z_l UNION ALL SELECT * FROM a_l UNION ALL SELECT * FROM b_l
 """

@@ -685,14 +685,17 @@ def phrase_occurrences(
     from de_project_sprint_etl_spark.functions.text import tokens
 
     terms = sorted({w for p in phrases for w in p.split()})
+    # the posting list feeds every phrase branch AND every adjacency
+    # join side — persist or the corpus tokenize/explode re-runs per
+    # reference (~5 scans for a 2-phrase query)
     post = (
         docs.select(
             F.col(id_col).alias("doc"),
             F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
         )
         .filter(F.col("term").isin(terms))
+        .persist()
     )
-    spark = docs.sparkSession
     out = None
     for phrase in phrases:
         ws = phrase.split()

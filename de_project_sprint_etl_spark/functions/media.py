@@ -168,13 +168,13 @@ def pil_image_module():
 def _real_decode(kind: str, payload: bytes) -> tuple[str, int, int, int, int]:
     """Real decode where a codec exists: images via Pillow (dims from
     the actual bitstream; digest still md5-of-payload so lineage keys
-    stay stable). Audio/video need ffmpeg-class codecs that have no
-    optional pure-Python probe here — still guarded."""
+    stay stable). Audio/video need ffmpeg-class codecs with no optional
+    pure-Python probe here, so those KINDS keep the deterministic fake
+    even in real mode — a mixed-kind table must not crash mid-job on
+    the rows one codec can't serve (the per-kind honesty lives in the
+    features, not in a task failure)."""
     if kind != "image":
-        raise NotImplementedError(
-            "real audio/video decoding requires ffmpeg-class codecs not "
-            "present in this environment"
-        )
+        return _fake_decode(kind, payload)
     import io  # noqa: PLC0415
 
     img = pil_image_module().open(io.BytesIO(bytes(payload)))
@@ -266,7 +266,16 @@ def resize_images(
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                _, w, h, _, _ = decode(kind, bytes(payload))
+                img = None
+                if real_decode:
+                    # open the bitstream ONCE — dims and the resample
+                    # below share the decode (it dominates the op cost)
+                    import io  # noqa: PLC0415
+
+                    img = pil_image_module().open(io.BytesIO(bytes(payload)))
+                    w, h = img.width, img.height
+                else:
+                    _, w, h, _, _ = _fake_decode(kind, bytes(payload))
                 # integer scaling: the long side lands EXACTLY on the
                 # target (float scale+truncate can undershoot by 1 px)
                 long_in = max(w, h)
@@ -274,12 +283,9 @@ def resize_images(
                 ow = max(1, (w * out_long) // long_in)
                 oh = max(1, (h * out_long) // long_in)
                 if real_decode:
-                    # real path: resample the actual pixels and digest
-                    # the resized raster (deterministic for a fixed
-                    # Pillow version — NEAREST has no filter kernel)
-                    import io  # noqa: PLC0415
-
-                    img = pil_image_module().open(io.BytesIO(bytes(payload)))
+                    # resample the actual pixels and digest the resized
+                    # raster (deterministic for a fixed Pillow version —
+                    # NEAREST has no filter kernel)
                     resized = img.resize(
                         (ow, oh), pil_image_module().Resampling.NEAREST
                     )

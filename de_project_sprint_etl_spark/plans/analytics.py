@@ -904,14 +904,15 @@ def q_zorder_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFra
     their own column and not at all on the other."""
     from de_project_sprint_etl_spark.functions import layout
 
+    # one small frame feeding three layout branches — persist or the
+    # orders scan + stats agg + scaling subtree re-executes per branch
     scaled = _zorder_scaled(spark, sf_dir).select(
         "va", "vb", "za", "zb",
         F.expr(_ZBOX["lo_a"]).alias("box_lo_a"),
         F.expr(_ZBOX["hi_a"]).alias("box_hi_a"),
         F.expr(_ZBOX["lo_b"]).alias("box_lo_b"),
         F.expr(_ZBOX["hi_b"]).alias("box_hi_b"),
-    )
-    n_buckets = 1 << (2 * layout.ZBITS - 6)
+    ).persist()
     row_match = (
         (F.col("va") >= F.col("box_lo_a"))
         & (F.col("va") <= F.col("box_hi_a"))
@@ -959,10 +960,10 @@ def q_zorder_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFra
         "zorder", F.expr(layout.interleave_sql("za", "zb") + " >> 6")
     )
     a = one_layout(
-        "sort_a", F.expr(f"(za * {n_buckets}) >> {layout.ZBITS}")
+        "sort_a", F.expr(f"((za << {layout.ZBITS}) + zb) >> 6")
     )
     b = one_layout(
-        "sort_b", F.expr(f"(zb * {n_buckets}) >> {layout.ZBITS}")
+        "sort_b", F.expr(f"((zb << {layout.ZBITS}) + za) >> 6")
     )
     return z.unionByName(a).unionByName(b)
 
@@ -1199,18 +1200,16 @@ def q_daily_metric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in _CM_METRICS[i:]
     ]
     m = daily.agg(*aggs)
-    rows = [
-        m.select(
-            F.lit(a).alias("metric_a"),
-            F.lit(b).alias("metric_b"),
-            F.expr(_cm_corr_sql(a, b)).alias("pearson_r"),
-        )
-        for a, b in _CM_PAIRS
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # one stack() over the single moment row — six union branches would
+    # re-execute the events scan + double agg per pair (Spark does not
+    # CSE across union branches), which is exactly the one-pass claim
+    stack = "stack({n}, {args}) as (metric_a, metric_b, pearson_r)".format(
+        n=len(_CM_PAIRS),
+        args=", ".join(
+            f"'{a}', '{b}', {_cm_corr_sql(a, b)}" for a, b in _CM_PAIRS
+        ),
+    )
+    return m.select(F.expr(stack))
 
 
 # --- clamped running balance (non-linear recurrence made relational) -----------
