@@ -53,70 +53,72 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries pass the full local differential regardless of order
 # (tools/oracle_check.py runs every one); this only widens what an
 # externally-truncated check gets to see.
-# ROUND-4 ROTATION (VERDICT r3, Next-round #1): every name below was
-# OUTSIDE rounds 1–3's driver windows, so this round's 50-entry prefix
-# converts previously builder-attested queries into externally-verified
-# ones. Round 3's window (CORRECTNESS_r03.json — all 50 green) moves to
+# ROUND-5 ROTATION (VERDICT r4, Next-round #1): every name below was
+# OUTSIDE rounds 1–4's driver windows (CORRECTNESS_r01–r04 ∪ = 124 of
+# 232; this prefix fronts 50 of the 108 never-windowed), so this
+# round's 50-entry window converts another tranche of builder-attested
+# queries into externally-verified ones. Rounds 1–4's windows move to
 # the tail; the committed FULLDIFF artifact covers the whole registry.
 GATE_PRIORITY = [
-    # reference parity — the variants r1-r3 windows never showed
-    "calendar_weeks",
-    "fact_sales",
-    "distinct_on_item",
-    "new_customers_compact",
-    "returned_customers_compact",
-    "refunded_customers",
-    "refunded_customers_compact",
-    "ivm_customer_revenue",
-    # TPC-H — the 10 of 22 not yet driver-windowed
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q20_potential_promotion",
-    # streaming-executed (real micro-batch drain, then hash-checked)
-    "streaming_windowed_counts",
-    "streaming_sessionize",
-    "streaming_click_attribution",
-    "streaming_running_totals",
-    "streaming_hourly_ohlc",
-    # SQL-text front door (parser/dialect tier)
-    "retention_compact_sqltext",
-    "lateral_top_lineitems",
-    "recursive_date_spine",
-    "pivot_sqltext",
-    # analytics / reliability tier
-    "semdedup_embeddings_adaptive",
-    "revenue_wow_growth",
-    "orders_checksum_by_range",
-    "attribution_linear_touch",
-    "scd2_weeks_overlap",
-    "zorder_skipping_effectiveness",
-    "streaming_match_recognize",
-    "hll_distinct_cascade",
-    "null_safe_join_props",
-    # LLM curation / eval harnesses
-    "substring_span_dedup",
-    "dsir_importance_weights",
-    "minhash_dedup_eval",
-    "pq_recall_eval",
-    "gopher_quality_filter",
-    # relational extension ops
-    "asof_join_clicks_purchases",
-    "salted_join_revenue",
-    "window_frames_customer_orders",
-    "approx_count_distinct_customers",
-    # warehouse / quality ops
-    "argmax_order_per_priority",
-    "gap_fill_daily_events",
-    "schema_evolution_union",
-    "cogroup_user_activity",
-    "streaming_user_ema",
+    # post-FULLDIFF-r4 landings (judge-verified last session; now
+    # driver-windowed and in the committed FULLDIFF_r5)
+    "phrase_search",
+    "bfs_copurchase_distances",
+    "daily_metric_corr_matrix",
+    "running_balance_clamped",
+    "seasonal_naive_backtest",
+    # graph tier (scale-sweep focus this round)
+    "triangle_count_copurchase",
+    # multimodal / document plumbing
+    "media_from_files",
+    "media_resize",
+    "chunk_documents_udtf",
+    "variant_json_stats",
+    # TPC-H — the 7 of 22 never driver-windowed
+    "tpch_q6_forecast_revenue",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_lateness",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    # mlops tier
+    "dataset_split_assign",
+    "dataset_split_sizes",
+    "pivot_status_revenue",
+    "unpivot_lineitem_measures",
+    "levenshtein_near_dup",
+    "range_window_user_value",
+    "incremental_exact_dedup",
+    "pack_sequences",
+    "window_rank_functions",
+    "one_hot_event_types",
+    "feature_hash_docs",
+    "standard_scale_event_values",
+    "linreg_quality_train",
+    # warehouse tier
+    "median_order_value_by_status",
+    "mode_priority_by_status",
+    "listagg_customer_years",
+    "winsorize_event_values",
+    "bucketed_join_revenue",
+    "events_debounce",
+    "dq_check_orders",
+    "table_diff_orders",
+    "active_versions_per_day",
+    # embedding / PQ tier
+    "embedding_random_projection",
+    "ann_recall_eval",
+    "pq_encode_embeddings",
+    "pq_adc_topk",
+    "embedding_mrl_truncate",
+    # governance / analytics tier
+    "pysource_user_totals",
+    "k_anonymity_orders",
+    "events_time_weighted_avg",
+    "cooccurrence_lift",
+    "events_hourly_ohlc",
+    "split_leakage_check",
 ]
 
 
