@@ -378,9 +378,14 @@ def user_value_ema_aiws(events: DataFrame, alpha: float = 0.3) -> DataFrame:
 
     def fold(key, pdfs, state):
         n, ema = state.get if state.exists else (0, None)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"].fillna(0.0):
+        # Materialize the WHOLE group before sorting: a key whose
+        # micro-batch rows span several Arrow chunks (rows >
+        # arrow.maxRecordsPerBatch) would otherwise fold in arbitrary
+        # chunk order and break the claimed (ts, event_id) total order.
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for v in rows["value"].fillna(0.0):
                 v = float(v)
                 ema = v if ema is None else alpha * v + (1 - alpha) * ema
                 n += 1
@@ -420,9 +425,12 @@ def user_pattern_match_stream(events: DataFrame) -> DataFrame:
         stage, n_events, n_purchases, n_matches = (
             state.get if state.exists else (0, 0, 0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for et in pdf["event_type"]:
+        # Whole-group materialize-then-sort (see user_value_ema_aiws):
+        # per-chunk sorting is order-broken when a key spans Arrow chunks.
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for et in rows["event_type"]:
                 n_events += 1
                 if et == "signup":
                     if stage == 0:

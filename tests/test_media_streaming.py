@@ -617,6 +617,117 @@ def test_streaming_ema_aiws_state_survives_batches(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_ema_aiws_group_spanning_arrow_chunks(spark, tmp_path):
+    """A key whose micro-batch rows span MULTIPLE Arrow chunks still
+    folds in global (ts, event_id) order. The fixture writes one user's
+    rows in DESCENDING ts file order with arrow.maxRecordsPerBatch=7,
+    so a per-chunk sort (the pre-fix bug) folds newest-first chunk by
+    chunk and the order-sensitive EMA diverges; the whole-group
+    concat-then-sort must match the driver-side ordered fold exactly."""
+    import datetime as dt
+    import math
+
+    src = str(tmp_path / "ema_chunks")
+    n = 60
+    rows = [
+        (
+            i + 1,                     # event_id
+            1,                         # single user -> single group
+            "view",
+            dt.datetime(2024, 1, 1, 0, 0, i),
+            float((i * 37) % 100),     # order-sensitive value sequence
+        )
+        for i in range(n)
+    ]
+    file_order = list(reversed(rows))  # file order == descending ts
+    (
+        spark.createDataFrame(
+            file_order,
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp, value double",
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        stream = jobs.user_value_ema_aiws(
+            jobs.read_event_stream(spark, src), alpha=0.3
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ema_chunks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {
+        r.user_id: (r.n_events, r.ema_micros)
+        for r in spark.table("ema_chunks").collect()
+    }
+    ema = None
+    for _, _, _, _, v in rows:  # ascending ts — the contract order
+        ema = v if ema is None else 0.3 * v + 0.7 * ema
+    assert got == {1: (n, int(math.floor(ema * 1e6 + 0.5)))}
+
+
+def test_streaming_cep_group_spanning_arrow_chunks(spark, tmp_path):
+    """Same chunk-spanning regression for the CEP state machine: the
+    funnel (signup -> click -> purchase) arrives last-in-file-order, so
+    chunk-local folding sees purchase before signup and scores zero
+    matches; the global (ts, event_id) sort must score one."""
+    import datetime as dt
+
+    src = str(tmp_path / "cep_chunks")
+    seq = ["signup"] + ["view"] * 8 + ["click"] + ["view"] * 8 + ["purchase"]
+    rows = [
+        (i + 1, 1, et, dt.datetime(2024, 1, 1, 0, 0, i), 1.0)
+        for i, et in enumerate(seq)
+    ]
+    (
+        spark.createDataFrame(
+            list(reversed(rows)),
+            "event_id long, user_id long, event_type string,"
+            " ts timestamp, value double",
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        stream = jobs.user_pattern_match_stream(jobs.read_event_stream(spark, src))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("cep_chunks")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {
+        r.user_id: (r.n_events, r.n_purchases, r.n_matches)
+        for r in spark.table("cep_chunks").collect()
+    }
+    assert got == {1: (len(seq), 1, 1)}
+
+
 def test_streaming_cep_state_survives_batches(spark, tmp_path):
     """The MATCH_RECOGNIZE state machine (stage + counters) carries
     across micro-batches: a user whose signup and click arrive in one
