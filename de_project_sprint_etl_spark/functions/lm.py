@@ -682,23 +682,33 @@ def phrase_occurrences(
     Output: ``phrase, n_docs, n_occurrences`` (phrases with no match
     included with zeros — the query set is the left side).
     """
-    from de_project_sprint_etl_spark.functions.text import tokens
+    from de_project_sprint_etl_spark.functions.text import py_norm_text, tokens
 
-    terms = sorted({w for p in phrases for w in p.split()})
+    # Query phrases go through the SAME normalizer as the corpus
+    # tokenizer — an uppercase/punctuated phrase must match the
+    # normalized posting list, not silently miss. The output label
+    # stays the caller's original phrase string.
+    norm = {p: py_norm_text(p) for p in phrases}
+    empty = [p for p, np_ in norm.items() if not np_]
+    if empty:
+        raise ValueError(f"phrases normalize to empty: {empty!r}")
+    terms = sorted({w for np_ in norm.values() for w in np_.split()})
     # the posting list feeds every phrase branch AND every adjacency
-    # join side — persist or the corpus tokenize/explode re-runs per
-    # reference (~5 scans for a 2-phrase query)
+    # join side — materialize or the corpus tokenize/explode re-runs per
+    # reference (~5 scans for a 2-phrase query). Eager localCheckpoint
+    # instead of persist: O(query-term postings) rows, GC-managed blocks
+    # (no CacheManager entry leaked per call in a long-lived session).
     post = (
         docs.select(
             F.col(id_col).alias("doc"),
             F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
         )
         .filter(F.col("term").isin(terms))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     out = None
     for phrase in phrases:
-        ws = phrase.split()
+        ws = norm[phrase].split()
         cur = post.filter(F.col("term") == ws[0]).select(
             "doc", F.col("pos").alias("p0")
         )
@@ -727,25 +737,32 @@ def sql_phrase_occurrences(rel: str, phrases: list[str]) -> str:
     """DuckDB mirror of :func:`phrase_occurrences` (same normalization,
     same positional joins; posexplode is 0-based so the 1-based
     generate_series subscript is shifted to match)."""
-    from de_project_sprint_etl_spark.functions.text import SQL_NORM
+    from de_project_sprint_etl_spark.functions.text import SQL_NORM, py_norm_text
 
-    terms = sorted({w for p in phrases for w in p.split()})
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    def q(s: str) -> str:  # SQL string literal: escape embedded quotes
+        return s.replace("'", "''")
+
+    norm = {p: py_norm_text(p) for p in phrases}
+    empty = [p for p, np_ in norm.items() if not np_]
+    if empty:
+        raise ValueError(f"phrases normalize to empty: {empty!r}")
+    terms = sorted({w for np_ in norm.values() for w in np_.split()})
+    in_list = ", ".join(f"'{q(t)}'" for t in terms)
     branches = []
     for phrase in phrases:
-        ws = phrase.split()
+        ws = norm[phrase].split()
         joins = []
         for i, w in enumerate(ws[1:], start=1):
             joins.append(
                 f"JOIN post t{i} ON t{i}.doc = t0.doc"
-                f" AND t{i}.term = '{w}' AND t{i}.pos = t0.pos + {i}"
+                f" AND t{i}.term = '{q(w)}' AND t{i}.pos = t0.pos + {i}"
             )
         branches.append(
-            f"""SELECT '{phrase}' AS phrase,
+            f"""SELECT '{q(phrase)}' AS phrase,
        CAST(COALESCE(COUNT(DISTINCT t0.doc), 0) AS BIGINT) AS n_docs,
        CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_occurrences
 FROM post t0 {' '.join(joins)}
-WHERE t0.term = '{ws[0]}'"""
+WHERE t0.term = '{q(ws[0])}'"""
         )
     return f"""
 WITH tk AS (

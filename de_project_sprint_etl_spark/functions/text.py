@@ -59,6 +59,15 @@ SQL_NORM = (
 )
 
 
+def py_norm_text(s: str) -> str:
+    """Driver-side twin of :func:`norm_text` / ``SQL_NORM`` for
+    normalizing QUERY inputs (e.g. search phrases) with exactly the
+    corpus tokenizer's rules — keep all three in lockstep."""
+    import re
+
+    return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", s.lower())).strip()
+
+
 def tokens(col: Column | str) -> Column:
     return F.split(norm_text(col), " ")
 

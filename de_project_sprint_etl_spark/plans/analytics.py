@@ -302,9 +302,12 @@ def q_scd2_weeks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_lo") <= F.col("p_hi"))
         # (custkey, priority, p_lo, p_hi) — one small row per interval,
         # scanned by both sweeps (x3 each: two delta branches + the
-        # priority grid); without a persist the SCD2 build + week-array
-        # lookup subtree re-executes per scan (measured 2x the query)
-        .persist()
+        # priority grid); without materializing, the SCD2 build +
+        # week-array lookup subtree re-executes per scan (measured 2x
+        # the query). Eager localCheckpoint, not persist: blocks are
+        # ContextCleaner-freed when the plan is GC'd, so a long-lived
+        # session doesn't accumulate CacheManager entries per call.
+        .localCheckpoint(eager=True)
     )
 
     def sweep(ranges: DataFrame, out: str) -> DataFrame:
@@ -356,7 +359,9 @@ def q_scd2_weeks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_custkey", "priority", "island")
         .agg(F.min("p_lo").alias("p_lo"), F.max("p_hi").alias("p_hi"))
-        .persist()  # scanned x3 by its sweep, same rationale as above
+        # scanned x3 by its sweep, same rationale (and same GC-managed
+        # lifecycle) as the checkpoint above
+        .localCheckpoint(eager=True)
     )
     n_customers = sweep(islands, "n_customers")
 
@@ -904,15 +909,17 @@ def q_zorder_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFra
     their own column and not at all on the other."""
     from de_project_sprint_etl_spark.functions import layout
 
-    # one small frame feeding three layout branches — persist or the
+    # one small frame feeding three layout branches — materialize or the
     # orders scan + stats agg + scaling subtree re-executes per branch
+    # (eager localCheckpoint: GC-managed blocks, no CacheManager leak
+    # per invocation in a long-lived session)
     scaled = _zorder_scaled(spark, sf_dir).select(
         "va", "vb", "za", "zb",
         F.expr(_ZBOX["lo_a"]).alias("box_lo_a"),
         F.expr(_ZBOX["hi_a"]).alias("box_hi_a"),
         F.expr(_ZBOX["lo_b"]).alias("box_lo_b"),
         F.expr(_ZBOX["hi_b"]).alias("box_hi_b"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     row_match = (
         (F.col("va") >= F.col("box_lo_a"))
         & (F.col("va") <= F.col("box_hi_a"))

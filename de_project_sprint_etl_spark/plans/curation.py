@@ -948,12 +948,14 @@ def q_distribution_match_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     # 16 rows feeding three consumers (argmax, rates, and through rates
-    # the gate join) — without a persist the docs scan + bucket agg
-    # subtree re-executes per consumer (measured 20 scans in the plan)
+    # the gate join) — without materializing, the docs scan + bucket agg
+    # subtree re-executes per consumer (measured 20 scans in the plan).
+    # Eager localCheckpoint: GC-managed blocks, no per-invocation
+    # CacheManager entry left behind in a long-lived session.
     hist = bk.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("s_b"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     mbk = (
         hist.filter(F.col("t_b") > 0)
         .orderBy(

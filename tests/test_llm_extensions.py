@@ -671,3 +671,42 @@ def test_phrase_occurrences_positions_and_zero_match(spark):
     assert out["big data"] == (1, 2)
     assert out["red data"] == (1, 1)
     assert out["missing phrase"] == (0, 0)
+
+
+def test_phrase_occurrences_normalizes_and_escapes(spark, tmp_path):
+    """Query phrases run through the corpus normalizer: an uppercase /
+    punctuated / apostrophe'd phrase matches the normalized posting
+    list, the output label keeps the caller's original string, and the
+    DuckDB mirror survives embedded single quotes (escaped, and
+    value-identical to the Spark side)."""
+    import duckdb
+    import pytest
+
+    from de_project_sprint_etl_spark.functions import lm
+
+    docs = spark.createDataFrame(
+        [(1, "The company's data, big data!"), (2, "company s data")],
+        "doc_id long, text string",
+    )
+    phrases = ["Company's DATA", "Big, Data?"]
+    out = {
+        r.phrase: (r.n_docs, r.n_occurrences)
+        for r in lm.phrase_occurrences(docs, phrases).collect()
+    }
+    # normalizer: "Company's DATA" -> "company s data" (matches both docs)
+    assert out["Company's DATA"] == (2, 2)
+    assert out["Big, Data?"] == (1, 1)
+
+    pq = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(pq)
+    con = duckdb.connect()
+    sql = lm.sql_phrase_occurrences(f"read_parquet('{pq}/*.parquet')", phrases)
+    oracle = {
+        p: (int(d), int(o)) for p, d, o in con.execute(sql).fetchall()
+    }
+    assert oracle == out
+
+    with pytest.raises(ValueError, match="normalize to empty"):
+        lm.phrase_occurrences(docs, ["?!,"])
+    with pytest.raises(ValueError, match="normalize to empty"):
+        lm.sql_phrase_occurrences("docs", ["?!,"])
