@@ -77,15 +77,28 @@ def test_media_real_decode_is_stubbed(spark):
     """Without Pillow the real-decode path refuses plan-time (honest
     guard); with Pillow present the guard must NOT fire (the real-path
     test below covers behavior)."""
-    m = media.synth_media(docs(spark))
     if media.pil_image_module() is None:
+        m = media.synth_media(docs(spark))
         try:
             media.extract_features(m, real_decode=True)
             raise AssertionError("expected NotImplementedError")
         except NotImplementedError:
             pass
     else:
-        media.extract_features(m, real_decode=True)  # plan builds fine
+        # guard must not fire AND the path must actually execute —
+        # against a VALID bitstream (synth_media payloads are utf-8
+        # text, which would only fail later at executor time)
+        import io
+
+        Image = media.pil_image_module()
+        buf = io.BytesIO()
+        Image.new("RGB", (48, 32), (1, 2, 3)).save(buf, format="PNG")
+        m = spark.createDataFrame(
+            [(0, "image", bytearray(buf.getvalue()))],
+            "media_id long, kind string, payload binary",
+        )
+        (r,) = media.extract_features(m, real_decode=True).collect()
+        assert (r.width, r.height) == (48, 32)
 
 
 @pytest.mark.skipif(

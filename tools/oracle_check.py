@@ -50,6 +50,40 @@ def frame_rows(df) -> list[tuple]:
     return rows
 
 
+def compare_frames(sdf, odf) -> dict:
+    """The differential verdict for one (spark, oracle) pandas pair —
+    the exact rules main() applies per query, factored out so the
+    harness itself is testable (a comparator that cannot fail is no
+    gate; tests/test_oracle_check_detects.py perturbs real queries and
+    asserts each mismatch class is REPORTED)."""
+    problems = []
+    rows_match = len(sdf) == len(odf)
+    schema_match = sorted(sdf.columns) == sorted(odf.columns)
+    hash_match = False
+    if not rows_match:
+        problems.append(f"rowcount spark={len(sdf)} duckdb={len(odf)}")
+    if not schema_match:
+        problems.append(
+            f"columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}"
+        )
+    if not problems:
+        srows, orows = frame_rows(sdf), frame_rows(odf)
+        hash_match = srows == orows
+        if not hash_match:
+            diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
+            sset, oset = set(srows), set(orows)
+            problems.append(
+                f"values differ: {len(sset - oset)} spark-only / "
+                f"{len(oset - sset)} duckdb-only; first diffs: {diff}"
+            )
+    return {
+        "rows_match": rows_match, "schema_match": schema_match,
+        "hash_match": hash_match, "spark_rows": len(sdf),
+        "oracle_rows": len(odf),
+        "err": "; ".join(problems)[:500] if problems else None,
+    }
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
@@ -124,37 +158,10 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
 
-        problems = []
-        rows_match = len(sdf) == len(odf)
-        schema_match = sorted(sdf.columns) == sorted(odf.columns)
-        hash_match = False
-        if not rows_match:
-            problems.append(f"rowcount spark={len(sdf)} duckdb={len(odf)}")
-        if not schema_match:
-            problems.append(
-                f"columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}"
-            )
-        if not problems:
-            srows, orows = frame_rows(sdf), frame_rows(odf)
-            hash_match = srows == orows
-            if not hash_match:
-                diff = [
-                    (a, b) for a, b in zip(srows, orows) if a != b
-                ][:3]
-                sset, oset = set(srows), set(orows)
-                problems.append(
-                    f"values differ: {len(sset - oset)} spark-only / "
-                    f"{len(oset - sset)} duckdb-only; first diffs: {diff}"
-                )
-        results[name] = {
-            "rows_match": rows_match, "schema_match": schema_match,
-            "hash_match": hash_match, "spark_rows": len(sdf),
-            "oracle_rows": len(odf),
-            "err": "; ".join(problems)[:500] if problems else None,
-        }
-        if problems:
+        results[name] = compare_frames(sdf, odf)
+        if results[name]["err"]:
             failures.append(name)
-            print(f"FAIL  {name}: " + "; ".join(problems))
+            print(f"FAIL  {name}: " + results[name]["err"])
         else:
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
 
