@@ -235,6 +235,7 @@ HEADLINE = [
     "phrase_search",
     "running_balance_clamped",
     "seasonal_naive_backtest",
+    "streaming_retention_compact",
 ]
 
 

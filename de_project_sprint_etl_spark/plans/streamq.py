@@ -462,3 +462,99 @@ def q_streaming_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_events",
     )
+
+
+_LAST_FEB: dict[tuple[int, str], tuple[str, str]] = {}
+
+
+def _retention_stream_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Snapshot + increment order logs materialized once per corpus
+    generation: the snapshot as one static parquet dir, the increment
+    as SIX range-partitioned-by-date files — the reference's daily
+    increment drops (ETL_logs_inc.py's per-execution-date fetch) so
+    ``maxFilesPerTrigger`` turns them into genuinely separate arrivals."""
+    from de_project_sprint_etl_spark.plans.testdata import (
+        order_log_snapshot_increment,
+    )
+
+    src = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    key = sf_dir.strip("/").replace("/", "_")
+    root = Path(_CACHE_ROOT) / f"{key}-retlog-{src.st_mtime_ns}-{src.st_size}"
+    snap_dir, inc_dir = str(root / "snapshot"), str(root / "increment")
+    if not (Path(inc_dir) / "_SUCCESS").exists():
+        snapshot, increment = order_log_snapshot_increment(spark, sf_dir)
+        snapshot.write.mode("overwrite").parquet(snap_dir)
+        increment.repartitionByRange(6, "date_time").write.mode(
+            "overwrite"
+        ).parquet(inc_dir)
+    return snap_dir, inc_dir
+
+
+from de_project_sprint_etl_spark.plans.testdata import (  # noqa: E402
+    SQL_RETENTION_COMPACT,
+)
+
+
+@register("streaming_retention_compact", SQL_RETENTION_COMPACT)
+def q_streaming_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP executed incrementally BY THE STREAMING ENGINE: the
+    reference's daily-increment flow (ETL_logs_inc.py: fetch increment,
+    merge into the accumulated log, rebuild the mart) as readStream over
+    the increment files (``maxFilesPerTrigger=2`` ⇒ a real multi-batch
+    drain, not one big gulp) + ``foreachBatch`` appending each
+    micro-batch EXACTLY-ONCE (batchId-keyed subdir + overwrite — a
+    retried batch rewrites, never duplicates), then the identical pure
+    operator pipeline (plans/testdata.retention_compact_from) over
+    snapshot ∪ drained increments. Hash-equal to the batch oracle
+    because the C5 merge is a union (arrival-order-independent) and the
+    mart is computed after the drain — the idempotent-merge fixed point
+    the reference's README promises, proven on the streaming path."""
+    import shutil
+
+    from de_project_sprint_etl_spark.operators import facts
+    from de_project_sprint_etl_spark.plans.testdata import (
+        retention_compact_from,
+        weeks_dim_cached,
+    )
+
+    snap_dir, inc_dir = _retention_stream_src(spark, sf_dir)
+
+    prev = _LAST_FEB.pop((id(spark), "retention"), None)
+    if prev is not None:
+        shutil.rmtree(prev[0], ignore_errors=True)
+        shutil.rmtree(prev[1], ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="strq_ret_ckpt_")
+    out = tempfile.mkdtemp(prefix="strq_ret_out_")
+    _LAST_FEB[(id(spark), "retention")] = (ckpt, out)
+
+    schema = spark.read.parquet(inc_dir).schema
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(inc_dir)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+    snapshot = spark.read.parquet(snap_dir)
+    increments = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(schema)
+        .parquet(out)
+    )
+    v2 = facts.merge_snapshot_increment(snapshot, increments).withColumn(
+        "payment_amount", F.col("payment_amount").cast("decimal(18,2)")
+    )
+    return retention_compact_from(v2, weeks_dim_cached(spark, sf_dir))

@@ -733,15 +733,12 @@ FULL JOIN ({sql_refunded_cust(item=False)}) f
 """
 
 
-@register("retention_compact", SQL_RETENTION_COMPACT)
-def q_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 chained FULL JOIN USING(period): the flagship compact retention
-    mart (reference loading_retention_mart.sql:2-3)."""
-    # v2/weeks are materialized parquet scans — persisting them costs
-    # more (cache write) than re-scanning; only the shipped inner
-    # aggregation, shared by new + returned, is worth caching.
-    v2 = order_log_v2_decimal(spark, sf_dir)
-    weeks = weeks_dim_cached(spark, sf_dir)
+def retention_compact_from(v2: DataFrame, weeks: DataFrame) -> DataFrame:
+    """The compact retention mart over an arbitrary merged order log —
+    shared by the batch flagship below and its streaming-executed twin
+    (plans/streamq.q_streaming_retention_compact), so both paths run the
+    IDENTICAL operator pipeline and can only differ in how ``v2`` was
+    assembled."""
     shipped = retention.cohort_base(v2, weeks, "shipped", item=False).persist()
     new_c = retention.new_customers(base=shipped, item=False).withColumn(
         "new_cust_revenue", F.col("new_cust_revenue").cast("double")
@@ -751,6 +748,19 @@ def q_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref_c = retention.refunded_customers(v2, weeks, item=False)
     return retention.assemble_retention_compact(new_c, ret_c, ref_c)
+
+
+@register("retention_compact", SQL_RETENTION_COMPACT)
+def q_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 chained FULL JOIN USING(period): the flagship compact retention
+    mart (reference loading_retention_mart.sql:2-3)."""
+    # v2/weeks are materialized parquet scans — persisting them costs
+    # more (cache write) than re-scanning; only the shipped inner
+    # aggregation, shared by new + returned, is worth caching
+    # (inside retention_compact_from).
+    return retention_compact_from(
+        order_log_v2_decimal(spark, sf_dir), weeks_dim_cached(spark, sf_dir)
+    )
 
 
 @register(

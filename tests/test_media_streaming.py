@@ -849,3 +849,30 @@ def test_streaming_ohlc_matches_batch_across_batches(spark, tmp_path):
         for r in want_df.collect()
     }
     assert got == want
+
+
+def test_streaming_retention_compact_multibatch_parity(spark):
+    """The streaming-executed flagship: (a) hash-parity with the batch
+    retention_compact at sf0.001, (b) the drain really ran MULTIPLE
+    micro-batches (batchId-keyed exactly-once subdirs), (c) re-invoking
+    with a fresh checkpoint reproduces the identical answer."""
+    import os
+
+    import __spark_entry__  # noqa: F401 — registers queries
+    from de_project_sprint_etl_spark.plans import streamq
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    got = sorted(
+        map(str, RAW_QUERIES["streaming_retention_compact"](spark, SF).collect())
+    )
+    want = sorted(map(str, RAW_QUERIES["retention_compact"](spark, SF).collect()))
+    assert got == want
+
+    _, out = streamq._LAST_FEB[(id(spark), "retention")]
+    batches = [d for d in os.listdir(out) if d.startswith("b")]
+    assert len(batches) >= 2, f"expected a multi-batch drain, got {batches}"
+
+    again = sorted(
+        map(str, RAW_QUERIES["streaming_retention_compact"](spark, SF).collect())
+    )
+    assert again == got
