@@ -115,10 +115,15 @@ def kmeans(
     return final
 
 
-def sql_kmeans_ctes(rel: str, k: int = 8, iterations: int = 2) -> str:
+def sql_kmeans_ctes(rel: str, k: int | str = 8, iterations: int = 2) -> str:
     """The CTE chain of the DuckDB k-means mirror, for composition into
     larger oracles (e.g. SemDeDup): defines ``e`` (vec_id, ev) and the
-    final assignment ``afinal`` (vec_id, cid, d2)."""
+    final assignment ``afinal`` (vec_id, cid, d2).
+
+    ``k`` may be an int or a SQL expression string evaluated in the
+    init CTE's LIMIT (e.g. the adaptive-k policy computed from the
+    corpus itself — see :func:`sql_semdedup_k_expr`), so the mirror
+    stays hash-equal at ANY scale instead of pinning one k."""
     d2 = (
         "list_aggregate(list_transform(range(1, len(e.ev) + 1),"
         " i -> (e.ev[i] - c.cv[i]) * (e.ev[i] - c.cv[i])), 'sum')"
@@ -289,9 +294,24 @@ def semdedup_adaptive(
     )
 
 
-def sql_semdedup(rel: str, k: int = 8, iterations: int = 2, min_cos: float = 0.95) -> str:
+def sql_semdedup_k_expr(target_cluster_size: int = 100_000, min_k: int = 8) -> str:
+    """SQL twin of :func:`semdedup_k_for` over the kmeans-CTE ``e``
+    table: lets :func:`sql_semdedup` mirror :func:`semdedup_adaptive`
+    at ANY corpus size (the k=8-pinned oracle silently diverged the
+    moment a corpus crossed n = min_k × target — caught by the sf1
+    stress run, VERDICT r4 #4)."""
+    return (
+        f"(SELECT GREATEST({min_k}, CAST(CEIL(COUNT(*) / "
+        f"{target_cluster_size}.0) AS BIGINT)) FROM e)"
+    )
+
+
+def sql_semdedup(
+    rel: str, k: int | str = 8, iterations: int = 2, min_cos: float = 0.95
+) -> str:
     """DuckDB mirror of :func:`semdedup` (same k-means replay, same
-    rounded-cosine threshold, same min-id drop rule)."""
+    rounded-cosine threshold, same min-id drop rule). Pass
+    ``k=sql_semdedup_k_expr(...)`` to mirror :func:`semdedup_adaptive`."""
     cos = (
         "list_dot_product(a.v, b.v) / "
         "(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))"

@@ -337,15 +337,18 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_embeddings_adaptive",
-    # Same oracle as the fixed-k entry: the adaptive policy resolves to
-    # k=8 at every gate scale (550 vectors at sf0.01 and 2200 at sf0.1:
-    # ceil(n/400) <= 8 with headroom to n=3200 against fixture-count
-    # drift), so the two sides stay hash-identical. The policy only
-    # departs from 8 on larger corpora — the 8× scale sweep
-    # (tools/scale_sweep.py, 17600 vectors → k=44, cluster size pinned
-    # ~400) is where it earns its keep; tests/test_curation.py pins the
-    # policy math and the fixed-point equality with this oracle's k.
-    clustering.sql_semdedup(f"({SQL_EMB_COPIES}) ec", k=8, iterations=1, min_cos=0.95),
+    # The oracle computes the SAME adaptive k the Spark side does
+    # (GREATEST(8, CEIL(n/400)) over the corpus, in SQL) instead of
+    # pinning k=8 — the pinned form held at every gate scale (n ≤ 3200
+    # ⇒ k=8) but silently diverged past that boundary, which the sf1
+    # stress run caught (n=22000 ⇒ k=55). Now the mirror is hash-equal
+    # at ANY corpus size; tests/test_curation.py pins the policy math.
+    clustering.sql_semdedup(
+        f"({SQL_EMB_COPIES}) ec",
+        k=clustering.sql_semdedup_k_expr(target_cluster_size=400),
+        iterations=1,
+        min_cos=0.95,
+    ),
 )
 def q_semdedup_embeddings_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the paper's scale control: k grows with the corpus

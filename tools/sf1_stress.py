@@ -1,0 +1,135 @@
+"""Memory-cliff stress run at sf1 (VERDICT r4, next-round #4).
+
+Runs the flagship retention pipeline + the top dedup/ANN queries at the
+GENUINE sf1 corpus (tools/gen_sf1.py — 10x the bench scale, ~6M
+lineitem) in the 128 GiB sandbox and records, per query:
+
+- steady-state wall time (one warm pass, one timed pass, noop sink)
+- shuffle spill (memory + disk bytes, summed over the timed pass's
+  stages via the status API — the direct answer to "did it hit the
+  cliff")
+- plan-shape parity: the number of Exchange / BroadcastExchange nodes
+  in the formatted plan at sf0.1 vs sf1 must be IDENTICAL — a scale-up
+  that adds an exchange means a strategy flipped (e.g. broadcast
+  silently fell back to shuffle), which is exactly the 100x-design
+  regression this run exists to catch.
+
+Usage: python tools/sf1_stress.py [query ...]   → markdown table rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__  # noqa: E402,F401 — registers all queries
+from de_project_sprint_etl_spark.plans import registry  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".cache", "sf1"
+)
+DEFAULT = [
+    "retention_compact",
+    "retention_mart",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "ngram_jaccard_dedup",
+    "semdedup_embeddings_adaptive",
+    "ann_ivf_topk",
+    "pq_adc_topk",
+    "scd2_weeks_overlap",
+    "triangle_count_copurchase",
+]
+
+
+def exchange_counts(df) -> tuple[int, int]:
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return (
+        len(re.findall(r"\bExchange\b", plan)),
+        len(re.findall(r"BroadcastExchange", plan)),
+    )
+
+
+def _api(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{base}/api/v1/applications") as r:
+        app = json.load(r)[0]["id"]
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/{path}") as r:
+        return json.load(r)
+
+
+def spill_since(spark, seen_stage_ids: set[int]) -> tuple[int, int, set[int]]:
+    stages = _api(spark, "stages?status=complete")
+    mem = disk = 0
+    ids = set(seen_stage_ids)
+    for s in stages:
+        sid = (s["stageId"], s["attemptId"])
+        if sid in ids:
+            continue
+        ids.add(sid)
+        mem += s.get("memoryBytesSpilled", 0)
+        disk += s.get("diskBytesSpilled", 0)
+    return mem, disk, ids
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    names = sys.argv[1:] or DEFAULT
+    if not os.path.exists(os.path.join(SF1, "lineitem.parquet")):
+        raise SystemExit("run tools/gen_sf1.py first")
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")  # status API = spill source
+        .appName("sf1_stress")
+        .getOrCreate()
+    )
+    seen: set[int] = set()
+    print("| query | sf0.1 s | sf1 s | ratio | spill (mem/disk) | exchanges 0.1→1 |")
+    print("|---|---|---|---|---|---|")
+    for n in names:
+        fn = registry.RAW_QUERIES[n]
+        t01 = None
+        fn(spark, SF01).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        df01 = fn(spark, SF01)
+        df01.write.format("noop").mode("overwrite").save()
+        t01 = time.time() - t0
+        ex01 = exchange_counts(df01)
+        spark.catalog.clearCache()
+
+        fn(spark, SF1).write.format("noop").mode("overwrite").save()  # warm
+        spark.catalog.clearCache()
+        _, _, seen = spill_since(spark, seen)  # flush pre-timed stages
+        t0 = time.time()
+        df1 = fn(spark, SF1)
+        df1.write.format("noop").mode("overwrite").save()
+        t1 = time.time() - t0
+        ex1 = exchange_counts(df1)
+        mem, disk, seen = spill_since(spark, seen)
+        spark.catalog.clearCache()
+        flag = "" if ex01 == ex1 else "  **PLAN CHANGED**"
+        print(
+            f"| {n} | {t01:.2f} | {t1:.2f} | {t1 / t01:.1f}x "
+            f"| {mem}/{disk} | {ex01[0]}/{ex01[1]} → {ex1[0]}/{ex1[1]}{flag} |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
