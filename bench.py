@@ -236,6 +236,7 @@ HEADLINE = [
     "running_balance_clamped",
     "seasonal_naive_backtest",
     "streaming_retention_compact",
+    "ann_ivf_topk_adaptive",
 ]
 
 

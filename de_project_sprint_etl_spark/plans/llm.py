@@ -861,6 +861,37 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     return str(path)
 
 
+_SQL_ANN_IVF_ADAPTIVE = _SQL_ANN_IVF.replace(
+    f"id % {IVF_STRIDE} = 0",
+    "id % (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) FROM e) = 0",
+)
+
+
+@register("ann_ivf_topk_adaptive", _SQL_ANN_IVF_ADAPTIVE)
+def q_ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with the SCALE-CORRECT list count: centroid stride =
+    floor(sqrt(n)), so n_list ≈ sqrt(n) and the build-side assignment
+    does n·sqrt(n) dots instead of the fixed-stride form's n·(n/50) —
+    the sf1 stress run measured the fixed-stride build at 16× for 10×
+    corpus (quadratic), which is exactly the textbook reason FAISS
+    sizes n_list ~ sqrt(n). The oracle computes the same stride from
+    the corpus in SQL (same policy as the SemDeDup adaptive-k mirror),
+    so the two sides stay hash-equal at any scale. Python's
+    floor(sqrt(float)) matches DuckDB's FLOOR(SQRT()) — both IEEE
+    doubles — at any corpus size this engine will see."""
+    import math
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings"))
+    stride = max(1, int(math.floor(math.sqrt(emb.count()))))
+    return similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        emb.filter(F.col("vec_id") % stride == 0),
+        nprobe=2,
+        k=5,
+    )
+
+
 @register("ann_ivf_topk_indexed", _SQL_ANN_IVF)
 def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF against the MATERIALIZED inverted file: index written

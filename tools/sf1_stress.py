@@ -82,21 +82,17 @@ def spill_since(spark, seen_stage_ids: set[int]) -> tuple[int, int, set[int]]:
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    from de_project_sprint_etl_spark.session import get_spark
 
     names = sys.argv[1:] or DEFAULT
     if not os.path.exists(os.path.join(SF1, "lineitem.parquet")):
         raise SystemExit("run tools/gen_sf1.py first")
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "24g")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "true")  # status API = spill source
-        .appName("sf1_stress")
-        .getOrCreate()
+    # the ENGINE's shipping confs (AQE, 64 MB broadcast threshold, code
+    # cache) — a first cut with a bare session showed broadcast→SMJ
+    # flips that were just the default 10 MB threshold, not the plans;
+    # only the UI flips on, because the status API is the spill source
+    spark = get_spark(
+        app_name="sf1_stress", extra_conf={"spark.ui.enabled": "true"}
     )
     seen: set[int] = set()
     print("| query | sf0.1 s | sf1 s | ratio | spill (mem/disk) | exchanges 0.1→1 |")
