@@ -4,13 +4,15 @@ Scale design (the point of each op):
 
 - **exact**: one hash-groupBy on the normalized-text digest — a single
   shuffle keyed by a 32-byte string; AQE coalesces tiny partitions.
-- **n-gram Jaccard (set-similarity join)**: explode distinct shingles,
-  self-join on the shingle, count shared shingles per pair, then
-  ``J = shared / (|A| + |B| - shared)``. The shuffle key is the shingle,
-  so work is proportional to the posting-list sizes, not |docs|².
-  Hot shingles are the skew hazard → ``max_shingle_df`` drops shingles
-  appearing in more than that many docs (standard df-cut; a shingle in
-  half the corpus carries no dedup signal anyway).
+- **n-gram Jaccard (set-similarity join)**: prefix-filtered candidate
+  generation (PPJoin family) — docs' shingles get dense ids in
+  ascending-df order, only each doc's rare prefix joins, a positional
+  filter prunes per matched row, and exact ``shared`` comes from
+  ``array_intersect`` on per-doc sid arrays, so the candidate stream
+  (quadratic in per-shingle df) never crosses an exchange and nothing
+  pair-keyed is ever hash-aggregated. ``max_shingle_df`` drops shingles
+  hotter than the cut (standard df-cut; a shingle in half the corpus
+  carries no dedup signal anyway).
 - **MinHash+LSH**: k independent min-hashes from the shared 60-bit
   digest family, banded; candidate pairs agree on at least one band.
   One explode + one groupBy for signatures, one self-join per band on
@@ -40,12 +42,19 @@ import functools
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from de_project_sprint_etl_spark.functions.guards import bounded_global_window
 from de_project_sprint_etl_spark.functions.text import (
     h64,
     norm_text,
     tokens,
     with_shingles,
 )
+
+#: Dense-sid assignment runs a vocabulary-sized unpartitioned window;
+#: 2M distinct (df <= max_shingle_df) shingles is far beyond any corpus
+#: this rig sees and still broadcast-join-sized. Past it, the guard
+#: names the per-bucket assignment alternative.
+NGRAM_VOCAB_BOUND = 2_000_000
 
 
 def exact_dedup(
@@ -118,44 +127,148 @@ def ngram_jaccard_pairs(
 
     Output: ``id_a, id_b, shared, n_a, n_b, jaccard`` for pairs with
     ``jaccard >= min_jaccard`` (id_a < id_b, 6-decimal rounding).
+
+    Physical strategy — prefix-filtered candidate generation + in-row
+    array verification (the PPJoin family: Xiao et al., WWW'08;
+    Vernica et al., SIGMOD'10 for the MapReduce form):
+
+    1. Keep shingles with df <= ``max_shingle_df`` and give each a dense
+       integer id (``sid``) in ASCENDING-df order — rarest first.
+    2. A pair with J >= t must share a shingle among each doc's first
+       ``n - ceil(t*n) + 1`` sids (its *prefix*): overlap >= t*max(n_a,
+       n_b), so fewer than that many leading elements cannot all miss.
+       Candidates therefore come from a self-join of PREFIX postings
+       only — and rare shingles dominate prefixes, so posting lists in
+       the join are the COLD ones.
+    3. Per joined row, the positional filter ``min(n_a - pos_a,
+       n_b - pos_b) + 1 >= ceil(t/(1+t)*(n_a+n_b))`` drops matches that
+       cannot reach the required overlap; the first shared sid of any
+       true pair always survives it, so pair GENERATION stays lossless.
+    4. Exact ``shared`` comes from ``array_intersect`` on the two docs'
+       full sorted sid arrays (attached by joining a per-doc array
+       table, broadcast-sized at any sane doc count after AQE sees its
+       stats) — NOT from a count-per-pair aggregation. The candidate
+       stream (quadratic in per-shingle df) thus never crosses an
+       exchange: it flows join -> positional filter -> array verify ->
+       jaccard filter inside one stage, and only survivors (output-
+       sized) reach the final distinct. The previous formulation
+       hash-aggregated one (id_a, id_b) key per candidate; on a corpus
+       whose vocabulary saturates (sf1 stress: 29k distinct shingles,
+       df ~ corpus/300) that was ~100M distinct keys, 30 GB of spill
+       and 16.8x wall at 10x data. This form shuffles only postings and
+       survivors.
+
+    All candidate-side bounds are integer-exact: t is taken as a
+    ``Fraction`` relaxed by 1e-6 so every pair the final
+    ``round(j, 6) >= t`` filter can admit is provably generated
+    (the smallest J gap at doc sizes <= ``max_shingle_df`` is
+    ~1/(2*max_shingle_df), orders above the 5e-7 rounding window).
     """
-    # persist pre-cut: the shingle explode is the expensive subtree and
-    # feeds four consumers (df computation, sizes, both self-join sides).
+    from fractions import Fraction
+
+    # persist the posting stream: it feeds the df table, the prefix
+    # self-join (both sides) and the per-doc array table.
     if shingles is None:
         shingles = _exploded_shingles(docs, text_col, id_col, n)
     sh = shingles.persist()
-    # df-cut: drop shingles hotter than max_shingle_df (skew + no signal).
-    # groupBy.count has a map-side partial combine, so the hottest
-    # shingle's posting list never has to land in ONE partition — which
-    # is exactly what a count().over(Window.partitionBy("shingle"))
-    # would force, i.e. the skew this cut exists to remove. The hot set
-    # (df > max_shingle_df) is tiny by construction → broadcast
-    # anti-join, so the cut adds no shuffle on the shingle stream.
-    hot = (
+    # df-cut (skew + no signal: a shingle in half the corpus tells you
+    # nothing) and the global candidate order in ONE pass: ascending
+    # (df, shingle) so prefixes hold the rarest shingles. groupBy.count
+    # partial-combines map-side, so the hottest posting list never lands
+    # in one partition. The dense-sid window is vocabulary-sized and
+    # guard-bounded; past the bound the named alternative is per-bucket
+    # assignment (row_number within df-hash bucket + exclusive offsets).
+    order_w = Window.orderBy("__df", "shingle")
+    vocab = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") > max_shingle_df)
-        .select("shingle")
+        .filter(F.col("__df") <= max_shingle_df)
+        .select(
+            "shingle",
+            bounded_global_window(
+                F.row_number().over(order_w),
+                order_w,
+                NGRAM_VOCAB_BOUND,
+                "ngram_jaccard_pairs sid assignment",
+                "per-bucket sid assignment (row_number within df-hash "
+                "bucket + exclusive bucket offsets)",
+            ).alias("sid"),
+        )
     )
-    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+    # per-doc sorted sid arrays: the ONE multi-consumer node (prefix
+    # explode + both verify sides). One shuffle by id; doc-count-sized.
+    arrs = (
+        sh.join(F.broadcast(vocab), "shingle")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("sid")).alias("arr"))
+        .select("id", "arr", F.size("arr").cast("long").alias("n_sh"))
+        .persist()
     )
+    # prefix postings by posexplode of the sorted array — position and
+    # doc size fall out of the array itself; no per-id window, no sort.
+    pref = arrs.select(
+        "id", "n_sh", F.posexplode("arr").alias("pos0", "sid")
+    ).select("id", "sid", (F.col("pos0") + 1).alias("pos"), "n_sh")
+    # candidate-side bounds in exact integer arithmetic, threshold
+    # relaxed below the round(j, 6) admission window
+    tr = Fraction(str(min_jaccard)) - Fraction(1, 10**6)
+    if tr > 0:
+        p_, q_ = tr.numerator, tr.denominator
+        pref = pref.filter(
+            F.expr(f"pos <= n_sh - (({p_} * n_sh + {q_ - 1}) DIV {q_}) + 1")
+        )
+    # The candidate join's INPUT is tiny (narrow int postings) but its
+    # OUTPUT is the quadratic candidate stream; AQE coalesces the join
+    # by input bytes and would run the explosion on 1-2 tasks. An
+    # explicit numbered repartition by the join key is exempt from AQE
+    # coalescing, pinning the explosion at full cluster width.
+    # (no persist here: the self-join's attribute dedup defeats exchange
+    # reuse, so each side computes its own explode+filter+shuffle — but
+    # the two sides run as independent parallel stages over the cached
+    # arrs, and a cache barrier between repartition and join costs more
+    # wall than the duplicated narrow-stream work saves.)
+    pref = pref.repartition(
+        shingles.sparkSession.sparkContext.defaultParallelism * 2, "sid"
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.id") < F.col("b.id")))
+    if tr > 0:
+        cand = cand.filter(
+            F.expr(
+                f"least(a.n_sh - a.pos, b.n_sh - b.pos) + 1 >= "
+                f"(({p_} * (a.n_sh + b.n_sh) + {p_ + q_ - 1}) DIV {p_ + q_})"
+            )
+        )
+    cand = cand.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     out = (
-        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        cand.join(
+            arrs.select(
+                F.col("id").alias("id_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("id").alias("id_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "shared", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+        .distinct()
     )
-    return out.select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    return out
 
 
 #: Mersenne prime 2^31 - 1 for the universal-hash MinHash family.

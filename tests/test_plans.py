@@ -144,16 +144,31 @@ def test_lsh_ann_is_broadcast_equi_join(spark, emb):
     assert "NestedLoop" not in plan
 
 
-def test_ngram_df_cut_has_no_shingle_window(spark, docs):
-    """The hot-shingle df-cut must be a partial-aggregated groupBy +
-    broadcast anti-join — never a count window over the raw shingle
-    partition (which forces the hottest posting list into ONE partition,
-    the exact skew the cut exists to remove)."""
+def test_ngram_jaccard_verifies_in_row_not_by_pair_agg(spark, docs):
+    """The set-similarity join must verify candidates with an in-row
+    array_intersect over per-doc sid arrays — never a count-per-pair
+    hash aggregation (one key per CANDIDATE pair: quadratic in
+    per-shingle df, measured 30 GB of spill at sf1). The df table that
+    assigns dense sids must reach the posting stream as a broadcast
+    join, and the posting-side windows may partition only by doc id —
+    never by shingle (which would funnel the hottest posting list into
+    one partition)."""
     plan = plan_of(dedup.ngram_jaccard_pairs(docs, n=3, max_shingle_df=5))
-    assert "Window" not in plan, plan
-    assert "LeftAnti" in plan, plan
-    # the anti-join's build side (hot shingles) is broadcast
+    assert "array_intersect" in plan, plan
     assert "BroadcastExchange" in plan, plan
+    # no aggregate keyed by the candidate pair BEFORE the jaccard
+    # filter: the only pair-keyed aggregate left is the final
+    # output-sized distinct, whose grouping carries all six columns
+    import re
+
+    pair_aggs = [
+        m
+        for m in re.findall(r"HashAggregate\(keys=\[[^\]]*\]", plan)
+        if "id_a" in m and "id_b" in m and "jaccard" not in m
+    ]
+    assert not pair_aggs, pair_aggs
+    # posting windows: by id only, never by shingle
+    assert not re.search(r"windowspecdefinition\(shingle", plan), plan
 
 
 def test_fan_out_is_noop_for_many_split_input(spark):

@@ -379,3 +379,60 @@ def test_scd2_weeks_overlap_sweepline_matches_naive(spark, intervals, dates):
         for pr, (n, cs) in per_prio.items():
             want[(p, pr)] = (n, len(cs))
     assert got == want, (got, want, weeks, intervals)
+
+
+# word pools small enough that docs share shingles constantly — the
+# prefix/positional pruning must never lose a qualifying pair
+_ng_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=9),
+    min_size=0,
+    max_size=14,
+)
+
+
+@SETTINGS
+@given(docs=_ng_docs, max_df=st.integers(1, 10), t=st.sampled_from([0.2, 0.3, 0.5, 0.75, 1.0]))
+def test_ngram_jaccard_prefix_join_matches_naive(spark, docs, max_df, t):
+    """The prefix-filtered candidate join + array verification must
+    produce EXACTLY the naive all-pairs answer (same pairs, same shared
+    counts) for any docs, df-cut and threshold — the losslessness
+    theorem (first shared sid of a qualifying pair lies in both prefixes
+    and survives the positional filter) checked mechanically."""
+    from de_project_sprint_etl_spark.functions import dedup
+
+    n = 2
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    pdf = spark.createDataFrame(rows or [(0, "")], "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.shared, r.n_a, r.n_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            pdf, n=n, min_jaccard=t, max_shingle_df=max_df
+        ).collect()
+    }
+
+    # naive reference: shingle sets in python, df-cut, all pairs
+    sets = {}
+    for i, toks in enumerate(docs):
+        sh = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        sets[i] = sh
+    df_cnt: dict[str, int] = {}
+    for sh in sets.values():
+        for s in sh:
+            df_cnt[s] = df_cnt.get(s, 0) + 1
+    kept = {s for s, c in df_cnt.items() if c <= max_df}
+    sets = {i: sh & kept for i, sh in sets.items()}
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a_, b_ = ids[x], ids[y]
+            sa, sb = sets[a_], sets[b_]
+            if not sa or not sb:
+                continue
+            shared = len(sa & sb)
+            if shared == 0:
+                continue
+            j = round(shared / (len(sa) + len(sb) - shared), 6)
+            if j >= t:
+                want[(a_, b_)] = (shared, len(sa), len(sb), j)
+    assert got == want, (got, want, docs, max_df, t)
