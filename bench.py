@@ -237,6 +237,7 @@ HEADLINE = [
     "seasonal_naive_backtest",
     "streaming_retention_compact",
     "ann_ivf_topk_adaptive",
+    "streaming_exact_dedup",
 ]
 
 

@@ -363,6 +363,57 @@ _GEN_SHARDS, _GEN_ROWS, _GEN_USERS = 8, 12_500, 1_000
 _GEN_N = _GEN_SHARDS * _GEN_ROWS
 
 
+def _events_dup_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """At-least-once events feed: the decoded events table UNION an
+    identical replay of every 7th event (by id) — the deterministic
+    stand-in for a source that re-delivers on retry. One file, cached
+    per corpus generation."""
+    src = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = sf_dir.strip("/").replace("/", "_")
+    path = (
+        Path(_CACHE_ROOT)
+        / f"{key}-eventsdup-{src.st_mtime_ns}-{src.st_size}"
+        / "stream_src"
+    )
+    if not (path / "_SUCCESS").exists():
+        ev = events_df(spark, sf_dir)
+        ev.unionByName(ev.filter(F.col("event_id") % 7 == 0)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(path))
+    return str(path)
+
+
+@register(
+    "streaming_exact_dedup",
+    """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+FROM events
+""",
+)
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once repair of an at-least-once feed executed BY THE
+    STREAMING ENGINE: the source re-delivers every 7th event verbatim,
+    ``dropDuplicatesWithinWatermark`` keeps one row per event_id with
+    per-key state evicted at the watermark horizon (bounded state — a
+    plain dropDuplicates would hold every key forever), and the sink
+    must hash-equal the unique events table. Re-delivered rows are
+    bit-identical, so which arrival wins is immaterial and the result
+    is deterministic under parallel reads. Single-batch drain contract
+    as in streaming_windowed_counts."""
+    src = _events_dup_stream_src(spark, sf_dir)
+    stream = jobs.dedup_stream(
+        jobs.read_event_stream(spark, src), keys=["event_id"], watermark="2 hours"
+    )
+    return _run_to_sink(spark, "dedup", stream, "append").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def _graftgen(spark: SparkSession) -> DataFrame:
     from de_project_sprint_etl_spark.sources import pysource
 
