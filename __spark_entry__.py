@@ -66,6 +66,7 @@ GATE_PRIORITY = [
     "streaming_retention_compact",
     "streaming_exact_dedup",
     "ann_ivf_topk_adaptive",
+    "vocab_growth_curve",
     # post-FULLDIFF-r4 landings (judge-verified last session; now
     # driver-windowed and in the committed FULLDIFF_r5)
     "phrase_search",

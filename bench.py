@@ -238,6 +238,7 @@ HEADLINE = [
     "streaming_retention_compact",
     "ann_ivf_topk_adaptive",
     "streaming_exact_dedup",
+    "vocab_growth_curve",
 ]
 
 

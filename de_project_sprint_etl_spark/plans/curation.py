@@ -993,3 +993,105 @@ def q_distribution_match_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rate_ppm").cast("bigint").alias("rate_ppm"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+# --- vocabulary growth (Heaps' law) curve ------------------------------------
+#
+# WHY this is a first-class curation op: the cost of every shingle-keyed
+# dedup pass is driven by per-shingle document frequency, and df is set
+# by how fast the vocabulary grows with the corpus. A web-scale corpus
+# follows Heaps' law (V ~ n^beta, beta ~ 0.5-0.7: new-vocab-per-posting
+# stays high, posting lists stay cold, exact set-similarity joins stay
+# linear-ish); a SATURATED corpus (template text, synthetic data,
+# boilerplate floods) stops minting vocabulary, df grows ~ corpus, and
+# candidate volume goes quadratic — exactly what the round-5 sf1 stress
+# measured on this fixture (29k distinct shingles at 10x postings) and
+# what the prefix-join rewrite absorbs. This query IS the gate a
+# pipeline runs to pick its dedup strategy: per corpus decile (by
+# doc id), how many NEW trigram shingles appear vs how many postings
+# arrive; a falling `new_per_posting` column is the quadratic-candidate
+# early warning.
+
+_SQL_SH3_RAW = _text_fns.sql_shingles("d.text", n=3)
+
+_SQL_VOCAB_GROWTH = f"""
+WITH sh AS (
+  SELECT id, shingle FROM (
+    SELECT id, UNNEST(sh_arr) AS shingle FROM (
+      SELECT doc_id AS id, {_SQL_SH3_RAW} AS sh_arr FROM documents d) s0
+  ) s WHERE LENGTH(shingle) > 0
+),
+mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+per_sh AS (SELECT shingle, MIN(id) AS first_doc, COUNT(*) AS df
+           FROM sh GROUP BY shingle),
+nv AS (SELECT LEAST(9, (10 * first_doc) // (mx + 1)) AS decile,
+              COUNT(*) AS new_shingles
+       FROM per_sh, mx GROUP BY 1),
+pp AS (SELECT LEAST(9, (10 * id) // (mx + 1)) AS decile,
+              COUNT(*) AS n_postings
+       FROM sh, mx GROUP BY 1)
+SELECT decile,
+       COALESCE(new_shingles, 0) AS new_shingles,
+       CAST(SUM(COALESCE(new_shingles, 0))
+            OVER (ORDER BY decile) AS BIGINT) AS cum_vocab,
+       COALESCE(n_postings, 0) AS n_postings,
+       CAST(SUM(COALESCE(n_postings, 0))
+            OVER (ORDER BY decile) AS BIGINT) AS cum_postings,
+       ROUND(COALESCE(new_shingles, 0) / COALESCE(n_postings, 0), 6)
+           AS new_per_posting
+FROM nv FULL JOIN pp USING (decile)
+ORDER BY decile
+"""
+
+
+@register("vocab_growth_curve", _SQL_VOCAB_GROWTH)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth per corpus decile: new trigram
+    shingles vs postings arriving, cumulative vocabulary, and the
+    new-vocab-per-posting rate whose decay signals df saturation (the
+    quadratic-candidate hazard for shingle-keyed dedup — see module
+    note). Two partial-combined aggregates over one persisted posting
+    stream + a 10-row curve join; the only window runs over the decile
+    curve itself (domain <= 10 by construction)."""
+    from pyspark.sql import Window
+
+    from de_project_sprint_etl_spark.plans.llm import docs_fanned
+
+    docs = docs_fanned(spark, sf_dir)
+    sh = dedup._exploded_shingles(docs, "text", "doc_id", 3).persist()
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+
+    def decile(col: str) -> F.Column:
+        return F.least(F.lit(9), F.expr(f"(10 * {col}) DIV (mx + 1)"))
+
+    per_sh = sh.groupBy("shingle").agg(F.min("id").alias("first_doc"))
+    nv = (
+        per_sh.crossJoin(F.broadcast(mx))
+        .groupBy(decile("first_doc").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("new_shingles"))
+    )
+    pp = (
+        sh.crossJoin(F.broadcast(mx))
+        .groupBy(decile("id").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("n_postings"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        nv.join(pp, "decile", "full")
+        .select(
+            "decile",
+            F.coalesce("new_shingles", F.lit(0)).alias("new_shingles"),
+            F.coalesce("n_postings", F.lit(0)).alias("n_postings"),
+        )
+        .select(
+            "decile",
+            "new_shingles",
+            F.sum("new_shingles").over(w).cast("long").alias("cum_vocab"),
+            "n_postings",
+            F.sum("n_postings").over(w).cast("long").alias("cum_postings"),
+            F.round(
+                F.col("new_shingles") / F.col("n_postings"), 6
+            ).alias("new_per_posting"),
+        )
+        .orderBy("decile")
+    )

@@ -43,9 +43,16 @@ DEFAULT = [
     "ngram_jaccard_dedup",
     "semdedup_embeddings_adaptive",
     "ann_ivf_topk",
+    "ann_ivf_topk_adaptive",
     "pq_adc_topk",
     "scd2_weeks_overlap",
     "triangle_count_copurchase",
+    # one representative per remaining tier (round 5 widening)
+    "tpch_q9_product_profit",
+    "tpch_q21_suppliers_kept_waiting",
+    "bm25_topk_docs",
+    "events_sessionize",
+    "streaming_exact_dedup",
 ]
 
 
