@@ -8,6 +8,12 @@ hashes values).
 
 Usage: python tools/oracle_check.py [--json OUT.json] [sf_dir] [query ...]
 
+The default session uses 8 shuffle partitions — sized for the sf0.01
+gate fixtures where per-partition state-store/agg overhead dominates.
+For sf>=1 corpora set ORACLE_CHECK_PLAIN_SESSION=1 (local[32], 32
+shuffle partitions): the iterative graph queries OOM a 24g driver when
+their per-partition hash state is folded 4x wider.
+
 With ``--json`` every per-query verdict is also written as a JSON
 artifact in the driver's CORRECTNESS format (rows/schema/hash matches +
 row counts per query) so a full-registry differential can be committed
