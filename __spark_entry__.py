@@ -60,9 +60,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries into externally-verified ones. Rounds 1–4's windows move to
 # the tail; the committed FULLDIFF artifact covers the whole registry.
 GATE_PRIORITY = [
-    # NEW in round 5 (never windowed by construction; the last three
-    # r4-tier names below fall past the 50-entry prefix to make room
-    # and stay FULLDIFF-covered until the r6 rotation)
+    # NEW in round 5 (never windowed by construction; the last FOUR
+    # r4-tier names below — events_time_weighted_avg, cooccurrence_lift,
+    # events_hourly_ohlc, split_leakage_check — fall past the 50-entry
+    # prefix to make room and stay FULLDIFF-covered until the r6
+    # rotation)
     "streaming_retention_compact",
     "streaming_exact_dedup",
     "ann_ivf_topk_adaptive",

@@ -24,24 +24,26 @@ Scale design (the point of each op):
 Everything is built from Catalyst expressions; every op has an exact
 DuckDB-SQL mirror in plans/llm.py.
 
-**Cache contract**: the pair generators ``persist()`` their expensive
-shared subtrees (exploded shingles, signatures) because the returned —
-still lazy — plan consumes them multiple times; they cannot unpersist
-what the caller has not yet materialized. Long-lived sessions must
-release that storage after materializing a returned plan:
-``spark.catalog.clearCache()`` between queries (what bench.py and the
-driver harness do), or track and ``unpersist()`` specific DataFrames.
-Only ``dup_groups`` unpersists internally (its edge cache dies inside
-the loop it serves).
+**Cache contract**: the pair generators cache their expensive shared
+subtrees (exploded shingles, sid arrays, signatures) because the
+returned — still lazy — plan consumes them multiple times; they cannot
+unpersist what the caller has not yet materialized. The ngram sites use
+the generation-managed persist (``functions/caching.py``: at most one
+cached generation per session tag, previous unpersisted on
+re-invocation); the rest rely on ``spark.catalog.clearCache()`` between
+queries (what bench.py and the driver harness do). Only ``dup_groups``
+unpersists internally (its edge cache dies inside the loop it serves).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from de_project_sprint_etl_spark.functions.caching import cached_generation
 from de_project_sprint_etl_spark.functions.guards import bounded_global_window
 from de_project_sprint_etl_spark.functions.text import (
     h64,
@@ -166,11 +168,13 @@ def ngram_jaccard_pairs(
     """
     from fractions import Fraction
 
-    # persist the posting stream: it feeds the df table, the prefix
-    # self-join (both sides) and the per-doc array table.
+    # persist the posting stream (generation-managed: at most one
+    # cached generation per session survives re-invocation — see
+    # functions/caching.py): it feeds the df table and the per-doc
+    # array table.
     if shingles is None:
         shingles = _exploded_shingles(docs, text_col, id_col, n)
-    sh = shingles.persist()
+    sh = cached_generation(shingles.sparkSession, "ngram_sh", shingles)
     # df-cut (skew + no signal: a shingle in half the corpus tells you
     # nothing) and the global candidate order in ONE pass: ascending
     # (df, shingle) so prefixes hold the rarest shingles. groupBy.count
@@ -197,12 +201,14 @@ def ngram_jaccard_pairs(
     )
     # per-doc sorted sid arrays: the ONE multi-consumer node (prefix
     # explode + both verify sides). One shuffle by id; doc-count-sized.
-    arrs = (
+    # Same generation-managed lifecycle as the posting stream.
+    arrs = cached_generation(
+        shingles.sparkSession,
+        "ngram_arrs",
         sh.join(F.broadcast(vocab), "shingle")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("sid")).alias("arr"))
-        .select("id", "arr", F.size("arr").cast("long").alias("n_sh"))
-        .persist()
+        .select("id", "arr", F.size("arr").cast("long").alias("n_sh")),
     )
     # prefix postings by posexplode of the sorted array — position and
     # doc size fall out of the array itself; no per-id window, no sort.
@@ -210,8 +216,14 @@ def ngram_jaccard_pairs(
         "id", "n_sh", F.posexplode("arr").alias("pos0", "sid")
     ).select("id", "sid", (F.col("pos0") + 1).alias("pos"), "n_sh")
     # candidate-side bounds in exact integer arithmetic, threshold
-    # relaxed below the round(j, 6) admission window
+    # relaxed below the round(j, 6) admission window AND quantized to
+    # millionths ROUNDING DOWN: relaxing keeps losslessness (a smaller
+    # t' only admits more candidates), and a denominator capped at 1e6
+    # keeps p*n_sh/p*(n_a+n_b) far below int64 overflow — a threshold
+    # like 1/3 would otherwise carry a 1e16 denominator and wrap
+    # negative under non-ANSI arithmetic for docs past ~2800 shingles.
     tr = Fraction(str(min_jaccard)) - Fraction(1, 10**6)
+    tr = Fraction(math.floor(tr * 10**6), 10**6)
     if tr > 0:
         p_, q_ = tr.numerator, tr.denominator
         pref = pref.filter(

@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from de_project_sprint_etl_spark.functions.caching import cached_generation
 from de_project_sprint_etl_spark.functions.text import h64, sql_h64
 from de_project_sprint_etl_spark.plans.governance import ATTR_WINDOW_US
 from de_project_sprint_etl_spark.plans.registry import ORACLES, register
@@ -195,31 +196,6 @@ def q_attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- interval-overlap join via temporal bucketing ------------------------------
 
 
-#: last persisted generation per (session, tag) — see _cached_generation
-_GEN_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
-def _cached_generation(spark: SparkSession, tag: str, df: DataFrame) -> DataFrame:
-    """persist() with a one-generation lifecycle: the PREVIOUS
-    invocation's cache for this (session, tag) is unpersisted before
-    the new one is registered, so a long-lived session holds at most
-    one CacheManager entry per tag (the leak ADVICE r4 flagged) while
-    keeping the real InMemoryRelation. The eager-localCheckpoint
-    alternative is NOT equivalent for multiply-scanned frames: it
-    truncates to a stats-less LogicalRDD scanned row-wise outside
-    whole-stage codegen / the columnar cache, measured 4x on the scd2
-    sweeps (4.8 s -> 19.7 s warm at sf0.1) — which is why the sites
-    here use this helper and only cheap/low-fanout frames keep
-    localCheckpoint."""
-    key = (id(spark), tag)
-    prev = _GEN_CACHE.pop(key, None)
-    if prev is not None:
-        prev.unpersist()
-    out = df.persist()
-    _GEN_CACHE[key] = out
-    return out
-
-
 def _sql_scd2_weeks_overlap() -> str:
     scd2 = ORACLES["scd2_customer_priority"]
     # Same week-Monday bucketing decomposition as the Spark plan (the
@@ -331,8 +307,8 @@ def q_scd2_weeks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # priority grid); without materializing, the SCD2 build +
     # week-array lookup subtree re-executes per scan (measured 2x the
     # query). Generation-managed persist, NOT localCheckpoint — see
-    # _cached_generation for the measured 4x reason.
-    with_range = _cached_generation(spark, "scd2_ranges", with_range)
+    # functions/caching.py for the measured 4x reason.
+    with_range = cached_generation(spark, "scd2_ranges", with_range)
 
     def sweep(ranges: DataFrame, out: str) -> DataFrame:
         deltas = ranges.select(
@@ -385,7 +361,7 @@ def q_scd2_weeks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("p_lo").alias("p_lo"), F.max("p_hi").alias("p_hi"))
     )
     # scanned x3 by its sweep — same generation-managed persist
-    islands = _cached_generation(spark, "scd2_islands", islands)
+    islands = cached_generation(spark, "scd2_islands", islands)
     n_customers = sweep(islands, "n_customers")
 
     return n_versions.join(n_customers, ["period", "priority"]).select(

@@ -1057,8 +1057,14 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from de_project_sprint_etl_spark.plans.llm import docs_fanned
 
+    from de_project_sprint_etl_spark.functions.caching import cached_generation
+
     docs = docs_fanned(spark, sf_dir)
-    sh = dedup._exploded_shingles(docs, "text", "doc_id", 3).persist()
+    # generation-managed persist (one cached generation per session;
+    # see functions/caching.py) — the stream feeds both decile aggs
+    sh = cached_generation(
+        spark, "vocab_sh", dedup._exploded_shingles(docs, "text", "doc_id", 3)
+    )
     mx = docs.agg(F.max("doc_id").alias("mx"))
 
     def decile(col: str) -> F.Column:

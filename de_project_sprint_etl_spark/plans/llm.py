@@ -865,6 +865,10 @@ _SQL_ANN_IVF_ADAPTIVE = _SQL_ANN_IVF.replace(
     f"id % {IVF_STRIDE} = 0",
     "id % (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) FROM e) = 0",
 )
+# a reworded _SQL_ANN_IVF / changed IVF_STRIDE would make the replace a
+# silent no-op and register the adaptive query against the FIXED-stride
+# oracle — fail at import instead of as a later hash mismatch
+assert _SQL_ANN_IVF_ADAPTIVE != _SQL_ANN_IVF, "adaptive-stride rewrite missed"
 
 
 @register("ann_ivf_topk_adaptive", _SQL_ANN_IVF_ADAPTIVE)

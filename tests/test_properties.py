@@ -391,7 +391,7 @@ _ng_docs = st.lists(
 
 
 @SETTINGS
-@given(docs=_ng_docs, max_df=st.integers(1, 10), t=st.sampled_from([0.2, 0.3, 0.5, 0.75, 1.0]))
+@given(docs=_ng_docs, max_df=st.integers(1, 10), t=st.sampled_from([0.2, 0.3, 0.5, 0.75, 1.0, 1 / 3]))
 def test_ngram_jaccard_prefix_join_matches_naive(spark, docs, max_df, t):
     """The prefix-filtered candidate join + array verification must
     produce EXACTLY the naive all-pairs answer (same pairs, same shared

@@ -71,14 +71,22 @@ def _ts_us(days_from_epoch) -> pa.Array:
 
 def main() -> str:
     os.makedirs(OUT, exist_ok=True)
-    done = {
-        t
-        for t in (
-            "region nation customer supplier part orders lineitem events "
-            "documents embeddings"
-        ).split()
-        if os.path.exists(os.path.join(OUT, f"{t}.parquet"))
-    }
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    done = {t for t in tables if os.path.exists(os.path.join(OUT, f"{t}.parquet"))}
+    # Resume is ALL-OR-NOTHING: skipping completed tables shifts the
+    # single RNG stream, so a partially-regenerated corpus would have
+    # e.g. lineitem shipdates drawn against fresh order dates unrelated
+    # to the committed orders.parquet. A partial dir is wiped and the
+    # whole corpus rebuilt from the seed — the only state that keeps
+    # the documented seed-1042 determinism.
+    if done and done != set(tables):
+        for t in done:
+            os.remove(os.path.join(OUT, f"{t}.parquet"))
+        print(f"partial corpus ({len(done)}/{len(tables)} tables) wiped; rebuilding")
+        done = set()
     rng = np.random.Generator(np.random.PCG64(1042))
 
     if "region" not in done or "nation" not in done:

@@ -9,12 +9,17 @@ lineitem) in the 128 GiB sandbox and records, per query:
   stages via the status API — the direct answer to "did it hit the
   cliff")
 - plan-shape parity: the number of Exchange / BroadcastExchange nodes
-  in the EXECUTED (post-AQE) plan at sf0.1 vs sf1. A difference is a
-  PROMPT to read both explains, not automatically a regression: AQE's
-  runtime re-planning (coalesce, broadcast conversion, skew split) is
-  allowed to differ with data size — the regression signature is
-  specifically BroadcastExchange falling to zero while Exchange grows
-  (a dim side silently outgrowing the broadcast threshold).
+  in the STATICALLY-PLANNED (pre-execution) plan at sf0.1 vs sf1.
+  Because the noop write executes its own QueryExecution, the counted
+  plan is the dataframe's initial adaptive plan (isFinalPlan=false):
+  it reflects Catalyst's size-statistics decisions (file-size-driven
+  broadcast choices — which is how it caught the triangle tier's
+  broadcast→SMJ shift at sf1) but NOT AQE's runtime conversions. A
+  difference is a PROMPT to read executed explains manually (collect()
+  the frame, then explain()), not automatically a regression; the
+  regression signature is BroadcastExchange falling to zero while
+  Exchange grows (a dim side silently outgrowing the broadcast
+  threshold).
 
 Usage: python tools/sf1_stress.py [query ...]   → markdown table rows.
 """
