@@ -316,3 +316,30 @@ def test_cdc_apply_changes_semantics(spark):
     # per-key top-1 BEFORE the exchange, so only candidate winners shuffle
     assert plan_str.count("ShuffleQueryStage") == 1, plan_str
     assert "WindowGroupLimit" in plan_str, plan_str
+
+
+def test_cached_generation_evicts_previous(spark):
+    """The generation cache keeps at most ONE persisted frame per
+    (session, tag): re-invoking a tag unpersists the prior generation
+    (the ADVICE-r4 leak class), while distinct tags coexist."""
+    from de_project_sprint_etl_spark.functions.caching import (
+        _GENERATIONS,
+        cached_generation,
+    )
+
+    base = spark.range(10)
+    a1 = cached_generation(spark, "t_a", base.select("id"))
+    a1.count()
+    assert a1.storageLevel.useMemory
+    b1 = cached_generation(spark, "t_b", base.select((F.col("id") * 2).alias("id")))
+    b1.count()
+    a2 = cached_generation(spark, "t_a", base.select((F.col("id") + 1).alias("id")))
+    a2.count()
+    # generation 1 of t_a evicted, generation of t_b untouched
+    assert not a1.storageLevel.useMemory
+    assert b1.storageLevel.useMemory
+    assert a2.storageLevel.useMemory
+    assert _GENERATIONS[(id(spark), "t_a")] is a2
+    # cleanup
+    for tag in ("t_a", "t_b"):
+        _GENERATIONS.pop((id(spark), tag)).unpersist()
