@@ -96,7 +96,11 @@ PROJ_PLANES = similarity.hyperplanes(dim=64, n_planes=8, seed=11)
 _PROJ_BRANCHES = "\nUNION ALL ".join(
     f"SELECT vec_id, {j} AS out_pos,"
     f" ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),"
-    f" CAST([{', '.join(repr(v) for v in plane)}] AS DOUBLE[])), 6) AS proj_val"
+    # + 0.0: IEEE negative zero from rounding a tiny negative dot is
+    # engine-divergent (DuckDB keeps -0.0, Spark's ROUND drops the
+    # sign); adding +0.0 maps -0.0 -> +0.0 on both without changing
+    # any nonzero value (found by the sf1 full differential)
+    f" CAST([{', '.join(repr(v) for v in plane)}] AS DOUBLE[])), 6) + 0.0 AS proj_val"
     f" FROM embeddings"
     for j, plane in enumerate(PROJ_PLANES)
 )
@@ -111,7 +115,7 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         embeddings.random_projection(emb, PROJ_PLANES)
         .select("vec_id", F.posexplode("proj").alias("out_pos", "__p"))
-        .select("vec_id", "out_pos", F.round("__p", 6).alias("proj_val"))
+        .select("vec_id", "out_pos", (F.round("__p", 6) + 0.0).alias("proj_val"))
     )
 
 
@@ -812,7 +816,7 @@ s AS (SELECT vec_id, list_slice(v, 1, {MRL_DIM}) AS sv FROM e),
 n AS (SELECT vec_id, sv, SQRT(list_dot_product(sv, sv)) AS nrm FROM s)
 SELECT vec_id, CAST(u.i AS INT) AS pos,
        ROUND(sv[CAST(u.i AS INT) + 1]
-             / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END), 6) AS mrl_val
+             / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END), 6) + 0.0 AS mrl_val
 FROM n, UNNEST(range(0, len(sv))) AS u(i)
 """,
 )
@@ -826,7 +830,7 @@ def q_embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         embeddings.mrl_truncate(emb, dim=MRL_DIM)
         .select("vec_id", F.posexplode("mrl_vec").alias("pos", "__m"))
-        .select("vec_id", "pos", F.round("__m", 6).alias("mrl_val"))
+        .select("vec_id", "pos", (F.round("__m", 6) + 0.0).alias("mrl_val"))
     )
 
 

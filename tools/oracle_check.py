@@ -43,6 +43,11 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # IEEE -0.0 == 0.0 but repr() keeps the sign; engines
+            # legitimately differ on the sign of a rounded-to-zero
+            # result (DuckDB keeps -0.0, Spark's ROUND drops it)
+            return "0.0"
         return repr(v)
     if isinstance(v, Decimal):
         return str(v.normalize())
