@@ -55,6 +55,13 @@ def canon(v) -> str:
 
 
 def frame_rows(df) -> list[tuple]:
+    # PERF NOTE (r5): iterrows() is what bounds multi-million-row
+    # comparisons (6M-row outputs take 20+ min at sf1). A column-wise
+    # Series.map(canon) would be ~20x faster BUT changes semantics:
+    # iterrows returns each row as a Series, upcasting ints to floats
+    # in mixed frames, and both engines' hashes currently embed that
+    # ('5.0' not '5'). Any vectorization must either reproduce the
+    # upcast or be validated by a full sf0.01+sf1 differential rerun.
     cols = sorted(df.columns)
     rows = [tuple(canon(r[c]) for c in cols) for _, r in df[cols].iterrows()]
     rows.sort()
