@@ -34,6 +34,10 @@ from de_project_sprint_etl_spark.plans.registry import register
 from de_project_sprint_etl_spark.plans.testdata import t
 
 _D = 'CAST({c} AS DECIMAL(18,2))'
+#: narrow variants for multi-factor products that must stay under the
+#: 38-digit cap (see tpch_q1)
+_DN = 'CAST({c} AS DECIMAL(12,2))'
+_DS = 'CAST({c} AS DECIMAL(4,2))'
 
 
 def _dec(c: str) -> F.Column:
@@ -46,10 +50,19 @@ def _dec(c: str) -> F.Column:
 SELECT l_returnflag, l_linestatus,
        CAST(SUM({_D.format(c='l_quantity')}) AS DOUBLE) AS sum_qty,
        CAST(SUM({_D.format(c='l_extendedprice')}) AS DOUBLE) AS sum_base_price,
-       CAST(SUM({_D.format(c='l_extendedprice')} * (1 - {_D.format(c='l_discount')}))
+       -- narrow factor types: the triple product must stay under the
+       -- 38-digit decimal cap on BOTH engines or Spark's
+       -- allowPrecisionLoss rounds intermediates differently than
+       -- DuckDB's reduction (1-ULP double drift at 6M-row sums,
+       -- found by the sf1 sweep)
+       -- ROUND to cents before the double cast: a scale-6 decimal sum's
+       -- scaled integer passes 2^53 at sf1 (5.2e16) and DuckDB's
+       -- int128->double conversion then double-rounds where Spark's
+       -- BigDecimal rounds once; at scale 2 both conversions are exact
+       CAST(ROUND(SUM({_DN.format(c='l_extendedprice')} * (1 - {_DS.format(c='l_discount')})), 2)
             AS DOUBLE) AS sum_disc_price,
-       CAST(SUM({_D.format(c='l_extendedprice')} * (1 - {_D.format(c='l_discount')})
-                * (1 + {_D.format(c='l_tax')})) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM({_DN.format(c='l_extendedprice')} * (1 - {_DS.format(c='l_discount')})
+                * (1 + {_DS.format(c='l_tax')})), 2) AS DOUBLE) AS sum_charge,
        ROUND(CAST(SUM({_D.format(c='l_quantity')}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
        ROUND(CAST(SUM({_D.format(c='l_extendedprice')}) AS DOUBLE) / COUNT(*), 6)
          AS avg_price,
@@ -66,13 +79,22 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
     )
-    disc = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    # narrow factor types (12,2)/(4,2): the charge triple product then
+    # peaks at decimal(24,6) — exact, no precision-loss rounding (the
+    # (18,2)-typed form hit Spark's 38-digit cap and drifted 1 ULP from
+    # DuckDB at sf1)
+    price_n = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = price_n * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
     n = F.count(F.lit(1))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(disc).cast("double").alias("sum_disc_price"),
-        F.sum(disc * (F.lit(1) + _dec("l_tax"))).cast("double").alias("sum_charge"),
+        F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+        F.round(
+            F.sum(disc * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))), 2
+        )
+        .cast("double")
+        .alias("sum_charge"),
         F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
         F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 6).alias("avg_price"),
         F.round(F.sum(_dec("l_discount")).cast("double") / n, 6).alias("avg_disc"),
