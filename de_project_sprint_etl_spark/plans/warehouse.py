@@ -540,11 +540,16 @@ def q_winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cogroup_user_activity",
     """
 WITH e AS (SELECT user_id AS uid, COUNT(*) AS n_events,
-                  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                  -- floor(v*100 + 0.5): the SAME IEEE expression the
+                  -- pandas side evaluates — a double->DECIMAL cast
+                  -- rounds half-away while pandas .round() is
+                  -- half-even, and they disagree on ~4e-3 of rows at
+                  -- sf1 (found by the sf1 sweep)
+                  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                     AS event_cents
            FROM events GROUP BY user_id),
 o AS (SELECT o_custkey AS uid, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS order_cents
       FROM orders GROUP BY o_custkey)
 SELECT COALESCE(e.uid, o.uid) AS user_id,
@@ -575,6 +580,7 @@ def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are hash-verified against a DuckDB FULL OUTER JOIN of two
     aggregates; per-element cent conversion keeps the pandas sums
     integer (addition-order-free)."""
+    import numpy as np
     import pandas as pd
 
     ev = events_df(spark, sf_dir).select("user_id", "value")
@@ -584,13 +590,18 @@ def q_cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.col("user_id") % 256).alias("bucket")
 
     def stats(key: tuple, e: pd.DataFrame, o: pd.DataFrame) -> pd.DataFrame:
+        # floor(v*100 + 0.5), NOT .round(): half-even vs the oracle's
+        # half-away double->DECIMAL cast diverges on exact half-cents;
+        # this exact IEEE expression is mirrored in the SQL
         ec = (
-            e.assign(cents=(e["value"] * 100).round().astype("int64"))
+            e.assign(cents=np.floor(e["value"] * 100 + 0.5).astype("int64"))
             .groupby("user_id")
             .agg(n_events=("value", "size"), event_cents=("cents", "sum"))
         )
         oc = (
-            o.assign(cents=(o["o_totalprice"] * 100).round().astype("int64"))
+            o.assign(
+                cents=np.floor(o["o_totalprice"] * 100 + 0.5).astype("int64")
+            )
             .groupby("user_id")
             .agg(n_orders=("o_totalprice", "size"), order_cents=("cents", "sum"))
         )
