@@ -442,8 +442,12 @@ WITH w AS (
          COUNT(*) OVER (PARTITION BY o_orderpriority) AS cat_n
   FROM orders)
 SELECT o_orderkey, o_orderpriority,
+       -- floor(x*1e6 + 0.5)/1e6, not ROUND(x, 6): engines disagree on
+       -- double rounding at the 6th-decimal boundary (one row at sf1);
+       -- this exact IEEE expression is identical on both
        CASE WHEN cat_n > 1
-            THEN ROUND(CAST(cat_sum - price AS DOUBLE) / (cat_n - 1), 6)
+            THEN FLOOR(CAST(cat_sum - price AS DOUBLE) / (cat_n - 1)
+                       * 1000000 + 0.5) / 1000000.0
             ELSE NULL END AS loo_target_mean
 FROM w
 """
@@ -472,11 +476,14 @@ def q_target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.when(
             F.col("cat_n") > 1,
-            F.round(
+            # same IEEE expression as the oracle (see SQL comment)
+            F.floor(
                 (F.col("cat_sum") - F.col("price")).cast("double")
-                / (F.col("cat_n") - 1),
-                6,
-            ),
+                / (F.col("cat_n") - 1)
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0,
         ).alias("loo_target_mean"),
     )
 
