@@ -505,7 +505,11 @@ m AS (
          SUM(n) AS sx,
          SUM(CAST(n AS BIGINT) * n) AS sxx,
          SUM(rev) AS sy,
-         SUM(rev * rev) AS syy,
+         -- one operand widened past width 18: DuckDB stores width<=18
+         -- decimals in int64 and its (15,2)x(15,2) product overflowed
+         -- at sf1 daily revenues (~1.6e10); width 19 forces int128,
+         -- product width 34 — exact on both engines (sf1 sweep find)
+         SUM(CAST(rev AS DECIMAL(19,2)) * rev) AS syy,
          SUM(CAST(n AS DECIMAL(10,0)) * rev) AS sxy
   FROM daily)
 SELECT n_days,
@@ -542,7 +546,8 @@ def q_daily_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("sx"),
         F.sum(F.col("n") * F.col("n")).alias("sxx"),
         F.sum("rev").alias("sy"),
-        F.sum(F.col("rev") * F.col("rev")).alias("syy"),
+        # mirror of the oracle's widened operand (see SQL comment)
+        F.sum(F.col("rev").cast("decimal(19,2)") * F.col("rev")).alias("syy"),
         F.sum(F.col("n").cast("decimal(10,0)") * F.col("rev")).alias("sxy"),
     )
     nd = F.col("n_days").cast("double")
