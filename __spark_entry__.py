@@ -53,81 +53,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries pass the full local differential regardless of order
 # (tools/oracle_check.py runs every one); this only widens what an
 # externally-truncated check gets to see.
-# ROUND-5 ROTATION (VERDICT r4, Next-round #1): every name below was
-# OUTSIDE rounds 1–4's driver windows (CORRECTNESS_r01–r04 ∪ = 124 of
-# 232; this prefix fronts 50 of the 108 never-windowed), so this
-# round's 50-entry window converts another tranche of builder-attested
-# queries into externally-verified ones. Rounds 1–4's windows move to
-# the tail; the committed FULLDIFF artifact covers the whole registry.
+# ROUND-6 ROTATION (VERDICT r5, Next-round #1): the 50 names below are
+# exactly the never-driver-windowed registry tail (CORRECTNESS_r01–r05
+# union = 174 of 236; 62 remained) minus 12 queries the round-5 judge
+# already re-verified independently via a random DuckDB differential
+# sample (quality_decile_filter, bigram_lm_score, session_bounce_rate,
+# markov_prediction_accuracy, split_leakage_check, knn_label_coherence,
+# partition_skew_profile, lang_id_eval, source_capped_sample,
+# ab_test_analysis, kfold_assign_summary, funnel_time_to_convert) —
+# those 12 defer to round 7 so this window maximizes NEW external
+# attestation: cumulative coverage 174 → 224/236 when green. Prior
+# rounds' windows move to the tail; the committed FULLDIFF artifact
+# covers the whole registry every round.
 GATE_PRIORITY = [
-    # NEW in round 5 (never windowed by construction; the last FOUR
-    # r4-tier names below — events_time_weighted_avg, cooccurrence_lift,
-    # events_hourly_ohlc, split_leakage_check — fall past the 50-entry
-    # prefix to make room and stay FULLDIFF-covered until the r6
-    # rotation)
-    "streaming_retention_compact",
-    "streaming_exact_dedup",
-    "ann_ivf_topk_adaptive",
-    "vocab_growth_curve",
-    # post-FULLDIFF-r4 landings (judge-verified last session; now
-    # driver-windowed and in the committed FULLDIFF_r5)
-    "phrase_search",
-    "bfs_copurchase_distances",
-    "daily_metric_corr_matrix",
-    "running_balance_clamped",
-    "seasonal_naive_backtest",
-    # graph tier (scale-sweep focus this round)
-    "triangle_count_copurchase",
-    # multimodal / document plumbing
-    "media_from_files",
-    "media_resize",
-    "chunk_documents_udtf",
-    "variant_json_stats",
-    # TPC-H — the 7 of 22 never driver-windowed
-    "tpch_q6_forecast_revenue",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipping_lateness",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_parts_supplier_counts",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    # mlops tier
-    "dataset_split_assign",
-    "dataset_split_sizes",
-    "pivot_status_revenue",
-    "unpivot_lineitem_measures",
-    "levenshtein_near_dup",
-    "range_window_user_value",
-    "incremental_exact_dedup",
-    "pack_sequences",
-    "window_rank_functions",
-    "one_hot_event_types",
-    "feature_hash_docs",
-    "standard_scale_event_values",
-    "linreg_quality_train",
-    # warehouse tier
-    "median_order_value_by_status",
-    "mode_priority_by_status",
-    "listagg_customer_years",
-    "winsorize_event_values",
-    "bucketed_join_revenue",
-    "events_debounce",
-    "dq_check_orders",
-    "table_diff_orders",
-    "active_versions_per_day",
-    # embedding / PQ tier
-    "embedding_random_projection",
-    "ann_recall_eval",
-    "pq_encode_embeddings",
-    "pq_adc_topk",
-    "embedding_mrl_truncate",
-    # governance / analytics tier
-    "pysource_user_totals",
-    "k_anonymity_orders",
+    # events / analytics tier
     "events_time_weighted_avg",
     "cooccurrence_lift",
     "events_hourly_ohlc",
-    "split_leakage_check",
+    "events_sliding_agg",
+    "events_ewma_value",
+    "events_rollup_cascade",
+    "events_dow_hour_heatmap",
+    "event_transition_matrix",
+    "event_journeys",
+    "inter_event_gap_histogram",
+    "mad_outliers_event_values",
+    "stats_moments_by_event_type",
+    "impute_event_values",
+    "daily_metric_correlation",
+    "wau_rolling_7d",
+    "delivery_latency_percentiles",
+    "funnel_bounded_conversion",
+    "match_recognize_funnel",
+    # text / LM / curation tier
+    "bpe_merge_candidates",
+    "bpe_token_accounting",
+    "pack_sequences_text",
+    "strip_duplicated_spans",
+    "quantile_normalize_doclen",
+    "chi2_token_lang",
+    "label_encode_sources",
+    "quality_model_calibration",
+    "psi_value_drift",
+    "source_quality_report",
+    "dup_group_size_histogram",
+    # sampling / splits / ML tier
+    "mixture_sample_temperature",
+    "weighted_priority_sample",
+    "distribution_match_sample",
+    "group_aware_split",
+    "target_encode_priority",
+    "item_cf_similarity",
+    "forget_user_impact",
+    "pandas_trimmed_mean_price",
+    # orders / warehouse tier
+    "revenue_share_by_status",
+    "profile_orders",
+    "orders_table_checksum",
+    "orders_price_histogram",
+    "orders_price_equidepth",
+    "user_cohort_retention_triangle",
+    "cohort_ltv_curve",
+    "weekly_churn_accounting",
+    "attribution_model_compare",
+    # plan / source tier
+    "pysource_shard_pruned",
+    "broadcast_hint_sqltext",
+    "bloom_semijoin_filter",
+    "zorder_skipping_index",
 ]
 
 

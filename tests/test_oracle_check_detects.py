@@ -90,3 +90,109 @@ def test_detects_swapped_rows_is_still_green(pair):
     sdf, odf = pair
     v = compare_frames(sdf, odf.iloc[::-1])
     assert v["hash_match"] and v["err"] is None
+
+
+# ---------------------------------------------------------------------------
+# Vectorized frame_rows equivalence (r6, VERDICT r5 #2)
+#
+# frame_rows was rewritten from per-row iterrows() canonicalization to a
+# column-wise pass over the to_numpy() interleave. The contract is that
+# both produce IDENTICAL canonical rows for every dtype combination the
+# two engines emit — iterrows' common-dtype upcast included ('5' vs
+# '5.0' is a hash difference). The reference below IS the historical
+# implementation, kept verbatim here as the semantics pin.
+# ---------------------------------------------------------------------------
+
+
+def _frame_rows_reference(df):
+    """The pre-r6 iterrows implementation, verbatim."""
+    from tools.oracle_check import canon
+
+    cols = sorted(df.columns)
+    rows = [tuple(canon(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    rows.sort()
+    return rows
+
+
+def _tricky_frames():
+    import datetime
+    from decimal import Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    yield "mixed_int_float_upcast", pd.DataFrame(
+        {"i": [1, 2, 3], "f": [1.5, float("nan"), -0.0]}
+    )
+    yield "pure_int", pd.DataFrame({"a": [1, 2], "b": [10, -5]})
+    yield "int_plus_object_no_upcast", pd.DataFrame(
+        {"i": [5, 7], "s": ["x", None]}
+    )
+    yield "decimal_and_float", pd.DataFrame(
+        {"d": [Decimal("1.230"), Decimal("-4.5")], "f": [0.0, 2.0**53]}
+    )
+    yield "pure_datetime", pd.DataFrame(
+        {"ts": pd.to_datetime(["2020-01-01 12:34:56", "2021-06-30 00:00:00"])}
+    )
+    yield "datetime_plus_int_interleave", pd.DataFrame(
+        {"ts": pd.to_datetime(["2020-01-01", "2021-01-01"]), "n": [1, 2]}
+    )
+    yield "date_objects", pd.DataFrame(
+        {"d": [datetime.date(2020, 1, 1), datetime.date(2021, 2, 3)], "v": [1.0, 2.0]}
+    )
+    yield "bool_plus_int_upcast", pd.DataFrame(
+        {"b": [True, False], "i": [7, 8]}
+    )
+    yield "nullable_none_nan_mix", pd.DataFrame(
+        {"o": [None, "a"], "f": [float("nan"), 1.0], "i": [1, 2]}
+    )
+    yield "neg_zero_and_tiny", pd.DataFrame(
+        {"f": [-0.0, 5e-324, -5e-324, 1e308]}
+    )
+    yield "int64_extremes", pd.DataFrame(
+        {"i": np.array([2**63 - 1, -(2**63)], dtype=np.int64)}
+    )
+    yield "empty_frame", pd.DataFrame({"a": pd.Series([], dtype="float64")})
+    yield "single_object_decimal_nan", pd.DataFrame(
+        {"o": [Decimal("0"), None, float("nan"), 3]}
+    )
+
+
+def test_frame_rows_matches_iterrows_reference():
+    from tools.oracle_check import frame_rows
+
+    for name, df in _tricky_frames():
+        assert frame_rows(df) == _frame_rows_reference(df), name
+
+
+def test_frame_rows_hypothesis_mixed(spark):
+    """Property: random mixed-dtype frames canonicalize identically."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tools.oracle_check import frame_rows
+
+    import pandas as pd
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        ints=st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=8),
+        floats=st.lists(
+            st.floats(allow_infinity=True, allow_nan=True, width=64),
+            min_size=1,
+            max_size=8,
+        ),
+        strs=st.lists(
+            st.one_of(st.none(), st.text(max_size=6)), min_size=1, max_size=8
+        ),
+        drop_strs=st.booleans(),
+    )
+    def check(ints, floats, strs, drop_strs):
+        n = min(len(ints), len(floats), len(strs))
+        data = {"i": ints[:n], "f": floats[:n]}
+        if not drop_strs:
+            data["s"] = strs[:n]
+        df = pd.DataFrame(data)
+        assert frame_rows(df) == _frame_rows_reference(df)
+
+    check()
