@@ -20,17 +20,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: last persisted generation per (session id, tag)
-_GENERATIONS: dict[tuple[int, str], DataFrame] = {}
+#: last persisted generation per (session id, tag) — the session object
+#: is stored alongside so an id()-reuse after the old session is GC'd
+#: can never alias a new session onto a dead session's entry (ADVICE r5)
+_GENERATIONS: dict[tuple[int, str], tuple[object, DataFrame]] = {}
 
 
 def cached_generation(spark, tag: str, df: DataFrame) -> DataFrame:
     """persist ``df``, unpersisting the previous generation for this
-    (session, tag) first. See module docstring for the why."""
+    (session, tag) first. See module docstring for the why.
+
+    Single-live-session contract (ADVICE r5): entries from any OTHER
+    session are evicted on insert — a stopped-and-replaced session's
+    JVM-side cache died with its context, so holding its DataFrames
+    here only retained dead plan objects (and the session they pin)
+    forever. ``unpersist`` on an evicted entry is best-effort: it
+    raises on a stopped context, which is exactly the already-freed
+    case.
+    """
+    for k, (sess, pdf) in list(_GENERATIONS.items()):
+        if sess is not spark:
+            _GENERATIONS.pop(k, None)
+            try:
+                pdf.unpersist()
+            except Exception:  # noqa: BLE001 — stopped context
+                pass
     key = (id(spark), tag)
     prev = _GENERATIONS.pop(key, None)
-    if prev is not None:
-        prev.unpersist()
+    if prev is not None and prev[0] is spark:
+        prev[1].unpersist()
     out = df.persist()
-    _GENERATIONS[key] = out
+    _GENERATIONS[key] = (spark, out)
     return out

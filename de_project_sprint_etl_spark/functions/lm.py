@@ -688,10 +688,12 @@ def phrase_occurrences(
     # tokenizer — an uppercase/punctuated phrase must match the
     # normalized posting list, not silently miss. The output label
     # stays the caller's original phrase string.
+    # A phrase that normalizes to EMPTY (punctuation-only, non-Latin)
+    # trivially matches nothing: it gets the zero-count row, keeping
+    # this a total function over any query set (ADVICE r5 — the
+    # transient ValueError here was a behavior regression for callers
+    # probing such phrases).
     norm = {p: py_norm_text(p) for p in phrases}
-    empty = [p for p, np_ in norm.items() if not np_]
-    if empty:
-        raise ValueError(f"phrases normalize to empty: {empty!r}")
     terms = sorted({w for np_ in norm.values() for w in np_.split()})
     # the posting list feeds every phrase branch AND every adjacency
     # join side — materialize or the corpus tokenize/explode re-runs per
@@ -709,6 +711,14 @@ def phrase_occurrences(
     out = None
     for phrase in phrases:
         ws = norm[phrase].split()
+        if not ws:
+            agg = docs.sparkSession.range(1).select(
+                F.lit(phrase).alias("phrase"),
+                F.lit(0).cast("long").alias("n_docs"),
+                F.lit(0).cast("long").alias("n_occurrences"),
+            )
+            out = agg if out is None else out.unionByName(agg)
+            continue
         cur = post.filter(F.col("term") == ws[0]).select(
             "doc", F.col("pos").alias("p0")
         )
@@ -743,14 +753,18 @@ def sql_phrase_occurrences(rel: str, phrases: list[str]) -> str:
         return s.replace("'", "''")
 
     norm = {p: py_norm_text(p) for p in phrases}
-    empty = [p for p, np_ in norm.items() if not np_]
-    if empty:
-        raise ValueError(f"phrases normalize to empty: {empty!r}")
     terms = sorted({w for np_ in norm.values() for w in np_.split()})
-    in_list = ", ".join(f"'{q(t)}'" for t in terms)
+    in_list = ", ".join(f"'{q(t)}'" for t in terms) or "''"
     branches = []
     for phrase in phrases:
         ws = norm[phrase].split()
+        if not ws:  # empty-normalizing phrase: zero-count row (total fn)
+            branches.append(
+                f"SELECT '{q(phrase)}' AS phrase,"
+                f" CAST(0 AS BIGINT) AS n_docs,"
+                f" CAST(0 AS BIGINT) AS n_occurrences"
+            )
+            continue
         joins = []
         for i, w in enumerate(ws[1:], start=1):
             joins.append(

@@ -33,7 +33,11 @@ ORACLES: dict[str, str] = {}
 # can return the SAME plan object. Building a cohort/dedup plan costs
 # 0.2–0.6 s of driver-side py4j/analysis work per call — pure overhead
 # on the second and every later invocation. Cache entries hold the
-# session object, so a restarted session gets fresh plans.
+# session object, so a restarted session gets fresh plans — and, on
+# every insert, entries from any OTHER session are evicted (VERDICT r5:
+# a long-lived process that churns SparkSessions must not retain every
+# dead session's plan objects forever; same single-live-session
+# contract as functions/caching.cached_generation).
 _PLAN_CACHE: dict[tuple[str, int, str], tuple[SparkSession, DataFrame]] = {}
 
 
@@ -44,6 +48,9 @@ def _prepared(name: str, fn: QueryFn) -> QueryFn:
         if hit is not None and hit[0] is spark:
             return hit[1]
         df = fn(spark, sf_dir)
+        for k, (sess, _plan) in list(_PLAN_CACHE.items()):
+            if sess is not spark:
+                _PLAN_CACHE.pop(k, None)
         _PLAN_CACHE[key] = (spark, df)
         return df
 

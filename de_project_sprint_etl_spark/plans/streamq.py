@@ -19,6 +19,7 @@ single-batch contract is only what makes it oracle-comparable.
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
 import tempfile
@@ -518,6 +519,22 @@ def q_streaming_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAST_FEB: dict[tuple[int, str], tuple[str, str]] = {}
 
 
+@atexit.register
+def _cleanup_stream_tmpdirs() -> None:
+    """The per-invocation lifecycle only removes the PREVIOUS run's
+    checkpoint/drain dirs (the caller still holds a plan over the
+    current ones) — so the FINAL generation under /tmp is cleaned here
+    at interpreter exit instead of leaking one pair per session per
+    process lifetime (ADVICE r5)."""
+    import shutil
+
+    for ckpt, out in _LAST_FEB.values():
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+    for _name, ckpt in _LAST_SINK.values():
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _retention_stream_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Snapshot + increment order logs materialized once per corpus
     generation: the snapshot as one static parquet dir, the increment
@@ -528,9 +545,17 @@ def _retention_stream_src(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         order_log_snapshot_increment,
     )
 
+    # keyed on BOTH inputs' stats: the snapshot/increment derives from
+    # orders JOIN lineitem, so regenerating lineitem.parquet alone must
+    # invalidate too (ADVICE r5 — a stale cached stream source would
+    # silently diverge from the batch oracle)
     src = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    li = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
     key = sf_dir.strip("/").replace("/", "_")
-    root = Path(_CACHE_ROOT) / f"{key}-retlog-{src.st_mtime_ns}-{src.st_size}"
+    root = Path(_CACHE_ROOT) / (
+        f"{key}-retlog-{src.st_mtime_ns}-{src.st_size}"
+        f"-{li.st_mtime_ns}-{li.st_size}"
+    )
     snap_dir, inc_dir = str(root / "snapshot"), str(root / "increment")
     if not (Path(inc_dir) / "_SUCCESS").exists():
         snapshot, increment = order_log_snapshot_increment(spark, sf_dir)

@@ -706,7 +706,19 @@ def test_phrase_occurrences_normalizes_and_escapes(spark, tmp_path):
     }
     assert oracle == out
 
-    with pytest.raises(ValueError, match="normalize to empty"):
-        lm.phrase_occurrences(docs, ["?!,"])
-    with pytest.raises(ValueError, match="normalize to empty"):
-        lm.sql_phrase_occurrences("docs", ["?!,"])
+    # total-function contract (ADVICE r5): a punctuation-only phrase
+    # normalizes to empty and gets the zero-count row on BOTH engines —
+    # never an exception, never a missing label
+    weird = ["?!,", "company s data"]
+    zout = {
+        r.phrase: (r.n_docs, r.n_occurrences)
+        for r in lm.phrase_occurrences(docs, weird).collect()
+    }
+    assert zout["?!,"] == (0, 0)
+    assert zout["company s data"] == (2, 2)
+    zsql = lm.sql_phrase_occurrences(f"read_parquet('{pq}/*.parquet')", weird)
+    zora = {p: (int(d), int(o)) for p, d, o in con.execute(zsql).fetchall()}
+    assert zora == zout
+    # and the degenerate all-empty query set still yields valid SQL
+    allz = lm.sql_phrase_occurrences(f"read_parquet('{pq}/*.parquet')", ["?"])
+    assert con.execute(allz).fetchall() == [("?", 0, 0)]

@@ -339,7 +339,64 @@ def test_cached_generation_evicts_previous(spark):
     assert not a1.storageLevel.useMemory
     assert b1.storageLevel.useMemory
     assert a2.storageLevel.useMemory
-    assert _GENERATIONS[(id(spark), "t_a")] is a2
+    assert _GENERATIONS[(id(spark), "t_a")][1] is a2
     # cleanup
     for tag in ("t_a", "t_b"):
-        _GENERATIONS.pop((id(spark), tag)).unpersist()
+        _GENERATIONS.pop((id(spark), tag))[1].unpersist()
+
+
+def test_cached_generation_evicts_dead_sessions(spark):
+    """Single-live-session contract (ADVICE r5): an entry planted under
+    a DIFFERENT session object is evicted on the next insert — a
+    session churner can't accumulate dead sessions' frames — and the
+    evicted frame's unpersist failure (stopped context) is swallowed."""
+    from de_project_sprint_etl_spark.functions.caching import (
+        _GENERATIONS,
+        cached_generation,
+    )
+
+    class _DeadFrame:
+        unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+            raise RuntimeError("context stopped")  # stopped-session shape
+
+    ghost_session, ghost_frame = object(), _DeadFrame()
+    _GENERATIONS[(id(ghost_session), "ghost_tag")] = (ghost_session, ghost_frame)
+
+    live = cached_generation(spark, "t_live", spark.range(5))
+    live.count()
+    assert (id(ghost_session), "ghost_tag") not in _GENERATIONS
+    assert ghost_frame.unpersisted  # best-effort unpersist was attempted
+    assert _GENERATIONS[(id(spark), "t_live")][0] is spark
+    _GENERATIONS.pop((id(spark), "t_live"))[1].unpersist()
+
+
+def test_plan_cache_evicts_dead_sessions():
+    """VERDICT r5 #4: _PLAN_CACHE drops entries whose session is not
+    the inserting one, so churning SparkSessions can't retain every
+    dead session's plan objects forever. Exercised with stub sessions —
+    _prepared only touches identity, never the Spark API."""
+    from de_project_sprint_etl_spark.plans.registry import _PLAN_CACHE, _prepared
+
+    calls = []
+
+    def fake_query(spark, sf_dir):
+        calls.append(spark)
+        return ("plan-of", id(spark), sf_dir)
+
+    wrapped = _prepared("__test_evict__", fake_query)
+    old_session, new_session = object(), object()
+    try:
+        p1 = wrapped(old_session, "/sf")
+        assert wrapped(old_session, "/sf") is p1  # hit, no rebuild
+        assert len(calls) == 1
+        p2 = wrapped(new_session, "/sf")  # new session: rebuild + purge
+        assert p2 != p1 and len(calls) == 2
+        assert ("__test_evict__", id(old_session), "/sf") not in _PLAN_CACHE
+        # nothing from any other session remains after the insert purge
+        assert all(sess is new_session for sess, _ in _PLAN_CACHE.values())
+    finally:
+        for k in [k for k in _PLAN_CACHE if k[0] == "__test_evict__"]:
+            _PLAN_CACHE.pop(k, None)

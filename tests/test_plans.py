@@ -720,3 +720,21 @@ def test_ivfpq_distance_join_is_candidate_confined(spark):
     assert any(
         "query_id" in k and "grp" in k and "cid" in k for k in key_lines
     ), key_lines
+
+
+def test_adaptive_ivf_counts_corpus_once_per_session(spark):
+    """VERDICT r5 #5: the adaptive stride's corpus count is a property
+    of (session, corpus), not of the invocation — building the plan a
+    second time must run ZERO new Spark jobs (the count is served from
+    _EMB_COUNT_CACHE; everything else in the build is lazy)."""
+    from de_project_sprint_etl_spark.plans import llm
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    build = RAW_QUERIES["ann_ivf_topk_adaptive"]
+    build(spark, SF)  # warm: count job + any listing work
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    build(spark, SF)
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert len(after) == len(before), "rebuild re-ran the corpus count job"
+    # and the cache is keyed to THIS session + current fixture stat
+    assert any(k[0] == id(spark) for k in llm._EMB_COUNT_CACHE)
