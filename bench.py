@@ -241,6 +241,15 @@ HEADLINE = [
     "vocab_growth_curve",
 ]
 
+# bench == registry, BY CONSTRUCTION (VERDICT r5 #7): the literal list
+# above pins the ordering of the long-lived headline set so per-query
+# numbers stay comparable across rounds; every OTHER registered query —
+# the compact/sqltext/trivial twins and anything newly landed — is
+# appended in registration order here, so nothing can be silently
+# un-benched again. There is no exclusion list: a query too slow to
+# bench is a finding, not a reason to hide it.
+HEADLINE += [n for n in registry.QUERIES if n not in set(HEADLINE)]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

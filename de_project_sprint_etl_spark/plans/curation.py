@@ -1048,22 +1048,19 @@ ORDER BY decile
 """
 
 
-@register("vocab_growth_curve", _SQL_VOCAB_GROWTH)
-def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps'-law vocabulary growth per corpus decile: new trigram
-    shingles vs postings arriving, cumulative vocabulary, and the
-    new-vocab-per-posting rate whose decay signals df saturation (the
-    quadratic-candidate hazard for shingle-keyed dedup — see module
-    note). Two partial-combined aggregates over one persisted posting
-    stream + a 10-row curve join; the only window runs over the decile
-    curve itself (domain <= 10 by construction)."""
+def vocab_growth_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Heaps'-law vocabulary growth per corpus decile over ``docs``
+    (columns ``doc_id``, ``text``): new trigram shingles vs postings
+    arriving, cumulative vocabulary, and the new-vocab-per-posting rate
+    whose decay signals df saturation (the quadratic-candidate hazard
+    for shingle-keyed dedup — see module note). Two partial-combined
+    aggregates over one persisted posting stream + a 10-row curve join;
+    the only window runs over the decile curve itself (domain <= 10 by
+    construction)."""
     from pyspark.sql import Window
-
-    from de_project_sprint_etl_spark.plans.llm import docs_fanned
 
     from de_project_sprint_etl_spark.functions.caching import cached_generation
 
-    docs = docs_fanned(spark, sf_dir)
     # generation-managed persist (one cached generation per session;
     # see functions/caching.py) — the stream feeds both decile aggs
     sh = cached_generation(
@@ -1105,3 +1102,74 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register("vocab_growth_curve", _SQL_VOCAB_GROWTH)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See :func:`vocab_growth_from` — bound to the documents table."""
+    from de_project_sprint_etl_spark.plans.llm import docs_fanned
+
+    return vocab_growth_from(spark, docs_fanned(spark, sf_dir))
+
+
+#: per-decile new-vocab-per-posting rate below which the shingle space
+#: is df-SATURATED: new postings mostly revisit existing shingles, so
+#: exact shingle-keyed candidate generation grows ~quadratically (sum
+#: of df² — the measured sf1 ngram finding, BASELINE.md round-5 table)
+#: and the right tier is MinHash-LSH (banded buckets bound candidates
+#: by band collisions, not df²). Above it the vocabulary still grows
+#: Heaps-style and the exact PPJoin tier stays near-linear. Measured
+#: envelopes: the growing sf0.01 corpus sits at 0.387–0.955, the
+#: saturated sf1 corpus at 0.000266–0.104 — 0.2 splits them with >3x
+#: margin on either side.
+DEDUP_SATURATION_THRESHOLD = 0.2
+
+_SQL_DEDUP_STRATEGY = f"""
+SELECT decile,
+       new_per_posting,
+       ROUND(CAST(cum_postings AS DOUBLE) / cum_vocab, 6) + 0.0 AS mean_df,
+       CASE WHEN new_per_posting < {DEDUP_SATURATION_THRESHOLD}
+            THEN 'minhash_lsh' ELSE 'exact_ngram' END AS chosen_tier
+FROM ({_SQL_VOCAB_GROWTH}) v
+ORDER BY decile
+"""
+
+
+def dedup_strategy_from(
+    spark: SparkSession,
+    docs: DataFrame,
+    threshold: float = DEDUP_SATURATION_THRESHOLD,
+) -> DataFrame:
+    """Dedup-tier selection wired to the df-saturation signal (VERDICT
+    r5 #3): per corpus decile, read the Heaps curve's
+    ``new_per_posting`` rate and emit the tier a pipeline should run —
+    ``exact_ngram`` (the PPJoin-family exact set-similarity join) while
+    vocabulary still grows, ``minhash_lsh`` once the shingle space
+    saturates and exact candidates go quadratic. ``mean_df`` —
+    cumulative postings per distinct shingle — is emitted alongside as
+    the blowup driver itself. Pure 10-row post-processing of the curve:
+    costs nothing beyond the curve's two partial aggregates."""
+    curve = vocab_growth_from(spark, docs)
+    return curve.select(
+        "decile",
+        "new_per_posting",
+        (
+            F.round(F.col("cum_postings").cast("double") / F.col("cum_vocab"), 6)
+            + F.lit(0.0)
+        ).alias("mean_df"),
+        F.when(F.col("new_per_posting") < threshold, F.lit("minhash_lsh"))
+        .otherwise(F.lit("exact_ngram"))
+        .alias("chosen_tier"),
+    ).orderBy("decile")
+
+
+@register("dedup_strategy_select", _SQL_DEDUP_STRATEGY)
+def q_dedup_strategy_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See :func:`dedup_strategy_from` — bound to the documents table.
+    The saturated-regime-selects-MinHash contract is pinned in pytest
+    on synthetic saturated/growing corpora; the sf1 corpus (mean df
+    ~9.6–90.7 per decile) selects minhash_lsh for every decile past the
+    first, matching the measured 12.4x exact-tier wall at 10x data."""
+    from de_project_sprint_etl_spark.plans.llm import docs_fanned
+
+    return dedup_strategy_from(spark, docs_fanned(spark, sf_dir))

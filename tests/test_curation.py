@@ -616,3 +616,55 @@ def test_bpe_encode_greedy_leftmost_overlaps(spark):
     }
     assert out2["aaa"] == ("aaa", 1), out2
     assert out2["aaaa"] == ("aaaa", 1), out2
+
+
+def test_dedup_strategy_selects_minhash_when_saturated(spark):
+    """VERDICT r5 #3: the strategy selector must choose minhash_lsh in
+    the df-SATURATED regime (new postings revisit existing shingles —
+    the quadratic-candidate hazard for exact shingle-keyed dedup) and
+    exact_ngram while the vocabulary still grows Heaps-style."""
+    from de_project_sprint_etl_spark.plans.curation import dedup_strategy_from
+
+    # saturated: 60 docs, all the same text — after decile 0 every
+    # shingle already exists, so new_per_posting collapses to 0
+    sat = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(60)],
+        "doc_id long, text string",
+    )
+    tiers = {
+        r.decile: r.chosen_tier for r in dedup_strategy_from(spark, sat).collect()
+    }
+    assert all(t == "minhash_lsh" for d, t in tiers.items() if d >= 1), tiers
+
+    # growing: every doc contributes entirely fresh vocabulary, so the
+    # rate stays near 1 and the exact tier is the right choice throughout
+    grow = spark.createDataFrame(
+        [
+            (i, " ".join(f"tok{i}x{j}" for j in range(8)))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    tiers = {
+        r.decile: r.chosen_tier
+        for r in dedup_strategy_from(spark, grow).collect()
+    }
+    assert all(t == "exact_ngram" for t in tiers.values()), tiers
+
+
+def test_dedup_strategy_costs_nothing_beyond_the_curve(spark):
+    """The selector is 10-row post-processing: its plan must contain
+    exactly the curve's aggregates — no extra exchange, no join back to
+    the corpus."""
+    from de_project_sprint_etl_spark.plans.curation import (
+        dedup_strategy_from,
+        vocab_growth_from,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"a b c d{i}") for i in range(20)], "doc_id long, text string"
+    )
+    base = vocab_growth_from(spark, docs)._jdf.queryExecution().executedPlan()
+    sel = dedup_strategy_from(spark, docs)._jdf.queryExecution().executedPlan()
+    n_ex = lambda p: p.toString().count("Exchange")  # noqa: E731
+    assert n_ex(sel) == n_ex(base)
