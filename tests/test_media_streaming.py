@@ -484,7 +484,11 @@ def _has_protobuf() -> bool:
     # transformWithState's state-server protocol is protobuf-encoded;
     # the worker dies at pre-init without it. The operator itself is
     # pure public API — it runs wherever pyspark's [connect]/protobuf
-    # extra is present.
+    # extra is present. tools/vendor_protobuf.py can materialize a
+    # pure-python runtime into .cache/pyshims from a local gcloud SDK;
+    # running pytest with PYTHONPATH=.cache/pyshims then un-skips these
+    # (PYTHONPATH so the forked Python WORKERS see it too, not just
+    # this driver process).
     try:
         import google.protobuf  # noqa: F401
 
@@ -493,11 +497,32 @@ def _has_protobuf() -> bool:
         return False
 
 
+@pytest.fixture()
+def rocksdb_state(spark):
+    """transformWithState needs a state store with column families —
+    RocksDB (bundled with Spark 4), not the default HDFS-backed one.
+    Scoped per-test: the provider is read at query start, so flipping
+    the session conf around the test is enough and leaves every other
+    streaming test on the default provider."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    yield spark
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithState requires protobuf (not in this env)",
 )
-def test_streaming_transform_with_state_ema(spark, tmp_path):
+def test_streaming_transform_with_state_ema(rocksdb_state, spark, tmp_path):
     """transformWithState (Spark 4 typed-state API) carries the per-user
     EMA cell across micro-batches: after draining a multi-file backlog,
     the final update per user matches a single-pass (ts, event_id)-
@@ -542,7 +567,7 @@ def test_streaming_transform_with_state_ema(spark, tmp_path):
     not _has_protobuf(),
     reason="transformWithState requires protobuf (not in this env)",
 )
-def test_streaming_transform_with_state_across_batches(spark, tmp_path):
+def test_streaming_transform_with_state_across_batches(rocksdb_state, spark, tmp_path):
     """The EMA count survives micro-batch boundaries (state, not
     per-batch recompute): total n_events per user equals the batch
     count after a 3-micro-batch drain."""

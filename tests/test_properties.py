@@ -436,3 +436,30 @@ def test_ngram_jaccard_prefix_join_matches_naive(spark, docs, max_df, t):
             if j >= t:
                 want[(a_, b_)] = (shared, len(sa), len(sb), j)
     assert got == want, (got, want, docs, max_df, t)
+
+
+def test_single_pass_normalizer_equals_two_pass_reference():
+    """r6: norm_text/SQL_NORM/py_norm_text were rewritten from
+    strip-then-collapse (two regex passes) to one pass replacing each
+    non-alphanumeric RUN with a single space. The forms are equivalent
+    by construction (both emit the [a-z0-9]+ tokens joined by single
+    spaces); this pins it against the verbatim old Python twin on
+    adversarial inputs."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from de_project_sprint_etl_spark.functions.text import py_norm_text
+
+    def two_pass(s: str) -> str:  # the pre-r6 implementation, verbatim
+        return re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", s.lower())).strip()
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.text(max_size=60))
+    def check(s):
+        assert py_norm_text(s) == two_pass(s), repr(s)
+
+    check()
+    for s in ("", "  ", "a!!b", "A\t B", "héllo wörld", "a\xa0b", "??", "x1 2y"):
+        assert py_norm_text(s) == two_pass(s), repr(s)
