@@ -516,9 +516,7 @@ _SH3 = text.sql_shingles("d.text", n=3)
 _MAX_SHINGLE_DF = 1000
 
 
-@register(
-    "ngram_jaccard_dedup",
-    f"""
+_SQL_NGRAM_PAIRS = f"""
 WITH sh AS (
   SELECT id, shingle FROM (
     SELECT id, UNNEST(sh_arr) AS shingle FROM (
@@ -539,8 +537,10 @@ FROM shared
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
 WHERE ROUND(shared / (sa.n_sh + sb.n_sh - shared), 6) >= 0.3
-""",
-)
+"""
+
+
+@register("ngram_jaccard_dedup", _SQL_NGRAM_PAIRS)
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-Jaccard set-similarity join (shingle-posting shuffle, not
     |docs|² — SURVEY extension op). Trigram shingles on purpose: bigram

@@ -668,3 +668,52 @@ def test_dedup_strategy_costs_nothing_beyond_the_curve(spark):
     sel = dedup_strategy_from(spark, docs)._jdf.queryExecution().executedPlan()
     n_ex = lambda p: p.toString().count("Exchange")  # noqa: E731
     assert n_ex(sel) == n_ex(base)
+
+
+def test_adaptive_dedup_executes_the_chosen_tier(spark, tmp_path):
+    """adaptive_dedup_pairs EXECUTES the tier the saturation signal
+    picks, and the SQL oracle replays the same decision: on a
+    df-saturated corpus (heavy repetition) the minhash branch runs and
+    hash-matches DuckDB's guarded-union oracle; on the growing fixture
+    corpus the exact-ngram branch runs. Also pins that the unchosen
+    tier contributes zero rows to the oracle."""
+    import duckdb
+
+    from de_project_sprint_etl_spark.plans.curation import (
+        _saturation_rate,
+        _sql_adaptive_dedup,
+        adaptive_dedup_pairs,
+    )
+    from tools.oracle_check import compare_frames
+
+    # saturated synthetic corpus: two repeated contents + one unique —
+    # every doc past decile 0 re-mints existing shingles
+    rows = []
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta epsilon zeta eta theta"))
+    for i in range(40, 80):
+        rows.append((i, "one two three four five six seven eight nine"))
+    rows.append((80, " ".join(f"uniq{j}" for j in range(9))))
+    sat_dir = str(tmp_path / "satcorpus")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sat_dir}/documents.parquet"
+    )
+
+    assert _saturation_rate(spark, sat_dir) < 0.2
+    out = adaptive_dedup_pairs(spark, sat_dir).toPandas()
+    assert set(out["tier"]) == {"minhash_lsh"}
+    assert len(out) > 0  # the repeated contents must pair up
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sat_dir}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(_sql_adaptive_dedup()).df()
+    verdict = compare_frames(out, odf)
+    assert verdict["err"] is None, verdict
+
+    # growing corpus (the sf0.001 fixture): exact tier chosen
+    assert _saturation_rate(spark, "/root/testdata/sf0.001") >= 0.2
+    out2 = adaptive_dedup_pairs(spark, "/root/testdata/sf0.001")
+    assert out2.select("tier").distinct().collect()[0][0] == "exact_ngram"
