@@ -60,6 +60,10 @@ DEFAULT = [
     "bm25_topk_docs",
     "events_sessionize",
     "streaming_exact_dedup",
+    # round-6 additions: the saturation signal and the tier it drives
+    "vocab_growth_curve",
+    "dedup_strategy_select",
+    "adaptive_dedup_pairs",
 ]
 
 
