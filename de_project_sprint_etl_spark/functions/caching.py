@@ -26,6 +26,35 @@ from pyspark.sql import DataFrame
 _GENERATIONS: dict[tuple[int, str], tuple[object, DataFrame]] = {}
 
 
+#: namespace -> {(id(session), *subkey): (session, value)} — the shared
+#: store behind session_scoped_value (one dict per call site keeps
+#: purges from scanning unrelated namespaces)
+_SESSION_VALUES: dict[str, dict] = {}
+
+
+def session_scoped_value(namespace: str, spark, subkey: tuple, compute):
+    """Session-scoped memo with the house single-live-session contract,
+    extracted (r6 review) so every corpus-property cache — the adaptive
+    IVF corpus count, the dedup saturation rate, the shared vocab curve
+    — uses ONE implementation instead of hand-rolled variants with
+    inconsistent id()-reuse guards. The session OBJECT is stored and
+    identity-checked (an id() reused after GC can never alias a dead
+    session's entry); entries from any other session are purged on
+    insert. ``subkey`` should carry the data fingerprint (file stat)
+    so a regenerated corpus recomputes."""
+    ns = _SESSION_VALUES.setdefault(namespace, {})
+    key = (id(spark), *subkey)
+    hit = ns.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    for k, (sess, _v) in list(ns.items()):
+        if sess is not spark:
+            ns.pop(k, None)
+    val = compute()
+    ns[key] = (spark, val)
+    return val
+
+
 def cached_generation(spark, tag: str, df: DataFrame) -> DataFrame:
     """persist ``df``, unpersisting the previous generation for this
     (session, tag) first. See module docstring for the why.

@@ -700,14 +700,18 @@ def phrase_occurrences(
     # reference (~5 scans for a 2-phrase query). Eager localCheckpoint
     # instead of persist: O(query-term postings) rows, GC-managed blocks
     # (no CacheManager entry leaked per call in a long-lived session).
-    post = (
-        docs.select(
-            F.col(id_col).alias("doc"),
-            F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    # ... unless every phrase normalized to empty: no branch reads the
+    # posting list then, so don't run the (eager) corpus tokenize job
+    post = None
+    if terms:
+        post = (
+            docs.select(
+                F.col(id_col).alias("doc"),
+                F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+            )
+            .filter(F.col("term").isin(terms))
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("term").isin(terms))
-        .localCheckpoint(eager=True)
-    )
     out = None
     for phrase in phrases:
         ws = norm[phrase].split()

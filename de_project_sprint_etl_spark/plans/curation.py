@@ -1104,12 +1104,31 @@ def vocab_growth_from(spark: SparkSession, docs: DataFrame) -> DataFrame:
     )
 
 
+def _vocab_curve_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE curve plan per (session, corpus): three registered queries
+    (the curve itself, the strategy selector, the adaptive pair op's
+    signal) consume it, and sharing the plan object shares the
+    generation-persisted shingle stream inside it — without this, each
+    build re-ran the dominant tokenize/explode job and unpersisted the
+    identical stream the previous query just computed (r6 review)."""
+    import os
+
+    from de_project_sprint_etl_spark.functions.caching import session_scoped_value
+    from de_project_sprint_etl_spark.plans.llm import docs_fanned
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return session_scoped_value(
+        "vocab_curve",
+        spark,
+        (sf_dir, st.st_mtime_ns, st.st_size),
+        lambda: vocab_growth_from(spark, docs_fanned(spark, sf_dir)),
+    )
+
+
 @register("vocab_growth_curve", _SQL_VOCAB_GROWTH)
 def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See :func:`vocab_growth_from` — bound to the documents table."""
-    from de_project_sprint_etl_spark.plans.llm import docs_fanned
-
-    return vocab_growth_from(spark, docs_fanned(spark, sf_dir))
+    return _vocab_curve_cached(spark, sf_dir)
 
 
 #: per-decile new-vocab-per-posting rate below which the shingle space
@@ -1149,7 +1168,10 @@ def dedup_strategy_from(
     cumulative postings per distinct shingle — is emitted alongside as
     the blowup driver itself. Pure 10-row post-processing of the curve:
     costs nothing beyond the curve's two partial aggregates."""
-    curve = vocab_growth_from(spark, docs)
+    return _strategy_select(vocab_growth_from(spark, docs), threshold)
+
+
+def _strategy_select(curve: DataFrame, threshold: float) -> DataFrame:
     return curve.select(
         "decile",
         "new_per_posting",
@@ -1170,42 +1192,38 @@ def q_dedup_strategy_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     on synthetic saturated/growing corpora; the sf1 corpus (mean df
     ~9.6–90.7 per decile) selects minhash_lsh for every decile past the
     first, matching the measured 12.4x exact-tier wall at 10x data."""
-    from de_project_sprint_etl_spark.plans.llm import docs_fanned
-
-    return dedup_strategy_from(spark, docs_fanned(spark, sf_dir))
-
-
-#: corpus-level saturation rate per (session, corpus fingerprint): the
-#: adaptive pair op needs ONE decision per corpus, and the signal is a
-#: property of the corpus, not the invocation (same caching contract as
-#: llm._EMB_COUNT_CACHE)
-_SAT_RATE_CACHE: dict[tuple[int, str, int, int], float] = {}
+    return _strategy_select(
+        _vocab_curve_cached(spark, sf_dir), DEDUP_SATURATION_THRESHOLD
+    )
 
 
 def _saturation_rate(spark: SparkSession, sf_dir: str) -> float:
     """The LAST decile's new-vocab-per-posting rate over ``documents``
     — where the Heaps curve has converged to the corpus's steady-state
     regime. Exact integer counts + ROUND(,6) on both engines, so the
-    tier decision below is engine-identical."""
+    tier decision below is engine-identical. One collect per (session,
+    corpus fingerprint): the signal is a property of the corpus, not
+    the invocation (session_scoped_value, like llm._emb_count)."""
     import os
 
-    from de_project_sprint_etl_spark.plans.llm import docs_fanned
+    from de_project_sprint_etl_spark.functions.caching import session_scoped_value
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    key = (id(spark), sf_dir, st.st_mtime_ns, st.st_size)
-    hit = _SAT_RATE_CACHE.get(key)
-    if hit is None:
-        for k in [k for k in _SAT_RATE_CACHE if k[0] != id(spark)]:
-            _SAT_RATE_CACHE.pop(k, None)
+    def compute() -> float:
         row = (
-            vocab_growth_from(spark, docs_fanned(spark, sf_dir))
+            _vocab_curve_cached(spark, sf_dir)
             .filter(F.col("decile") == 9)
             .select("new_per_posting")
             .collect()
         )
-        hit = float(row[0][0]) if row and row[0][0] is not None else 1.0
-        _SAT_RATE_CACHE[key] = hit
-    return hit
+        # no decile-9 row (max doc_id < 9, or unshingleable top decile)
+        # or a NULL rate (zero postings): treat as still-growing — the
+        # SQL oracle replays this via COALESCE(.., 1.0)
+        return float(row[0][0]) if row and row[0][0] is not None else 1.0
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return session_scoped_value(
+        "dedup_sat_rate", spark, (sf_dir, st.st_mtime_ns, st.st_size), compute
+    )
 
 
 def _sql_adaptive_dedup() -> str:
@@ -1215,14 +1233,21 @@ def _sql_adaptive_dedup() -> str:
     )
 
     t = DEDUP_SATURATION_THRESHOLD
+    # COALESCE(.., 1.0) replays the Python fallback: a corpus with no
+    # decile-9 curve row (max(doc_id) < 9, or a top decile whose texts
+    # are too short to shingle) reads as rate=1.0 → the exact tier on
+    # BOTH engines. Without it the scalar subquery is NULL and both
+    # guarded branches filter to zero rows while the engine still emits
+    # the exact tier's pairs.
+    sig = "COALESCE((SELECT r FROM sig), 1.0)"
     return f"""
 WITH sig AS (SELECT new_per_posting AS r FROM ({_SQL_VOCAB_GROWTH}) c
              WHERE decile = 9)
 SELECT id_a, id_b, 'minhash_lsh' AS tier
-FROM ({_sql_minhash_lsh()}) m WHERE (SELECT r FROM sig) < {t}
+FROM ({_sql_minhash_lsh()}) m WHERE {sig} < {t}
 UNION ALL
 SELECT id_a, id_b, 'exact_ngram' AS tier
-FROM ({_SQL_NGRAM_PAIRS}) g WHERE (SELECT r FROM sig) >= {t}
+FROM ({_SQL_NGRAM_PAIRS}) g WHERE {sig} >= {t}
 """
 
 

@@ -871,25 +871,20 @@ _SQL_ANN_IVF_ADAPTIVE = _SQL_ANN_IVF.replace(
 assert _SQL_ANN_IVF_ADAPTIVE != _SQL_ANN_IVF, "adaptive-stride rewrite missed"
 
 
-#: corpus cardinality per (session, corpus fingerprint) — the adaptive
-#: stride needs n, but n is a property of the CORPUS, not of the query
-#: invocation (VERDICT r5 #5: the count ran one extra Spark job per
-#: query build). Keyed on the parquet stat like _materialized so a
-#: regenerated fixture invalidates; purged on insert for other sessions
-#: like the prepared-plan cache.
-_EMB_COUNT_CACHE: dict[tuple[int, str, int, int], int] = {}
-
-
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus cardinality, one count job per (session, corpus
+    fingerprint) — the adaptive stride needs n, but n is a property of
+    the CORPUS, not of the query invocation (VERDICT r5 #5). Keyed on
+    the parquet stat so a regenerated fixture invalidates."""
+    from de_project_sprint_etl_spark.functions.caching import session_scoped_value
+
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = (id(spark), sf_dir, st.st_mtime_ns, st.st_size)
-    hit = _EMB_COUNT_CACHE.get(key)
-    if hit is None:
-        for k in [k for k in _EMB_COUNT_CACHE if k[0] != id(spark)]:
-            _EMB_COUNT_CACHE.pop(k, None)
-        hit = t(spark, sf_dir, "embeddings").count()
-        _EMB_COUNT_CACHE[key] = hit
-    return hit
+    return session_scoped_value(
+        "emb_count",
+        spark,
+        (sf_dir, st.st_mtime_ns, st.st_size),
+        lambda: t(spark, sf_dir, "embeddings").count(),
+    )
 
 
 @register("ann_ivf_topk_adaptive", _SQL_ANN_IVF_ADAPTIVE)

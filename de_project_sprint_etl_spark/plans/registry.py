@@ -13,6 +13,7 @@ computed column is aliased identically on both sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,18 +39,42 @@ ORACLES: dict[str, str] = {}
 # a long-lived process that churns SparkSessions must not retain every
 # dead session's plan objects forever; same single-live-session
 # contract as functions/caching.cached_generation).
-_PLAN_CACHE: dict[tuple[str, int, str], tuple[SparkSession, DataFrame]] = {}
+_PLAN_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
+
+
+def _dir_fingerprint(sf_dir: str) -> int:
+    """Cheap corpus-generation fingerprint (one scandir of the fixture
+    dir's immediate entries). Part of the plan-cache key because some
+    plans bake DATA-dependent choices in at build time — the adaptive
+    IVF stride, SemDeDup's k, the adaptive dedup tier — and a cached
+    plan built against regenerated fixtures would silently carry the
+    old corpus's decision even though the stat-keyed value caches
+    correctly invalidated."""
+    try:
+        with os.scandir(sf_dir) as it:
+            return hash(
+                tuple(
+                    sorted(
+                        (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                        for e in it
+                    )
+                )
+            )
+    except OSError:
+        return 0
 
 
 def _prepared(name: str, fn: QueryFn) -> QueryFn:
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (name, id(spark), sf_dir)
+        key = (name, id(spark), sf_dir, _dir_fingerprint(sf_dir))
         hit = _PLAN_CACHE.get(key)
         if hit is not None and hit[0] is spark:
             return hit[1]
         df = fn(spark, sf_dir)
         for k, (sess, _plan) in list(_PLAN_CACHE.items()):
-            if sess is not spark:
+            # drop dead sessions' plans, and this query's plans built
+            # against a previous fixture generation (stale fingerprint)
+            if sess is not spark or (k[0] == key[0] and k != key):
                 _PLAN_CACHE.pop(k, None)
         _PLAN_CACHE[key] = (spark, df)
         return df

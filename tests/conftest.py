@@ -27,9 +27,12 @@ def _enable_protobuf_shim() -> None:
     root = build()
     if root is None:
         return  # no local source to vendor from — tests keep skipping
-    sys.path.insert(0, root)
+    # APPEND, never prepend: the shim must only fill the gap, not take
+    # precedence over anything actually installed (its google/ is a
+    # namespace portion, so it merges with other google.* packages)
+    sys.path.append(root)
     prev = os.environ.get("PYTHONPATH", "")
-    os.environ["PYTHONPATH"] = f"{root}{os.pathsep}{prev}" if prev else root
+    os.environ["PYTHONPATH"] = f"{prev}{os.pathsep}{root}" if prev else root
 
 
 _enable_protobuf_shim()

@@ -394,9 +394,77 @@ def test_plan_cache_evicts_dead_sessions():
         assert len(calls) == 1
         p2 = wrapped(new_session, "/sf")  # new session: rebuild + purge
         assert p2 != p1 and len(calls) == 2
-        assert ("__test_evict__", id(old_session), "/sf") not in _PLAN_CACHE
+        assert not any(
+            k[1] == id(old_session) for k in _PLAN_CACHE
+        ), "dead session's plan survived the insert purge"
         # nothing from any other session remains after the insert purge
         assert all(sess is new_session for sess, _ in _PLAN_CACHE.values())
     finally:
         for k in [k for k in _PLAN_CACHE if k[0] == "__test_evict__"]:
             _PLAN_CACHE.pop(k, None)
+
+
+def test_plan_cache_invalidates_on_fixture_regeneration(tmp_path):
+    """Plans can bake DATA-dependent choices in at build time (adaptive
+    IVF stride, SemDeDup k, the adaptive dedup tier), so regenerating
+    the fixture dir must invalidate the cached plan even within one
+    session — the cache key carries a directory fingerprint."""
+    import os
+    import time
+
+    from de_project_sprint_etl_spark.plans.registry import _PLAN_CACHE, _prepared
+
+    calls = []
+
+    def fake_query(spark, sf_dir):
+        calls.append(sf_dir)
+        return ("plan", len(calls))
+
+    wrapped = _prepared("__test_fp__", fake_query)
+    sess = object()
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    f = os.path.join(d, "documents.parquet")
+    open(f, "w").write("gen1")
+    try:
+        p1 = wrapped(sess, d)
+        assert wrapped(sess, d) is p1  # unchanged dir: cache hit
+        open(f, "w").write("gen2-bigger")  # regenerate (size + mtime)
+        os.utime(f, ns=(time.time_ns(), time.time_ns()))
+        p2 = wrapped(sess, d)
+        assert p2 is not p1 and len(calls) == 2, "stale plan served"
+        # and the stale-generation entry was purged, not retained
+        assert sum(1 for k in _PLAN_CACHE if k[0] == "__test_fp__") == 1
+    finally:
+        for k in [k for k in _PLAN_CACHE if k[0] == "__test_fp__"]:
+            _PLAN_CACHE.pop(k, None)
+
+
+def test_session_scoped_value_contract():
+    """The shared memo behind every corpus-property cache: computes
+    once per (session, subkey), survives re-asks, refuses id()-reuse
+    aliasing (identity check), and purges other sessions on insert."""
+    from de_project_sprint_etl_spark.functions.caching import (
+        _SESSION_VALUES,
+        session_scoped_value,
+    )
+
+    ns = "__test_ssv__"
+    calls = []
+    a, b = object(), object()
+    try:
+        v1 = session_scoped_value(ns, a, ("k",), lambda: calls.append(1) or 11)
+        v2 = session_scoped_value(ns, a, ("k",), lambda: calls.append(2) or 22)
+        assert (v1, v2, calls) == (11, 11, [1])  # memoized
+        # id-reuse ghost: same id-keyed entry but a DIFFERENT session
+        # object must not be served — simulate by swapping the stored
+        # session ref for a foreign object
+        key = next(iter(_SESSION_VALUES[ns]))
+        _SESSION_VALUES[ns][key] = (object(), 99)
+        v3 = session_scoped_value(ns, a, ("k",), lambda: calls.append(3) or 33)
+        assert v3 == 33 and calls == [1, 3]
+        # new session purges the old session's entries on insert
+        session_scoped_value(ns, b, ("k",), lambda: 44)
+        assert all(s is b for s, _ in _SESSION_VALUES[ns].values())
+    finally:
+        _SESSION_VALUES.pop(ns, None)

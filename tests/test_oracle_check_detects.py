@@ -152,6 +152,12 @@ def _tricky_frames():
     yield "int64_extremes", pd.DataFrame(
         {"i": np.array([2**63 - 1, -(2**63)], dtype=np.int64)}
     )
+    yield "float32_narrow", pd.DataFrame(
+        {"f": np.array([0.1, float("nan"), -0.0, 2.5], dtype=np.float32)}
+    )
+    yield "float32_plus_int_upcast", pd.DataFrame(
+        {"f": np.array([0.1, 1.5], dtype=np.float32), "i": [1, 2]}
+    )
     yield "empty_frame", pd.DataFrame({"a": pd.Series([], dtype="float64")})
     yield "single_object_decimal_nan", pd.DataFrame(
         {"o": [Decimal("0"), None, float("nan"), 3]}

@@ -736,5 +736,7 @@ def test_adaptive_ivf_counts_corpus_once_per_session(spark):
     build(spark, SF)
     after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
     assert len(after) == len(before), "rebuild re-ran the corpus count job"
-    # and the cache is keyed to THIS session + current fixture stat
-    assert any(k[0] == id(spark) for k in llm._EMB_COUNT_CACHE)
+    # and the memo is keyed to THIS session + current fixture stat
+    from de_project_sprint_etl_spark.functions.caching import _SESSION_VALUES
+
+    assert any(k[0] == id(spark) for k in _SESSION_VALUES["emb_count"]), llm

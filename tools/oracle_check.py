@@ -64,8 +64,14 @@ def _canon_column(series) -> list[str]:
     """
     kind = series.dtype.kind
     if kind == "f":
+        if series.dtype.itemsize < 8:
+            # float32 etc: tolist() would WIDEN to Python float and
+            # repr the widened double ('0.10000000149011612'), while
+            # the pinned iterrows form repr'd the narrow numpy scalar
+            # ('0.1') — iterate numpy scalars through canon instead
+            return [canon(v) for v in series.to_numpy()]
         out = []
-        for v in series.tolist():  # Python floats
+        for v in series.tolist():  # Python floats, exact for float64
             if v != v:
                 out.append("NaN")
             elif v == 0.0:

@@ -68,10 +68,14 @@ def build(force: bool = False) -> str | None:
     shutil.copytree(
         GCLOUD_PB, DST, ignore=shutil.ignore_patterns("__pycache__")
     )
-    # a plain (non-namespace) 'google' package is fine: the shim root is
-    # only ever the LAST path entry a test run adds, and this env has no
-    # other google.* distribution to merge with
-    open(os.path.join(SHIM_ROOT, "google", "__init__.py"), "w").close()
+    # 'google' stays an IMPLICIT NAMESPACE package (no __init__.py), the
+    # same shape upstream protobuf ships: a regular package anywhere on
+    # sys.path would shadow every other google.* namespace portion
+    # (google-auth, googleapis-common-protos, ...) regardless of path
+    # order — a namespace portion merges with them instead
+    init = os.path.join(SHIM_ROOT, "google", "__init__.py")
+    if os.path.exists(init):
+        os.remove(init)
     # reverse the SDK's package rewrite so absolute imports resolve
     pat = re.compile(r"\bcloudsdk\.google\.protobuf\b")
     for root, _dirs, files in os.walk(DST):
