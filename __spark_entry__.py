@@ -62,7 +62,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # partition_skew_profile, lang_id_eval, source_capped_sample,
 # ab_test_analysis, kfold_assign_summary, funnel_time_to_convert) —
 # those 12 defer to round 7 so this window maximizes NEW external
-# attestation: cumulative coverage 174 → 224/236 when green. Prior
+# attestation: cumulative coverage 174 → 224 of the 236 registered
+# at rotation time (238 after the round-6 newcomers — those join the
+# r7 window with the 12 deferred). Prior
 # rounds' windows move to the tail; the committed FULLDIFF artifact
 # covers the whole registry every round.
 GATE_PRIORITY = [
