@@ -651,6 +651,75 @@ def q_near_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+_SQL_KEEP_BEST = f"""
+WITH RECURSIVE mh AS ({_sql_minhash_lsh()}),
+edges AS (SELECT id_a AS s, id_b AS d FROM mh
+          UNION SELECT id_b, id_a FROM mh),
+reach(id, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+lab AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id),
+q AS (SELECT doc_id, quality_score
+      FROM ({{Q}}) tq),
+j AS (SELECT q.doc_id, COALESCE(l.group_id, q.doc_id) AS group_id,
+             q.quality_score
+      FROM q LEFT JOIN lab l ON l.id = q.doc_id),
+r AS (SELECT j.*, ROW_NUMBER() OVER (
+        PARTITION BY group_id
+        ORDER BY quality_score DESC, doc_id) AS rn FROM j)
+SELECT doc_id, group_id, quality_score FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "near_dedup_keep_best",
+    _SQL_KEEP_BEST.replace("{Q}", _sql_text_quality(f"({SQL_DOCS_MUT}) dm")),
+)
+def q_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup with QUALITY-argmax canonical keep — what a training
+    pipeline actually wants: per near-dup cluster, survive the
+    highest-quality member (tiebreak min doc_id), not the arbitrary
+    min-id one. Composes three verified operators: MinHash+LSH pairs →
+    connected components → per-group argmax against the Gopher-style
+    quality score. Scale shape: the label table holds dup members only
+    (skew-small ⇒ broadcast), the argmax window shuffles just those
+    members, and singletons — the overwhelming majority of a real
+    corpus — stay on the map side entirely. Output: one row per
+    surviving doc (doc_id, its cluster label, its quality score)."""
+    from pyspark.sql import Window
+
+    pairs = dedup.minhash_lsh_pairs(
+        dedup.minhash_signatures(
+            shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
+        ),
+        num_hashes=16,
+        bands=4,
+        min_est_jaccard=0.5,
+    )
+    groups = dedup.dup_groups(pairs)  # (id, group_id) — dup members only
+    q = text.with_text_stats(docs_with_mutants(spark, sf_dir), "text").select(
+        "doc_id", "quality_score"
+    )
+    lab = q.join(F.broadcast(groups), q["doc_id"] == groups["id"], "left")
+    singles = lab.filter(F.col("id").isNull()).select(
+        "doc_id", F.col("doc_id").alias("group_id"), "quality_score"
+    )
+    members = lab.filter(F.col("id").isNotNull()).select(
+        "doc_id", "group_id", "quality_score"
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    best = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return singles.unionByName(best)
+
+
 def _sql_simhash(bits: int = 32) -> str:
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s{b}"

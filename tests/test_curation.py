@@ -717,3 +717,72 @@ def test_adaptive_dedup_executes_the_chosen_tier(spark, tmp_path):
     assert _saturation_rate(spark, "/root/testdata/sf0.001") >= 0.2
     out2 = adaptive_dedup_pairs(spark, "/root/testdata/sf0.001")
     assert out2.select("tier").distinct().collect()[0][0] == "exact_ngram"
+
+
+def test_adaptive_dedup_no_decile9_falls_back_to_exact(spark, tmp_path):
+    """A corpus whose id space never reaches decile 9 (max doc_id < 9)
+    yields no decile-9 curve row: the engine falls back to rate=1.0 →
+    exact tier, and the oracle must replay that via COALESCE — without
+    it the NULL signal silently empties BOTH guarded branches."""
+    import duckdb
+
+    from de_project_sprint_etl_spark.plans.curation import (
+        _saturation_rate,
+        _sql_adaptive_dedup,
+        adaptive_dedup_pairs,
+    )
+    from tools.oracle_check import compare_frames
+
+    tiny = str(tmp_path / "tinycorpus")
+    spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{tiny}/documents.parquet")
+
+    assert _saturation_rate(spark, tiny) == 1.0  # fallback, not NULL
+    out = adaptive_dedup_pairs(spark, tiny).toPandas()
+    assert len(out) > 0 and set(out["tier"]) == {"exact_ngram"}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tiny}/documents.parquet/*.parquet')"
+    )
+    verdict = compare_frames(out, con.execute(_sql_adaptive_dedup()).df())
+    assert verdict["err"] is None, verdict
+
+
+def test_near_dedup_keep_best_survives_quality_not_min_id(spark, tmp_path):
+    """The canonical survivor of a near-dup cluster is the
+    HIGHEST-QUALITY member, not the min-id one: a digit-spammed
+    variant with the LOWER doc_id must lose to its cleaner twin."""
+    from de_project_sprint_etl_spark.functions.text import with_text_stats
+    from de_project_sprint_etl_spark.plans.llm import q_near_dedup_keep_best
+
+    prose = (
+        "the data pipeline processes the data and the results are good "
+        "because they are the best of all the runs we have seen"
+    )
+    rows = [
+        (1, prose + " 000 111 222 333 444 555"),  # near-dup, low quality
+        (2, prose),                                # near-dup, high quality
+        (3, "completely different unique content about gardens and rivers"),
+        (4, "another unrelated unique document mentioning mountains"),
+    ]
+    d = str(tmp_path / "kbcorpus")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    # sanity: the quality model does rank 2 above 1 (digit penalty)
+    qs = {
+        r.doc_id: r.quality_score
+        for r in with_text_stats(docs, "text").select("doc_id", "quality_score").collect()
+    }
+    assert qs[2] > qs[1], qs
+
+    out = q_near_dedup_keep_best(spark, d).toPandas()
+    survivors = set(out["doc_id"])
+    assert 2 in survivors and 1 not in survivors, out  # argmax, not min-id
+    assert {3, 4} <= survivors  # singletons untouched
+    (cluster_row,) = out[out["doc_id"] == 2].itertuples()
+    assert cluster_row.group_id == 1  # the cluster label stays min-id
