@@ -53,76 +53,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries pass the full local differential regardless of order
 # (tools/oracle_check.py runs every one); this only widens what an
 # externally-truncated check gets to see.
-# ROUND-6 ROTATION (VERDICT r5, Next-round #1): the 50 names below are
-# exactly the never-driver-windowed registry tail (CORRECTNESS_r01–r05
-# union = 174 of 236; 62 remained) minus 12 queries the round-5 judge
-# already re-verified independently via a random DuckDB differential
-# sample (quality_decile_filter, bigram_lm_score, session_bounce_rate,
-# markov_prediction_accuracy, split_leakage_check, knn_label_coherence,
-# partition_skew_profile, lang_id_eval, source_capped_sample,
-# ab_test_analysis, kfold_assign_summary, funnel_time_to_convert) —
-# those 12 defer to round 7 so this window maximizes NEW external
-# attestation: cumulative coverage 174 → 224 of the 236 registered
-# at rotation time (238 after the round-6 newcomers — those join the
-# r7 window with the 12 deferred). Prior
-# rounds' windows move to the tail; the committed FULLDIFF artifact
-# covers the whole registry every round.
+# ROUND-7 ROTATION (VERDICT r6, Next-round #1–2): front (a) the zorder
+# pair — zorder_skipping_index was r6's one red driver cell (FLOOR-
+# boundary double divergence, now integer-stable in
+# functions/layout.scaled_sql) and needs driver re-attestation; (b) the
+# 15 never-driver-windowed queries (the 12 r5-judge-deferred + the 3
+# round-6 newcomers) — with them, cumulative driver attestation goes
+# 224 → 239/239 of the registry; (c) filler = the 33 queries whose
+# last driver window is OLDEST (all 10 r1-latest + all 14 r2-latest +
+# 9 from r3), deliberately including near_dedup_filter (broadcast
+# size-gate landed this round) and ann_ivf_topk_indexed (cell-
+# partitioned index landed this round) so this round's behavior-
+# adjacent changes get fresh external attestation. Prior rounds'
+# windows move to the tail; the committed FULLDIFF artifact covers the
+# whole registry every round.
 GATE_PRIORITY = [
-    # events / analytics tier
-    "events_time_weighted_avg",
-    "cooccurrence_lift",
-    "events_hourly_ohlc",
-    "events_sliding_agg",
-    "events_ewma_value",
-    "events_rollup_cascade",
-    "events_dow_hour_heatmap",
-    "event_transition_matrix",
-    "event_journeys",
-    "inter_event_gap_histogram",
-    "mad_outliers_event_values",
-    "stats_moments_by_event_type",
-    "impute_event_values",
-    "daily_metric_correlation",
-    "wau_rolling_7d",
-    "delivery_latency_percentiles",
-    "funnel_bounded_conversion",
-    "match_recognize_funnel",
-    # text / LM / curation tier
-    "bpe_merge_candidates",
-    "bpe_token_accounting",
-    "pack_sequences_text",
-    "strip_duplicated_spans",
-    "quantile_normalize_doclen",
-    "chi2_token_lang",
-    "label_encode_sources",
-    "quality_model_calibration",
-    "psi_value_drift",
-    "source_quality_report",
-    "dup_group_size_histogram",
-    # sampling / splits / ML tier
-    "mixture_sample_temperature",
-    "weighted_priority_sample",
-    "distribution_match_sample",
-    "group_aware_split",
-    "target_encode_priority",
-    "item_cf_similarity",
-    "forget_user_impact",
-    "pandas_trimmed_mean_price",
-    # orders / warehouse tier
-    "revenue_share_by_status",
-    "profile_orders",
-    "orders_table_checksum",
-    "orders_price_histogram",
-    "orders_price_equidepth",
-    "user_cohort_retention_triangle",
-    "cohort_ltv_curve",
-    "weekly_churn_accounting",
-    "attribution_model_compare",
-    # plan / source tier
-    "pysource_shard_pruned",
-    "broadcast_hint_sqltext",
-    "bloom_semijoin_filter",
+    # (a) r6 red cell, hardened boundary math — re-attest first
     "zorder_skipping_index",
+    "zorder_skipping_effectiveness",
+    # (b) the 15 never-driver-windowed
+    "quality_decile_filter",
+    "bigram_lm_score",
+    "session_bounce_rate",
+    "markov_prediction_accuracy",
+    "split_leakage_check",
+    "knn_label_coherence",
+    "partition_skew_profile",
+    "lang_id_eval",
+    "source_capped_sample",
+    "ab_test_analysis",
+    "kfold_assign_summary",
+    "funnel_time_to_convert",
+    "dedup_strategy_select",
+    "adaptive_dedup_pairs",
+    "near_dedup_keep_best",
+    # (c) filler: oldest attestation first — r1-latest
+    "anti_join_no_urgent_customers",
+    "count_distinct_customers",
+    "cube_status_priority",
+    "events_json_extract",
+    "media_features",
+    "rollup_revenue",
+    "semi_join_urgent_customers",
+    "set_except_customers",
+    "set_intersect_customers",
+    "topk_customers_by_revenue",
+    # r2-latest
+    "ann_bruteforce_topk_pandas",
+    "ann_ivf_topk",
+    "chunk_documents",
+    "contamination_check",
+    "corpus_curation",
+    "doc_repetition",
+    "embedding_label_centroids",
+    "embedding_quantize",
+    "exact_dedup_keep_canonical",
+    "near_dedup_filter",
+    "quality_percentiles",
+    "quality_percentiles_approx",
+    "stratified_sample",
+    "token_entropy",
+    # r3-latest (this round's behavior-adjacent ops first)
+    "ann_ivf_topk_indexed",
+    "dedup_groups",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "bm25_topk_docs",
+    "bpe_encode_vocab",
+    "calendar_dim",
+    "cdc_apply_orders",
+    "cosine_near_dup",
 ]
 
 

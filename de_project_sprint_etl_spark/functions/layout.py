@@ -85,16 +85,35 @@ def overwrite_zorder(
 # --- measure path: cross-engine SQL builders ----------------------------------
 
 
-def scaled_sql(col: str, mn: str, mx: str, bits: int = ZBITS) -> str:
+def scaled_sql(
+    col: str, mn: str, mx: str, bits: int = ZBITS, int_scale: int = 1
+) -> str:
     """SQL for affine-scaling ``col`` into the [0, 2^bits - 1] integer
-    grid given min/max expressions — identical IEEE double ops on any
-    engine, clamped, degenerate span (min==max) -> 0."""
+    grid given min/max expressions — INTEGER-STABLE cross-engine.
+
+    The naive ``FLOOR((x - mn) * top / span)`` in doubles is fragile: a
+    value whose true grid coordinate is exactly an integer boundary can
+    floor to adjacent cells on engines that contract the multiply +
+    divide differently (FMA), shifting one row per boundary — invisible
+    at most fixture seeds, red at others. Instead: values are first
+    mapped to exact integers with ``FLOOR(x * int_scale + 0.5)`` (exact
+    for inputs with <= log10(int_scale) fractional digits; one IEEE
+    multiply + add + floor, no reordering freedom, bit-identical on any
+    engine), then the cell is pure integer arithmetic. The dividend is
+    made exactly divisible by subtracting its integer remainder, so the
+    single double division is exact (quotient, dividend and divisor all
+    < 2^53) and a FLOOR boundary cannot shift by an ulp. Clamped;
+    degenerate span (min==max) -> 0."""
     top = (1 << bits) - 1
-    span = f"NULLIF(CAST({mx} AS DOUBLE) - CAST({mn} AS DOUBLE), 0.0)"
-    raw = (
-        f"CAST(FLOOR((CAST({col} AS DOUBLE) - CAST({mn} AS DOUBLE)) "
-        f"* {top} / {span}) AS BIGINT)"
-    )
+
+    def to_int(e: str) -> str:
+        mul = "" if int_scale == 1 else f" * {int_scale}.0"
+        return f"CAST(FLOOR(CAST({e} AS DOUBLE){mul} + 0.5) AS BIGINT)"
+
+    num = f"({to_int(col)} - {to_int(mn)})"
+    span = f"NULLIF({to_int(mx)} - {to_int(mn)}, 0)"
+    prod = f"({num} * {top})"
+    raw = f"CAST(({prod} - ({prod} % {span})) / {span} AS BIGINT)"
     return (
         f"COALESCE(LEAST(CAST({top} AS BIGINT), "
         f"GREATEST(CAST(0 AS BIGINT), {raw})), CAST(0 AS BIGINT))"
@@ -119,12 +138,16 @@ def zorder_index_sql(
     col_b: str,
     bucket_shift: int = 6,
     bits: int = ZBITS,
+    scale_a: int = 1,
+    scale_b: int = 1,
 ) -> str:
     """Full SQL (oracle + Catalyst share it): per-Z-bucket file-skipping
     index — row count and min/max of both interleaved columns. Bucket =
-    z >> bucket_shift, i.e. 2^(2*bits - bucket_shift) buckets ≈ files."""
-    sa = scaled_sql(col_a, "mn_a", "mx_a", bits)
-    sb = scaled_sql(col_b, "mn_b", "mx_b", bits)
+    z >> bucket_shift, i.e. 2^(2*bits - bucket_shift) buckets ≈ files.
+    ``scale_a``/``scale_b``: the integer-stability scale of each column
+    (10^max_fractional_digits — see ``scaled_sql``)."""
+    sa = scaled_sql(col_a, "mn_a", "mx_a", bits, int_scale=scale_a)
+    sb = scaled_sql(col_b, "mn_b", "mx_b", bits, int_scale=scale_b)
     z = interleave_sql("za", "zb", bits)
     return f"""
 WITH stats AS (
@@ -155,6 +178,8 @@ def skipping_effectiveness_sql(
     hi_b: str,
     bucket_shift: int = 6,
     bits: int = ZBITS,
+    scale_a: int = 1,
+    scale_b: int = 1,
 ) -> str:
     """SQL comparing file-skipping for a 2-D box predicate under three
     layouts of the SAME table into the SAME number of buckets:
@@ -170,8 +195,8 @@ def skipping_effectiveness_sql(
     the lexicographic key (hi<<bits)|lo, so their bucket granularity is
     identical to z-order's and the comparison measures the LAYOUT, not
     a bucket-count handicap."""
-    sa = scaled_sql(col_a, "mn_a", "mx_a", bits)
-    sb = scaled_sql(col_b, "mn_b", "mx_b", bits)
+    sa = scaled_sql(col_a, "mn_a", "mx_a", bits, int_scale=scale_a)
+    sb = scaled_sql(col_b, "mn_b", "mx_b", bits, int_scale=scale_b)
     z = interleave_sql("za", "zb", bits)
     n_buckets = 1 << (2 * bits - bucket_shift)
     # bucket-level stats are b_* and the predicate-box bounds box_* —

@@ -843,11 +843,15 @@ def _zorder_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cb").alias("mn_b"),
         F.max("cb").alias("mx_b"),
     )
+    # int_scale: o_custkey is integral (scale 1); o_totalprice carries
+    # exactly 2 fractional digits (scale 100) — makes the grid-cell
+    # assignment exact integer math, immune to cross-engine FLOOR-
+    # boundary ulp drift (the r6 gate divergence class).
     return orders.crossJoin(F.broadcast(stats)).select(
         F.col("ca").alias("va"),
         F.col("cb").alias("vb"),
-        F.expr(layout.scaled_sql("ca", "mn_a", "mx_a")).alias("za"),
-        F.expr(layout.scaled_sql("cb", "mn_b", "mx_b")).alias("zb"),
+        F.expr(layout.scaled_sql("ca", "mn_a", "mx_a", int_scale=1)).alias("za"),
+        F.expr(layout.scaled_sql("cb", "mn_b", "mx_b", int_scale=100)).alias("zb"),
         "mn_a", "mx_a", "mn_b", "mx_b",
     )
 
@@ -862,6 +866,8 @@ from de_project_sprint_etl_spark.functions import layout as _layout  # noqa: E40
         " FROM orders) o",
         "o_custkey",
         "o_totalprice",
+        scale_a=1,
+        scale_b=100,
     ),
 )
 def q_zorder_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -899,6 +905,8 @@ def q_zorder_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_totalprice",
         **_ZBOX,
+        scale_a=1,
+        scale_b=100,
     ),
 )
 def q_zorder_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:

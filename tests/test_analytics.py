@@ -223,6 +223,48 @@ def test_zorder_effectiveness_favors_zorder_on_2d_box(spark):
         assert r["rows_scanned"] >= r["rows_matched"]
 
 
+def test_zorder_scaled_sql_integer_stable_at_boundaries(spark):
+    """The r6 gate red cell class: a value whose TRUE grid coordinate is
+    exactly an integer boundary must land in the same cell on every
+    engine AND match the exact rational floor. Constructed adversarially:
+    span = 255 * k so (x - mn) * 255 / span hits integer boundaries for
+    every k-th value, with 2-decimal inputs (int_scale=100) — the exact
+    shape of o_totalprice. The old double-FLOOR form could drift one
+    cell at these points under FMA contraction; the integer-stable form
+    is pure int math so all three answers (Spark, DuckDB, Python
+    rational) must be identical."""
+    import duckdb
+
+    from de_project_sprint_etl_spark.functions.layout import scaled_sql
+
+    k = 7
+    # 2-decimal doubles: mn = 3.21, values step 0.01, span = 2.55 * k
+    cents = [321 + i for i in range(255 * k + 1)]
+    vals = [c / 100.0 for c in cents]
+    expr = scaled_sql("v", "mn", "mx", int_scale=100)
+    sql = (
+        "SELECT CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS c, {e} AS cell FROM "
+        "(SELECT v, MIN(v) OVER () AS mn, MAX(v) OVER () AS mx FROM rel)"
+    ).format(e=expr)
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    sdf.createOrReplaceTempView("rel")
+    got_spark = dict(
+        spark.sql(sql).rdd.map(lambda r: (r["c"], r["cell"])).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE rel AS SELECT * FROM (VALUES {}) t(v)".format(
+        ", ".join(f"({v!r})" for v in vals)
+    ))
+    got_duck = dict(con.execute(sql).fetchall())
+
+    mn_c, mx_c = cents[0], cents[-1]
+    for c in cents:
+        want = min(255, (c - mn_c) * 255 // (mx_c - mn_c))
+        assert got_spark[c] == want, (c, got_spark[c], want)
+        assert got_duck[c] == want, (c, got_duck[c], want)
+
+
 def test_match_recognize_funnel_semantics(spark, tmp_path):
     """Pattern semantics on a constructed sequence, pinned exactly:
     non-overlapping s..c..p matches, error resets the run, a purchase
