@@ -17,7 +17,7 @@ plan shape and values on every in-bound input.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: One row per observed calendar week: 100k weeks ≈ 1,900 years of
 #: data. Anything past this is a bug (e.g. week-truncation fed raw
@@ -28,6 +28,55 @@ WEEK_DIM_BOUND = 100_000
 #: handles ~10M skinny rows comfortably. Past that, exact order
 #: statistics are the wrong tool.
 EQUIDEPTH_BOUND = 10_000_000
+
+
+def _parse_size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('10485760', '10MB', '1g', '-1')."""
+    s = v.strip().lower()
+    for suffix, mult in (
+        ("kb", 1 << 10), ("k", 1 << 10),
+        ("mb", 1 << 20), ("m", 1 << 20),
+        ("gb", 1 << 30), ("g", 1 << 30),
+        ("tb", 1 << 40), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
+def gated_broadcast(
+    df: DataFrame,
+    what: str,
+    bytes_per_row: int = 64,
+    threshold_bytes: int | None = None,
+) -> DataFrame:
+    """Broadcast-hint ``df`` only if it measurably fits the session's
+    ``spark.sql.autoBroadcastJoinThreshold``; past it (or when the
+    threshold is -1/disabled) return ``df`` unhinted so the join plans
+    as a plain shuffle join.
+
+    An UNCONDITIONAL ``F.broadcast`` encodes the assumption "this side
+    is small" forever — correct for a low-dup-rate corpus, an
+    executor-OOM when 30–50% of a 100 TB web crawl are near-dup members
+    and the dup-group table is itself corpus-scale. The measurement is
+    a ``limit(max_rows + 1).count()``: a global-limit scan that
+    early-exits the moment the cap is crossed, so the gate costs one
+    bounded pass — O(max_rows) rows regardless of how enormous ``df``
+    really is — never a full count of a corpus-scale frame.
+    ``bytes_per_row`` is the estimated in-memory row footprint used to
+    convert the byte threshold into the row cap (default 64: two longs
+    + row overhead, the dedup (id, group_id) shape)."""
+    spark = df.sparkSession
+    if threshold_bytes is None:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        threshold_bytes = _parse_size_bytes(raw)
+    if threshold_bytes < 0:
+        return df
+    max_rows = max(1, threshold_bytes // bytes_per_row)
+    if df.limit(max_rows + 1).count() <= max_rows:
+        return F.broadcast(df)
+    return df
 
 
 def bounded_global_window(

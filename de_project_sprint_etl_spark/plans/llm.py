@@ -631,9 +631,16 @@ def q_near_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup removal — THE canonical training-corpus
     pass: MinHash+LSH near-dup pairs → connected components → drop
     every non-canonical group member (keep the min-id representative),
-    via a broadcast anti join of the (skew-small) drop set against the
-    corpus. Composes three already-verified operators; the oracle
-    recomputes the same thing with a recursive CTE."""
+    via an anti join of the drop set against the corpus. The drop set
+    is broadcast only when a bounded early-exit count proves it fits
+    the session broadcast threshold (``guards.gated_broadcast``); on a
+    high-dup-rate corpus — a 100 TB web crawl can be 30–50% dup
+    members, making the drop set corpus-scale — the join degrades to a
+    plain shuffle anti join instead of an executor OOM. Composes three
+    already-verified operators; the oracle recomputes the same thing
+    with a recursive CTE."""
+    from de_project_sprint_etl_spark.functions import guards
+
     pairs = dedup.minhash_lsh_pairs(
         dedup.minhash_signatures(
             shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
@@ -647,7 +654,9 @@ def q_near_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     return docs_with_mutants(spark, sf_dir).join(
-        F.broadcast(drop), "doc_id", "left_anti"
+        guards.gated_broadcast(drop, "near_dedup_filter drop set"),
+        "doc_id",
+        "left_anti",
     ).select("doc_id")
 
 
@@ -684,11 +693,16 @@ def q_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id one. Composes three verified operators: MinHash+LSH pairs →
     connected components → per-group argmax against the Gopher-style
     quality score. Scale shape: the label table holds dup members only
-    (skew-small ⇒ broadcast), the argmax window shuffles just those
+    — broadcast iff a bounded early-exit count proves it under the
+    session threshold (``guards.gated_broadcast``; a high-dup-rate
+    crawl makes the label table corpus-scale, where the hint must fall
+    away to a shuffle join) — the argmax window shuffles just those
     members, and singletons — the overwhelming majority of a real
     corpus — stay on the map side entirely. Output: one row per
     surviving doc (doc_id, its cluster label, its quality score)."""
     from pyspark.sql import Window
+
+    from de_project_sprint_etl_spark.functions import guards
 
     pairs = dedup.minhash_lsh_pairs(
         dedup.minhash_signatures(
@@ -702,7 +716,11 @@ def q_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = text.with_text_stats(docs_with_mutants(spark, sf_dir), "text").select(
         "doc_id", "quality_score"
     )
-    lab = q.join(F.broadcast(groups), q["doc_id"] == groups["id"], "left")
+    lab = q.join(
+        guards.gated_broadcast(groups, "near_dedup_keep_best dup groups"),
+        q["doc_id"] == groups["id"],
+        "left",
+    )
     singles = lab.filter(F.col("id").isNull()).select(
         "doc_id", F.col("doc_id").alias("group_id"), "quality_score"
     )

@@ -76,6 +76,50 @@ def test_global_window_guard_fires_past_bound(spark):
         assert "a partitioned path" in str(exc)
 
 
+def test_gated_broadcast_flips_on_large_build_side(spark):
+    """The near-dedup broadcast size gate: a small dup-group table keeps
+    the broadcast-hash plan; a table the gate measures past the
+    threshold loses the hint and plans a shuffle join instead — the
+    high-dup-rate-corpus shape where an unconditional broadcast OOMs.
+    Values must be identical either way (same anti join, different
+    physical strategy)."""
+    from de_project_sprint_etl_spark.functions import guards
+
+    corpus = spark.range(1000).select(F.col("id").alias("doc_id"))
+    drop = spark.range(0, 1000, 2).select(F.col("id").alias("doc_id"))
+
+    def plan(threshold):
+        gated = guards.gated_broadcast(drop, "test drop set", threshold_bytes=threshold)
+        joined = corpus.join(gated, "doc_id", "left_anti")
+        phys = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        return joined, phys
+
+    # pin the session threshold under drop's 4000-byte stats so the
+    # planner broadcasts ONLY when the gate's hint says so
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1000")
+        # gate passes (500 rows x 64 B < 10 MB) -> hint forces broadcast
+        small_j, small_p = plan(10 * 1024 * 1024)
+        assert "BroadcastHashJoin" in small_p, small_p
+
+        # 500 rows x 64 B/row = 32000 B > 1000 B threshold -> gate flips
+        big_j, big_p = plan(1000)
+        assert "BroadcastHashJoin" not in big_p, big_p
+
+        # threshold -1 (broadcast disabled) -> never hint, never count
+        off_j, off_p = plan(-1)
+        assert "BroadcastHashJoin" not in off_p, off_p
+
+        want = sorted(r.doc_id for r in small_j.collect())
+        assert want == list(range(1, 1000, 2))
+        assert sorted(r.doc_id for r in big_j.collect()) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_build_weeks_guard_is_value_neutral(spark):
     """Promoting the safety docstring into a guard must not change a
     single value on in-bound inputs (the registered queries' case)."""
