@@ -40,8 +40,11 @@ def session_scoped_value(namespace: str, spark, subkey: tuple, compute):
     inconsistent id()-reuse guards. The session OBJECT is stored and
     identity-checked (an id() reused after GC can never alias a dead
     session's entry); entries from any other session are purged on
-    insert. ``subkey`` should carry the data fingerprint (file stat)
-    so a regenerated corpus recomputes."""
+    insert. ``subkey`` is ``(locator, *fingerprint)`` — e.g. an sf_dir
+    plus its file stats: on insert, SAME-session entries for the same
+    locator with a different fingerprint are purged too (ADVICE r6),
+    so a long-lived session that regenerates fixtures doesn't
+    accumulate one dead value per old fingerprint."""
     ns = _SESSION_VALUES.setdefault(namespace, {})
     key = (id(spark), *subkey)
     hit = ns.get(key)
@@ -50,6 +53,8 @@ def session_scoped_value(namespace: str, spark, subkey: tuple, compute):
     for k, (sess, _v) in list(ns.items()):
         if sess is not spark:
             ns.pop(k, None)
+        elif subkey and len(k) > 1 and k[1] == subkey[0] and k != key:
+            ns.pop(k, None)  # same session + locator, stale fingerprint
     val = compute()
     ns[key] = (spark, val)
     return val
@@ -59,16 +64,28 @@ def cached_generation(spark, tag: str, df: DataFrame) -> DataFrame:
     """persist ``df``, unpersisting the previous generation for this
     (session, tag) first. See module docstring for the why.
 
-    Single-live-session contract (ADVICE r5): entries from any OTHER
-    session are evicted on insert — a stopped-and-replaced session's
-    JVM-side cache died with its context, so holding its DataFrames
-    here only retained dead plan objects (and the session they pin)
-    forever. ``unpersist`` on an evicted entry is best-effort: it
-    raises on a stopped context, which is exactly the already-freed
-    case.
+    Single-live-session contract (ADVICE r5), liveness-guarded
+    (ADVICE r6): entries from a DEAD other session are evicted on
+    insert — a stopped-and-replaced session's JVM-side cache died with
+    its context, so holding its DataFrames here only retained dead plan
+    objects (and the session they pin) forever. An entry from a LIVE
+    sibling session (``spark.newSession()`` shares one SparkContext —
+    its cache did NOT die) is left alone: evicting it would silently
+    unpersist a live frame and make alternating sibling calls re-run
+    the dominant job every time. ``unpersist`` on an evicted entry is
+    best-effort: it raises on a stopped context, which is exactly the
+    already-freed case.
     """
+
+    def _dead(sess) -> bool:
+        try:
+            sc = sess.sparkContext
+            return sc._jsc is None or sc._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001 — unreachable context == dead
+            return True
+
     for k, (sess, pdf) in list(_GENERATIONS.items()):
-        if sess is not spark:
+        if sess is not spark and _dead(sess):
             _GENERATIONS.pop(k, None)
             try:
                 pdf.unpersist()

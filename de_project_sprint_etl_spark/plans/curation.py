@@ -1115,12 +1115,13 @@ def _vocab_curve_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from de_project_sprint_etl_spark.functions.caching import session_scoped_value
     from de_project_sprint_etl_spark.plans.llm import docs_fanned
+    from de_project_sprint_etl_spark.plans.registry import data_fingerprint
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
     return session_scoped_value(
         "vocab_curve",
         spark,
-        (sf_dir, st.st_mtime_ns, st.st_size),
+        (sf_dir, fp),
         lambda: vocab_growth_from(spark, docs_fanned(spark, sf_dir)),
     )
 
@@ -1207,6 +1208,7 @@ def _saturation_rate(spark: SparkSession, sf_dir: str) -> float:
     import os
 
     from de_project_sprint_etl_spark.functions.caching import session_scoped_value
+    from de_project_sprint_etl_spark.plans.registry import data_fingerprint
 
     def compute() -> float:
         row = (
@@ -1220,10 +1222,8 @@ def _saturation_rate(spark: SparkSession, sf_dir: str) -> float:
         # SQL oracle replays this via COALESCE(.., 1.0)
         return float(row[0][0]) if row and row[0][0] is not None else 1.0
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    return session_scoped_value(
-        "dedup_sat_rate", spark, (sf_dir, st.st_mtime_ns, st.st_size), compute
-    )
+    fp = data_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    return session_scoped_value("dedup_sat_rate", spark, (sf_dir, fp), compute)
 
 
 def _sql_adaptive_dedup() -> str:

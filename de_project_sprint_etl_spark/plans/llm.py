@@ -962,14 +962,17 @@ def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     """Corpus cardinality, one count job per (session, corpus
     fingerprint) — the adaptive stride needs n, but n is a property of
     the CORPUS, not of the query invocation (VERDICT r5 #5). Keyed on
-    the parquet stat so a regenerated fixture invalidates."""
+    the leaf-file-aware parquet fingerprint so a regenerated fixture —
+    even one rewritten in place with identical names/sizes —
+    invalidates."""
     from de_project_sprint_etl_spark.functions.caching import session_scoped_value
+    from de_project_sprint_etl_spark.plans.registry import data_fingerprint
 
-    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    fp = data_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     return session_scoped_value(
         "emb_count",
         spark,
-        (sf_dir, st.st_mtime_ns, st.st_size),
+        (sf_dir, fp),
         lambda: t(spark, sf_dir, "embeddings").count(),
     )
 

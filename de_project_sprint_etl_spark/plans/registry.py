@@ -42,9 +42,32 @@ ORACLES: dict[str, str] = {}
 _PLAN_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
+def data_fingerprint(path: str) -> tuple:
+    """Stat fingerprint of one data path, leaf-file-aware (ADVICE r6):
+    when ``path`` is a directory (a parquet dataset of part files),
+    recurse ONE level and fold in each child's (name, mtime, size) —
+    rewriting part files IN PLACE with identical names and sizes leaves
+    the parent dir's stat unchanged, but the part files' own mtimes
+    always move. Used by the plan cache and every stat-keyed corpus
+    memo so a regenerated fixture can never serve a stale
+    data-dependent decision (IVF stride, dedup tier, SemDeDup k)."""
+    try:
+        st = os.stat(path)
+        base = (st.st_mtime_ns, st.st_size)
+        if not os.path.isdir(path):
+            return base
+        with os.scandir(path) as it:
+            return base + tuple(
+                sorted((e.name, e.stat().st_mtime_ns, e.stat().st_size) for e in it)
+            )
+    except OSError:
+        return (0,)
+
+
 def _dir_fingerprint(sf_dir: str) -> int:
     """Cheap corpus-generation fingerprint (one scandir of the fixture
-    dir's immediate entries). Part of the plan-cache key because some
+    dir, recursing one level into dataset directories — see
+    ``data_fingerprint``). Part of the plan-cache key because some
     plans bake DATA-dependent choices in at build time — the adaptive
     IVF stride, SemDeDup's k, the adaptive dedup tier — and a cached
     plan built against regenerated fixtures would silently carry the
@@ -53,12 +76,7 @@ def _dir_fingerprint(sf_dir: str) -> int:
     try:
         with os.scandir(sf_dir) as it:
             return hash(
-                tuple(
-                    sorted(
-                        (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                        for e in it
-                    )
-                )
+                tuple(sorted((e.name, data_fingerprint(e.path)) for e in it))
             )
     except OSError:
         return 0

@@ -417,6 +417,112 @@ def test_cached_generation_evicts_dead_sessions(spark):
     _GENERATIONS.pop((id(spark), "t_live"))[1].unpersist()
 
 
+def test_cached_generation_spares_live_sibling_session(spark):
+    """ADVICE r6: spark.newSession() shares one LIVE SparkContext — its
+    cache did NOT die, so alternating calls from two live siblings must
+    not unpersist each other's frames (the silent lost-persist that
+    re-ran the dominant job every alternation)."""
+    from de_project_sprint_etl_spark.functions.caching import (
+        _GENERATIONS,
+        cached_generation,
+    )
+
+    sibling = spark.newSession()
+    a = cached_generation(spark, "sib_main", spark.range(7))
+    a.count()
+    b = cached_generation(sibling, "sib_other", sibling.range(9))
+    b.count()
+    # the sibling's insert must NOT have evicted the main session's entry
+    assert _GENERATIONS[(id(spark), "sib_main")][1] is a
+    assert a.storageLevel.useMemory
+    # and alternating back leaves the sibling's frame alone too
+    a2 = cached_generation(spark, "sib_main2", spark.range(3))
+    a2.count()
+    assert _GENERATIONS[(id(sibling), "sib_other")][1] is b
+    assert b.storageLevel.useMemory
+    for key in [(id(spark), "sib_main"), (id(spark), "sib_main2"),
+                (id(sibling), "sib_other")]:
+        _GENERATIONS.pop(key)[1].unpersist()
+
+
+def test_session_scoped_value_purges_stale_fingerprint(spark):
+    """ADVICE r6: a long-lived session that regenerates fixtures must
+    not accumulate one dead memo per old fingerprint — inserting
+    (locator, new_fp) purges same-session entries for the same locator
+    with a different fingerprint, while other locators coexist."""
+    from de_project_sprint_etl_spark.functions.caching import (
+        _SESSION_VALUES,
+        session_scoped_value,
+    )
+
+    ns = "test_stale_fp"
+    v1 = session_scoped_value(ns, spark, ("/data/sfX", 111), lambda: "gen1")
+    other = session_scoped_value(ns, spark, ("/data/sfY", 5), lambda: "other")
+    assert (v1, other) == ("gen1", "other")
+    v2 = session_scoped_value(ns, spark, ("/data/sfX", 222), lambda: "gen2")
+    assert v2 == "gen2"
+    store = _SESSION_VALUES[ns]
+    assert (id(spark), "/data/sfX", 111) not in store  # stale fp purged
+    assert (id(spark), "/data/sfX", 222) in store
+    assert (id(spark), "/data/sfY", 5) in store  # other locator intact
+    _SESSION_VALUES.pop(ns, None)
+
+
+def test_data_fingerprint_sees_in_place_part_rewrite(tmp_path):
+    """ADVICE r6: rewriting a parquet dataset dir's part files IN PLACE
+    (same names, same sizes) can leave the parent dir's stat unchanged;
+    the fingerprint must still flip because it folds in the leaf part
+    files' own mtimes."""
+    import os
+
+    from de_project_sprint_etl_spark.plans.registry import data_fingerprint
+
+    ds = tmp_path / "docs.parquet"
+    ds.mkdir()
+    part = ds / "part-00000.parquet"
+    part.write_bytes(b"x" * 64)
+    os.utime(ds, ns=(1_000_000_000, 1_000_000_000))
+    os.utime(part, ns=(1_000_000_000, 1_000_000_000))
+    fp1 = data_fingerprint(str(ds))
+
+    # in-place rewrite: same name, same size, parent stat pinned back
+    part.write_bytes(b"y" * 64)
+    os.utime(part, ns=(2_000_000_000, 2_000_000_000))
+    os.utime(ds, ns=(1_000_000_000, 1_000_000_000))
+    fp2 = data_fingerprint(str(ds))
+    assert fp1 != fp2
+
+    # plain single-file path still fingerprints (and flips on touch)
+    f = tmp_path / "plain.parquet"
+    f.write_bytes(b"z")
+    os.utime(f, ns=(1_000_000_000, 1_000_000_000))
+    a = data_fingerprint(str(f))
+    os.utime(f, ns=(3_000_000_000, 3_000_000_000))
+    assert data_fingerprint(str(f)) != a
+
+
+def test_protobuf_shim_rejects_future_gencode_major():
+    """ADVICE r6: the vendored runtime_version shim is not a blanket
+    no-op — gencode declaring a major beyond the validated range fails
+    with an explicit skew message instead of an obscure downstream
+    AttributeError."""
+    from tools.vendor_protobuf import _RUNTIME_VERSION_SHIM
+
+    mod: dict = {}
+    exec(_RUNTIME_VERSION_SHIM, mod)  # noqa: S102 — our own shim source
+    ok = mod["ValidateProtobufRuntimeVersion"](
+        mod["Domain"].PUBLIC, 5, 29, 3, "", "StateMessage_pb2.py"
+    )
+    assert ok is None
+    try:
+        mod["ValidateProtobufRuntimeVersion"](
+            mod["Domain"].PUBLIC, 6, 0, 0, "", "Future_pb2.py"
+        )
+        raise AssertionError("expected the shim to reject major=6")
+    except ImportError as exc:
+        assert "re-vendor" in str(exc)
+
+
 def test_plan_cache_evicts_dead_sessions():
     """VERDICT r5 #4: _PLAN_CACHE drops entries whose session is not
     the inserting one, so churning SparkSessions can't retain every

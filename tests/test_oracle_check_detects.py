@@ -171,6 +171,21 @@ def test_frame_rows_matches_iterrows_reference():
         assert frame_rows(df) == _frame_rows_reference(df), name
 
 
+def test_canon_numpy_scalar_repr_is_version_independent():
+    """ADVICE r6: canon() reprs np.float64 (a Python-float subclass)
+    via float(v), so the reference path and the vectorized tolist()
+    fast path agree regardless of numpy's scalar-repr style (numpy>=2
+    reprs np.float64(0.1) as 'np.float64(0.1)')."""
+    import numpy as np
+
+    from tools.oracle_check import canon
+
+    assert canon(np.float64(0.1)) == repr(0.1) == "0.1"
+    assert canon(np.float64(-0.0)) == "0.0"
+    assert canon(np.float64("nan")) == "NaN"
+    assert canon(np.float64(2.0**53 + 2)) == repr(float(2**53 + 2))
+
+
 def test_frame_rows_hypothesis_mixed(spark):
     """Property: random mixed-dtype frames canonicalize identically."""
     from hypothesis import given, settings

@@ -48,7 +48,12 @@ def canon(v) -> str:
             # legitimately differ on the sign of a rounded-to-zero
             # result (DuckDB keeps -0.0, Spark's ROUND drops it)
             return "0.0"
-        return repr(v)
+        # float(v) first: np.float64 IS a Python-float subclass, and
+        # numpy>=2 reprs its scalars as 'np.float64(0.1)' while the
+        # vectorized fast path reprs plain floats from tolist() —
+        # normalizing keeps both paths numpy-version-independent
+        # (value-exact: float() of a float64 scalar is the identity)
+        return repr(float(v))
     if isinstance(v, Decimal):
         return str(v.normalize())
     return str(v)

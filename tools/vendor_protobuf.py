@@ -40,8 +40,15 @@ _RUNTIME_VERSION_SHIM = '''\
 """Shim: protobuf>=5.27 gencode on the vendored 4.23 pure-python
 runtime (see tools/vendor_protobuf.py). The real module only validates
 gencode-vs-runtime version skew; the gencode APIs Spark's generated
-StateMessage_pb2 uses are present and wire-compatible in 4.23."""
+StateMessage_pb2 uses are present and wire-compatible in 4.23. The
+check is not a blanket no-op (ADVICE r6): gencode declaring a major
+beyond the range this shim was validated against fails HERE with the
+actual skew, not downstream with an obscure AttributeError."""
 from enum import Enum
+
+#: gencode majors the vendored 4.23 runtime is known wire- and
+#: API-compatible with (5.x gencode is what Spark 4 ships today)
+_MAX_KNOWN_COMPATIBLE_MAJOR = 5
 
 
 class Domain(Enum):
@@ -50,6 +57,14 @@ class Domain(Enum):
 
 
 def ValidateProtobufRuntimeVersion(domain, major, minor, patch, suffix, location):
+    if major > _MAX_KNOWN_COMPATIBLE_MAJOR:
+        raise ImportError(
+            f"protobuf gencode at {location} declares runtime_version "
+            f"{major}.{minor}.{patch}, beyond the vendored pure-python "
+            f"4.23 runtime's validated range (gencode majors <= "
+            f"{_MAX_KNOWN_COMPATIBLE_MAJOR}) - re-vendor a newer runtime "
+            f"(tools/vendor_protobuf.py)"
+        )
     return None
 '''
 
@@ -61,7 +76,11 @@ def build(force: bool = False) -> str | None:
         return None
     marker = os.path.join(DST, "runtime_version.py")
     if os.path.exists(marker) and not force:
-        return SHIM_ROOT
+        # rebuild when the shim source here has moved on from what the
+        # cached tree carries (e.g. the version-skew guard landing)
+        with open(marker, encoding="utf-8") as fh:
+            if fh.read() == _RUNTIME_VERSION_SHIM:
+                return SHIM_ROOT
     if os.path.exists(DST):
         shutil.rmtree(DST)
     os.makedirs(os.path.dirname(DST), exist_ok=True)
