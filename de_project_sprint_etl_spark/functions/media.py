@@ -2,11 +2,16 @@
 decode / feature-extraction / frame-sampling as Arrow-batched
 ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the *decode* step is a
-clearly-marked deterministic fake (features derived from the payload's
-md5 digest — stable, oracle-checkable); requesting a real decode raises
-``NotImplementedError``. Everything Spark-side — schema, partitioning,
-UDF signature, Arrow batch shape — is real and tested.
+The container has no image/audio codec LIBRARIES, so the default
+*decode* step is a clearly-marked deterministic fake (features derived
+from the payload's md5 digest — stable, oracle-checkable). The real
+path (``real_decode=True``) decodes uncompressed 24-bit BMP with the
+dependency-free pure-Python parser below (CI-exercised on real bytes),
+uses Pillow for other image formats when importable, and raises
+``NotImplementedError`` per-row for formats nothing present can decode
+— audio/video always keep the fake (no ffmpeg-class codec exists
+here). Everything Spark-side — schema, partitioning, UDF signature,
+Arrow batch shape — is real and tested either way.
 
 Scale notes: media rows are wide (payload bytes dominate), so the
 feature extractor projects the payload away as early as possible and
@@ -151,6 +156,93 @@ def _fake_decode(kind: str, payload: bytes) -> tuple[str, int, int, int, int]:
     return digest, width, height, duration_ms, int(n_frames)
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free decode of an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB): returns ``(width, height, rgb)`` where
+    ``rgb`` is the top-down row-major RGB raster. Pure stdlib, so ONE
+    real image format is decodable — and CI-testable — in codec-less
+    environments; Pillow remains the path for every other format.
+    Handles both bottom-up (positive height, the common case) and
+    top-down (negative height) files; anything else (palettes, RLE,
+    16/32-bit) raises rather than guessing."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP bitstream (missing 'BM' magic)")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP is supported "
+            f"(got bpp={bpp}, compression={comp})"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    stride = ((w * 3 + 3) // 4) * 4
+    if w <= 0 or h <= 0 or len(payload) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        sy = y if top_down else h - 1 - y
+        row = payload[data_off + sy * stride : data_off + sy * stride + w * 3]
+        rgb = bytearray(row)
+        rgb[0::3] = row[2::3]  # BGR storage -> RGB raster
+        rgb[2::3] = row[0::3]
+        out[y * w * 3 : (y + 1) * w * 3] = rgb
+    return w, h, bytes(out)
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Inverse of :func:`decode_bmp`: serialize a top-down RGB raster
+    as a standard bottom-up uncompressed 24-bit BMP. Exists so tests
+    (and fixtures) can synthesize REAL decodable bitstreams without any
+    codec library."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError("raster size does not match width*height*3")
+    stride = ((width * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - width * 3)
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        bgr = bytearray(row)
+        bgr[0::3] = row[2::3]
+        bgr[2::3] = row[0::3]
+        body += bgr + pad
+    data_off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(body)
+
+
+def _nearest_resize_rgb(
+    rgb: bytes, w: int, h: int, ow: int, oh: int
+) -> bytes:
+    """Nearest-neighbor resample of a top-down RGB raster — the
+    dependency-free twin of Pillow's NEAREST for the BMP path (plain
+    index mapping; deterministic everywhere)."""
+    out = bytearray(ow * oh * 3)
+    xmap = [(x * w) // ow for x in range(ow)]
+    for y in range(oh):
+        src = ((y * h) // oh) * w * 3
+        row = bytearray(ow * 3)
+        for x, sx in enumerate(xmap):
+            row[x * 3 : x * 3 + 3] = rgb[src + sx * 3 : src + sx * 3 + 3]
+        out[y * ow * 3 : (y + 1) * ow * 3] = row
+    return bytes(out)
+
+
 def pil_image_module():
     """Optional-dependency probe for the real image codec path: returns
     ``PIL.Image`` when Pillow is importable, else None. Called on the
@@ -166,33 +258,44 @@ def pil_image_module():
 
 
 def _real_decode(kind: str, payload: bytes) -> tuple[str, int, int, int, int]:
-    """Real decode where a codec exists: images via Pillow (dims from
-    the actual bitstream; digest still md5-of-payload so lineage keys
-    stay stable). Audio/video need ffmpeg-class codecs with no optional
-    pure-Python probe here, so those KINDS keep the deterministic fake
-    even in real mode — a mixed-kind table must not crash mid-job on
-    the rows one codec can't serve (the per-kind honesty lives in the
-    features, not in a task failure)."""
+    """Real decode where a codec exists: BMP via the built-in pure-
+    Python parser (always available — the one format that is real even
+    in codec-less environments), other images via Pillow when
+    importable (dims from the actual bitstream; digest still
+    md5-of-payload so lineage keys stay stable). An image format
+    nothing present can decode raises with the sniffed magic — honest
+    per-row, where the format is first knowable. Audio/video need
+    ffmpeg-class codecs with no optional pure-Python probe here, so
+    those KINDS keep the deterministic fake even in real mode — a
+    mixed-kind table must not crash mid-job on the rows one codec
+    can't serve (the per-kind honesty lives in the features, not in a
+    task failure)."""
     if kind != "image":
         return _fake_decode(kind, payload)
+    data = bytes(payload)
+    if data[:2] == b"BM":
+        w, h, _rgb = decode_bmp(data)
+        return hashlib.md5(data).hexdigest(), w, h, 0, 1
+    pil = pil_image_module()
+    if pil is None:
+        raise NotImplementedError(
+            f"no codec for image payload (magic {data[:4]!r}): only "
+            "uncompressed 24-bit BMP decodes without Pillow in this "
+            "environment"
+        )
     import io  # noqa: PLC0415
 
-    img = pil_image_module().open(io.BytesIO(bytes(payload)))
-    return hashlib.md5(payload).hexdigest(), img.width, img.height, 0, 1
+    img = pil.open(io.BytesIO(data))
+    return hashlib.md5(data).hexdigest(), img.width, img.height, 0, 1
 
 
 def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Decode + feature-extract via ``mapInPandas`` (Arrow-batched; one
-    Python pass per partition, no shuffle). ``real_decode=True`` uses
-    Pillow when importable (images; audio/video still need ffmpeg) and
-    raises plan-time when no codec is available — the deterministic
-    fake stays the default for codec-less environments."""
-    if real_decode and pil_image_module() is None:
-        raise NotImplementedError(
-            "real media decoding requires codec libraries (Pillow) not "
-            "present in this environment; only the deterministic fake "
-            "decode is available"
-        )
+    Python pass per partition, no shuffle). ``real_decode=True``
+    decodes BMP with the built-in pure-Python parser and other image
+    formats with Pillow when importable; a format nothing present can
+    decode raises per-row (where the bitstream's magic is first
+    knowable). The deterministic fake stays the default."""
     decode = _real_decode if real_decode else _fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -245,20 +348,14 @@ def resize_images(
     """Aspect-preserving image resize via the same Arrow-batched
     ``mapInPandas`` path as extract_features (one Python pass, no
     shuffle): the long side is scaled to ``max_side`` (never upscaled),
-    the short side rounds down proportionally with a 1 px floor. The
-    pixel transform itself is STUBBED like decode (no PIL/ffmpeg in
-    this environment): output dims are computed for real from the
-    decoded dims, and the resized payload is represented by a
-    deterministic digest of (payload, out dims) so the plumbing is
-    testable end-to-end. Non-image rows are filtered JVM-side before
-    any Python is paid."""
-    if real_decode and pil_image_module() is None:
-        raise NotImplementedError(
-            "real image resizing requires codec libraries (Pillow) not "
-            "present in this environment; only the deterministic fake "
-            "path is available"
-        )
-    decode = _real_decode if real_decode else _fake_decode
+    the short side rounds down proportionally with a 1 px floor. With
+    ``real_decode=True`` the actual pixels are resampled — BMP through
+    the built-in parser + nearest-neighbor kernel, other formats
+    through Pillow — and the digest covers the resized raster. The
+    default keeps the deterministic fake: output dims computed for real
+    from the decoded dims, resized payload represented by a digest of
+    (payload, out dims) so the plumbing is testable end-to-end.
+    Non-image rows are filtered JVM-side before any Python is paid."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -266,23 +363,38 @@ def resize_images(
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                img = None
-                if real_decode:
+                img = rgb = None
+                data = bytes(payload)
+                if real_decode and data[:2] == b"BM":
+                    w, h, rgb = decode_bmp(data)
+                elif real_decode:
+                    pil = pil_image_module()
+                    if pil is None:
+                        raise NotImplementedError(
+                            f"no codec for image payload (magic "
+                            f"{data[:4]!r}): only uncompressed 24-bit "
+                            "BMP resizes without Pillow in this "
+                            "environment"
+                        )
                     # open the bitstream ONCE — dims and the resample
                     # below share the decode (it dominates the op cost)
                     import io  # noqa: PLC0415
 
-                    img = pil_image_module().open(io.BytesIO(bytes(payload)))
+                    img = pil.open(io.BytesIO(data))
                     w, h = img.width, img.height
                 else:
-                    _, w, h, _, _ = _fake_decode(kind, bytes(payload))
+                    _, w, h, _, _ = _fake_decode(kind, data)
                 # integer scaling: the long side lands EXACTLY on the
                 # target (float scale+truncate can undershoot by 1 px)
                 long_in = max(w, h)
                 out_long = min(max_side, long_in)
                 ow = max(1, (w * out_long) // long_in)
                 oh = max(1, (h * out_long) // long_in)
-                if real_decode:
+                if rgb is not None:
+                    digest = hashlib.md5(
+                        _nearest_resize_rgb(rgb, w, h, ow, oh)
+                    ).hexdigest()
+                elif img is not None:
                     # resample the actual pixels and digest the resized
                     # raster (deterministic for a fixed Pillow version —
                     # NEAREST has no filter kernel)
@@ -292,7 +404,7 @@ def resize_images(
                     digest = hashlib.md5(resized.tobytes()).hexdigest()
                 else:
                     digest = hashlib.md5(
-                        bytes(payload) + f"|{ow}x{oh}".encode()
+                        data + f"|{ow}x{oh}".encode()
                     ).hexdigest()
                 rows.append((mid, kind, w, h, ow, oh, digest))
             yield pd.DataFrame(

@@ -510,15 +510,16 @@ def test_protobuf_shim_rejects_future_gencode_major():
 
     mod: dict = {}
     exec(_RUNTIME_VERSION_SHIM, mod)  # noqa: S102 — our own shim source
+    # Spark 4.1's StateMessage gencode declares 6.33.0 — in range
     ok = mod["ValidateProtobufRuntimeVersion"](
-        mod["Domain"].PUBLIC, 5, 29, 3, "", "StateMessage_pb2.py"
+        mod["Domain"].PUBLIC, 6, 33, 0, "", "StateMessage_pb2.py"
     )
     assert ok is None
     try:
         mod["ValidateProtobufRuntimeVersion"](
-            mod["Domain"].PUBLIC, 6, 0, 0, "", "Future_pb2.py"
+            mod["Domain"].PUBLIC, 7, 0, 0, "", "Future_pb2.py"
         )
-        raise AssertionError("expected the shim to reject major=6")
+        raise AssertionError("expected the shim to reject major=7")
     except ImportError as exc:
         assert "re-vendor" in str(exc)
 

@@ -47,8 +47,9 @@ actual skew, not downstream with an obscure AttributeError."""
 from enum import Enum
 
 #: gencode majors the vendored 4.23 runtime is known wire- and
-#: API-compatible with (5.x gencode is what Spark 4 ships today)
-_MAX_KNOWN_COMPATIBLE_MAJOR = 5
+#: API-compatible with (Spark 4.1's StateMessage gencode declares
+#: 6.33.0 and runs green on it across full rounds of streaming tests)
+_MAX_KNOWN_COMPATIBLE_MAJOR = 6
 
 
 class Domain(Enum):
