@@ -44,7 +44,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from de_project_sprint_etl_spark.functions.caching import cached_generation
-from de_project_sprint_etl_spark.functions.guards import bounded_global_window
 from de_project_sprint_etl_spark.functions.text import (
     h64,
     norm_text,
@@ -52,11 +51,14 @@ from de_project_sprint_etl_spark.functions.text import (
     with_shingles,
 )
 
-#: Dense-sid assignment runs a vocabulary-sized unpartitioned window;
-#: 2M distinct (df <= max_shingle_df) shingles is far beyond any corpus
-#: this rig sees and still broadcast-join-sized. Past it, the guard
-#: names the per-bucket assignment alternative.
-NGRAM_VOCAB_BOUND = 2_000_000
+#: Hash buckets per df group for the dense-sid assignment (VERDICT r6
+#: #7): the vocabulary is row_numbered WITHIN (df, bucket) partitions
+#: and shifted by exclusive bucket offsets, so no vocabulary-sized
+#: frame ever funnels through one window partition — the largest
+#: partition is ~|df-1 vocabulary| / NGRAM_SID_BUCKETS. The offset
+#: table is structurally bounded at (#distinct df <= max_shingle_df) x
+#: buckets rows regardless of corpus size.
+NGRAM_SID_BUCKETS = 128
 
 
 def exact_dedup(
@@ -176,28 +178,43 @@ def ngram_jaccard_pairs(
         shingles = _exploded_shingles(docs, text_col, id_col, n)
     sh = cached_generation(shingles.sparkSession, "ngram_sh", shingles)
     # df-cut (skew + no signal: a shingle in half the corpus tells you
-    # nothing) and the global candidate order in ONE pass: ascending
-    # (df, shingle) so prefixes hold the rarest shingles. groupBy.count
+    # nothing) and the candidate order in ONE pass. groupBy.count
     # partial-combines map-side, so the hottest posting list never lands
-    # in one partition. The dense-sid window is vocabulary-sized and
-    # guard-bounded; past the bound the named alternative is per-bucket
-    # assignment (row_number within df-hash bucket + exclusive offsets).
-    order_w = Window.orderBy("__df", "shingle")
-    vocab = (
+    # in one partition. Dense sids are assigned PER-BUCKET (the scale
+    # path the old guard only named): order = (df, hash-bucket,
+    # shingle) — ascending df still puts the rarest shingles in every
+    # prefix, and ANY consistent total order keeps the prefix/positional
+    # filters lossless, so bucketing the tie-break changes no output —
+    # row_number runs within (df, bucket) partitions and is shifted by
+    # exclusive offsets from a cumulative count over the (df, bucket)
+    # group table. That table is structurally bounded (<= max_shingle_df
+    # x NGRAM_SID_BUCKETS rows) no matter how large the vocabulary
+    # grows, so nothing vocabulary-sized crosses one partition.
+    counted = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_shingle_df)
-        .select(
-            "shingle",
-            bounded_global_window(
-                F.row_number().over(order_w),
-                order_w,
-                NGRAM_VOCAB_BOUND,
-                "ngram_jaccard_pairs sid assignment",
-                "per-bucket sid assignment (row_number within df-hash "
-                "bucket + exclusive bucket offsets)",
-            ).alias("sid"),
+        .withColumn(
+            "__bkt", F.pmod(F.xxhash64("shingle"), F.lit(NGRAM_SID_BUCKETS))
         )
+    )
+    off_w = (
+        Window.orderBy("__df", "__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        counted.groupBy("__df", "__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__df",
+            "__bkt",
+            F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+        )
+    )
+    sid_w = Window.partitionBy("__df", "__bkt").orderBy("shingle")
+    vocab = counted.join(F.broadcast(offsets), ["__df", "__bkt"]).select(
+        "shingle",
+        (F.row_number().over(sid_w) + F.col("__off")).alias("sid"),
     )
     # per-doc sorted sid arrays: the ONE multi-consumer node (prefix
     # explode + both verify sides). One shuffle by id; doc-count-sized.

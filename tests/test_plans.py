@@ -169,6 +169,43 @@ def test_ngram_jaccard_verifies_in_row_not_by_pair_agg(spark, docs):
     assert not pair_aggs, pair_aggs
     # posting windows: by id only, never by shingle
     assert not re.search(r"windowspecdefinition\(shingle", plan), plan
+    # sid assignment is per-(df, bucket): the vocabulary window must be
+    # PARTITIONED (the old unpartitioned form funneled the whole
+    # vocabulary through one task; VERDICT r6 #7) — an unpartitioned
+    # windowspecdefinition whose ordering starts with __df would be it
+    assert not re.search(r"windowspecdefinition\(__df\S* ASC", plan) or re.search(
+        r"windowspecdefinition\(__df\S*, __bkt", plan
+    ), plan
+
+
+def test_ngram_sid_bucketing_is_output_neutral(spark, docs):
+    """Bucketed sid assignment (row_number within (df, hash-bucket) +
+    exclusive offsets) must return EXACTLY the pairs of the single-
+    bucket form — which reproduces the old global (df, shingle) order —
+    because the prefix/positional filters are lossless under any
+    consistent total order; bucketing may only change performance."""
+    import de_project_sprint_etl_spark.functions.dedup as dd
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                dd.ngram_jaccard_pairs(
+                    docs, n=3, min_jaccard=0.2, max_shingle_df=50
+                ).collect(),
+            )
+        )
+
+    saved = dd.NGRAM_SID_BUCKETS
+    try:
+        dd.NGRAM_SID_BUCKETS = 1
+        single = run()
+        dd.NGRAM_SID_BUCKETS = 128
+        bucketed = run()
+    finally:
+        dd.NGRAM_SID_BUCKETS = saved
+    assert single == bucketed
+    assert single, "expected a nonempty pair set from the docs fixture"
 
 
 def test_fan_out_is_noop_for_many_split_input(spark):
