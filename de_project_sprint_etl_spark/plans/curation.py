@@ -1274,3 +1274,238 @@ def adaptive_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("adaptive_dedup_pairs", _sql_adaptive_dedup())(adaptive_dedup_pairs)
+
+
+# --- round-7 ops: continuation pairs, CDC chunk dedup, threshold curve --------
+
+#: id offset for the synthetic continuation docs (distinct from the
+#: mutant corpus' MUT_OFFSET so the two derived corpora never collide)
+CONT_OFFSET = 500_000
+#: boundary width (tokens) for the continuation fingerprints
+CONT_K = 4
+
+_SQL_CONT_CORPUS = f"""
+base AS (SELECT doc_id, STRING_SPLIT({SQL_NORM.format(c='text')}, ' ') AS tks
+         FROM documents),
+cont AS (SELECT doc_id + {CONT_OFFSET} AS doc_id,
+                list_slice(tks, len(tks) - {CONT_K - 1}, len(tks))
+                  || list_slice(tks, 1, 10) AS tks
+         FROM base WHERE doc_id % 7 = 0 AND len(tks) >= 14),
+corpus AS (SELECT doc_id, tks FROM base UNION ALL SELECT doc_id, tks FROM cont)
+"""
+
+_SQL_HEAD_FP = sql_h64(f"array_to_string(list_slice(tks, 1, {CONT_K}), ' ')")
+_SQL_TAIL_FP = sql_h64(
+    f"array_to_string(list_slice(tks, len(tks) - {CONT_K - 1}, len(tks)), ' ')"
+)
+
+
+def _cont_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ synthetic continuation docs: every 7th doc gets a
+    twin whose text STARTS with the original's last CONT_K tokens — the
+    concatenated-crawl artifact (page split across fetches) that
+    continuation detection exists to find. Built identically in the
+    oracle SQL."""
+    from de_project_sprint_etl_spark.functions.text import tokens
+
+    docs = fan_out(spark, t(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tks"))
+    cont = base.filter(
+        (F.col("doc_id") % 7 == 0) & (F.size("tks") >= 14)
+    ).select(
+        (F.col("doc_id") + CONT_OFFSET).alias("doc_id"),
+        F.concat(
+            F.slice("tks", -CONT_K, CONT_K), F.slice("tks", 1, 10)
+        ).alias("tks"),
+    )
+    return base.unionByName(cont)
+
+
+@register(
+    "doc_continuation_pairs",
+    f"""
+WITH {_SQL_CONT_CORPUS},
+fps AS (SELECT doc_id, {_SQL_HEAD_FP} AS head_fp, {_SQL_TAIL_FP} AS tail_fp
+        FROM corpus WHERE len(tks) >= {CONT_K})
+SELECT a.doc_id AS src_id, b.doc_id AS dst_id, a.tail_fp AS boundary_fp
+FROM fps a JOIN fps b ON a.tail_fp = b.head_fp AND a.doc_id <> b.doc_id
+""",
+)
+def q_doc_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-continuation detection: doc A's last CONT_K normalized
+    tokens equal doc B's first CONT_K — the split-page / truncated-fetch
+    artifact of web crawls, where B continues A and naive per-doc dedup
+    sees two distinct documents. Each doc contributes ONE head and ONE
+    tail fingerprint (shared 60-bit hash of the boundary token window),
+    so detection is a map-only projection plus a single equi-join on the
+    fingerprint — no pairwise comparison, no shuffle of text. At 100 TB
+    the fingerprint table is 2 longs/doc and the join output is
+    artifact-sized; candidate pairs feed the same connected-components
+    stitcher as near-dup groups."""
+    fps = _cont_corpus(spark, sf_dir).filter(F.size("tks") >= CONT_K).select(
+        "doc_id",
+        h64(F.concat_ws(" ", F.slice("tks", 1, CONT_K))).alias("head_fp"),
+        h64(F.concat_ws(" ", F.slice("tks", -CONT_K, CONT_K))).alias("tail_fp"),
+    )
+    a = fps.select(
+        F.col("doc_id").alias("src_id"), F.col("tail_fp").alias("boundary_fp")
+    )
+    b = fps.select(
+        F.col("doc_id").alias("dst_id"), F.col("head_fp").alias("boundary_fp")
+    )
+    return (
+        a.join(b, "boundary_fp")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .select("src_id", "dst_id", "boundary_fp")
+    )
+
+
+#: content-defined chunking boundary modulus: a token ends a chunk when
+#: h64(token) % CDC_W == 0, so expected chunk length is CDC_W tokens and
+#: boundaries move WITH the content — an insertion near a doc's head
+#: shifts fixed-width windows everywhere but re-synchronizes CDC chunks
+#: at the next boundary token
+CDC_W = 8
+
+_SQL_CDC_TOK = f"""
+tk AS (SELECT doc_id, STRING_SPLIT({SQL_NORM.format(c='d.text')}, ' ') AS tks
+       FROM ({{CORPUS}}) d),
+tp AS (SELECT doc_id, CAST(g.i AS INT) AS pos, tks[CAST(g.i AS INT)] AS tok
+       FROM tk, UNNEST(generate_series(1, len(tks))) AS g(i)
+       WHERE LENGTH(tks[CAST(g.i AS INT)]) > 0),
+ch AS (SELECT doc_id, pos, tok,
+              COALESCE(SUM(CASE WHEN {sql_h64('tok')} % {CDC_W} = 0
+                                THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS chunk
+       FROM tp),
+ct AS (SELECT doc_id, chunk, STRING_AGG(tok, ' ' ORDER BY pos) AS ctext,
+              COUNT(*) AS n_toks
+       FROM ch GROUP BY doc_id, chunk)
+"""
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+WITH {_SQL_CDC_TOK.format(CORPUS=SQL_DOCS_MUT)},
+fp AS (SELECT doc_id, {sql_h64('ctext')} AS chunk_fp, n_toks FROM ct)
+SELECT chunk_fp,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(n_toks) AS BIGINT) AS n_tokens
+FROM fp GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) > 1
+""",
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS boundary trick on
+    word streams): a token ENDS a chunk when its 60-bit hash ≡ 0 mod
+    CDC_W, chunks are re-assembled per (doc, running boundary count),
+    and chunks whose text hash appears in 2+ docs are the duplicated
+    spans. Unlike fixed-width windows (substring_span_dedup), CDC
+    boundaries move with the content, so a prefix insertion — exactly
+    the mutant corpus' construction — re-synchronizes at the next
+    boundary instead of shifting every window. Scale shape: one
+    per-doc-partitioned window (never global), one (doc, chunk) partial
+    agg, one fingerprint-keyed agg; the chunk stream is corpus-sized
+    but narrow, and only multi-doc fingerprints (artifact-sized) reach
+    the output."""
+    from pyspark.sql import Window
+
+    from de_project_sprint_etl_spark.functions.text import tokens
+    from de_project_sprint_etl_spark.plans.llm import docs_with_mutants
+
+    docs = docs_with_mutants(spark, sf_dir)
+    tp = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).filter(F.length("tok") > 0)
+    boundary = F.when(F.pmod(h64(F.col("tok")), F.lit(CDC_W)) == 0, 1).otherwise(0)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = tp.withColumn("chunk", F.coalesce(F.sum(boundary).over(w), F.lit(0)))
+    ct = ch.groupBy("doc_id", "chunk").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("ctext"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    fp = ct.select("doc_id", h64(F.col("ctext")).alias("chunk_fp"), "n_toks")
+    return (
+        fp.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("n_toks").cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+#: thresholds swept by the sensitivity curve — all >= the registered
+#: pair pipeline's 0.3 floor so ONE pass feeds every point
+SENS_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+def _sql_threshold_sensitivity() -> str:
+    from de_project_sprint_etl_spark.plans.llm import _SQL_NGRAM_PAIRS
+
+    vals = ", ".join(f"(CAST({t} AS DOUBLE))" for t in SENS_THRESHOLDS)
+    return f"""
+WITH pairs AS ({_SQL_NGRAM_PAIRS}),
+ex AS (SELECT t.threshold, id_a, id_b
+       FROM pairs, (VALUES {vals}) AS t(threshold)
+       WHERE jaccard >= t.threshold),
+np AS (SELECT threshold, COUNT(*) AS n_pairs FROM ex GROUP BY threshold),
+nd AS (SELECT threshold, COUNT(DISTINCT id) AS n_docs FROM (
+         SELECT threshold, id_a AS id FROM ex
+         UNION ALL SELECT threshold, id_b FROM ex) u GROUP BY threshold)
+SELECT np.threshold, CAST(np.n_pairs AS BIGINT) AS n_pairs,
+       CAST(nd.n_docs AS BIGINT) AS n_docs
+FROM np JOIN nd USING (threshold)
+"""
+
+
+def q_dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup threshold-sensitivity curve: pair count and distinct-doc
+    coverage of the n-gram Jaccard join at each candidate threshold,
+    from ONE pass of the registered pair pipeline (every swept point is
+    >= its 0.3 generation floor, so no extra candidate generation is
+    paid). This is the tuning artifact a curation run actually reads —
+    how much of the corpus each threshold would collapse — and it costs
+    two tiny aggregations over the already-verified pair output."""
+    from de_project_sprint_etl_spark.plans import llm
+
+    pairs = llm.q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    thr = F.explode(
+        F.array(*[F.lit(float(x)) for x in SENS_THRESHOLDS])
+    ).alias("threshold")
+    ex = pairs.select("id_a", "id_b", "jaccard", thr).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    np_ = ex.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    stacked = ex.select(
+        "threshold", F.explode(F.array("id_a", "id_b")).alias("id")
+    )
+    nd = stacked.groupBy("threshold").agg(
+        F.countDistinct("id").alias("n_docs")
+    )
+    return np_.join(nd, "threshold").select(
+        "threshold",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+register("dedup_threshold_sensitivity", _sql_threshold_sensitivity())(
+    q_dedup_threshold_sensitivity
+)

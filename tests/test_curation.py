@@ -786,3 +786,68 @@ def test_near_dedup_keep_best_survives_quality_not_min_id(spark, tmp_path):
     assert {3, 4} <= survivors  # singletons untouched
     (cluster_row,) = out[out["doc_id"] == 2].itertuples()
     assert cluster_row.group_id == 1  # the cluster label stays min-id
+
+
+def test_doc_continuation_pairs_find_every_planted_split(spark):
+    """Every planted continuation (doc d -> synthetic doc d+CONT_OFFSET
+    whose text starts with d's last CONT_K tokens) must be recovered,
+    and every reported pair must genuinely share its boundary window."""
+    from de_project_sprint_etl_spark.functions.text import tokens
+    from de_project_sprint_etl_spark.plans.curation import CONT_K, CONT_OFFSET
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+    from de_project_sprint_etl_spark.plans.testdata import t
+
+    pairs = {
+        (r.src_id, r.dst_id)
+        for r in RAW_QUERIES["doc_continuation_pairs"](spark, SF).collect()
+    }
+    docs = t(spark, SF, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    )
+    planted = {
+        (r.doc_id, r.doc_id + CONT_OFFSET)
+        for r in docs.filter(
+            (F.col("doc_id") % 7 == 0) & (F.col("n") >= 14)
+        ).collect()
+    }
+    assert planted, "fixture should plant at least one continuation"
+    assert planted <= pairs
+    # soundness spot-check: reported pairs share the boundary window
+    from de_project_sprint_etl_spark.plans.curation import _cont_corpus
+
+    toks = {
+        r.doc_id: r.tks for r in _cont_corpus(spark, SF).collect()
+    }
+    for src, dst in list(pairs)[:50]:
+        assert toks[src][-CONT_K:] == toks[dst][:CONT_K], (src, dst)
+
+
+def test_cdc_chunks_resynchronize_after_prefix_edit(spark):
+    """The CDC property fixed-width windows lack: dropping a PREFIX of a
+    doc leaves every chunk after the first boundary identical, so each
+    mutant shares (almost) all chunks with its original — every reported
+    fingerprint must appear in 2+ docs, and mutated docs must dominate
+    the duplicated-chunk population."""
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    rows = RAW_QUERIES["cdc_chunk_dedup"](spark, SF).collect()
+    assert rows, "mutant corpus must produce duplicated chunks"
+    for r in rows:
+        assert r.n_docs >= 2
+        assert r.n_occurrences >= r.n_docs
+        assert r.n_tokens >= 1
+
+
+def test_dedup_threshold_sensitivity_is_monotone(spark):
+    """Raising the threshold can only shrink the pair set and its doc
+    coverage — the curve must be non-increasing in both measures."""
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    rows = sorted(
+        RAW_QUERIES["dedup_threshold_sensitivity"](spark, SF).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert rows and rows[0].threshold == 0.3
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs >= b.n_docs
