@@ -66,7 +66,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # partitioned index landed this round) so this round's behavior-
 # adjacent changes get fresh external attestation. Prior rounds'
 # windows move to the tail; the committed FULLDIFF artifact covers the
-# whole registry every round.
+# whole registry every round. The three round-7 newcomers
+# (doc_continuation_pairs, cdc_chunk_dedup, dedup_threshold_sensitivity)
+# take the last three filler slots: with them AND the 15 never-windowed,
+# this window closes driver attestation over the ENTIRE 242-query
+# registry (224 + 15 + 3 = 242).
 GATE_PRIORITY = [
     # (a) r6 red cell, hardened boundary math — re-attest first
     "zorder_skipping_index",
@@ -120,9 +124,10 @@ GATE_PRIORITY = [
     "ann_lsh_topk",
     "bm25_topk_docs",
     "bpe_encode_vocab",
-    "calendar_dim",
-    "cdc_apply_orders",
-    "cosine_near_dup",
+    # round-7 newcomers — never externally attested anywhere yet
+    "doc_continuation_pairs",
+    "cdc_chunk_dedup",
+    "dedup_threshold_sensitivity",
 ]
 
 
