@@ -1386,31 +1386,11 @@ ct AS (SELECT doc_id, chunk, STRING_AGG(tok, ' ' ORDER BY pos) AS ctext,
 """
 
 
-@register(
-    "cdc_chunk_dedup",
-    f"""
-WITH {_SQL_CDC_TOK.format(CORPUS=SQL_DOCS_MUT)},
-fp AS (SELECT doc_id, {sql_h64('ctext')} AS chunk_fp, n_toks FROM ct)
-SELECT chunk_fp,
-       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-       CAST(MIN(n_toks) AS BIGINT) AS n_tokens
-FROM fp GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) > 1
-""",
-)
-def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined chunking dedup (the rsync/LBFS boundary trick on
-    word streams): a token ENDS a chunk when its 60-bit hash ≡ 0 mod
-    CDC_W, chunks are re-assembled per (doc, running boundary count),
-    and chunks whose text hash appears in 2+ docs are the duplicated
-    spans. Unlike fixed-width windows (substring_span_dedup), CDC
-    boundaries move with the content, so a prefix insertion — exactly
-    the mutant corpus' construction — re-synchronizes at the next
-    boundary instead of shifting every window. Scale shape: one
-    per-doc-partitioned window (never global), one (doc, chunk) partial
-    agg, one fingerprint-keyed agg; the chunk stream is corpus-sized
-    but narrow, and only multi-doc fingerprints (artifact-sized) reach
-    the output."""
+def _cdc_chunk_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC chunk-fingerprint stream over the mutant corpus —
+    (doc_id, chunk_fp, n_toks), one row per reassembled chunk. Shared
+    by the dedup profile and the per-source dup-rate scorecard; its SQL
+    twin is ``_SQL_CDC_TOK`` + the fingerprint projection."""
     from pyspark.sql import Window
 
     from de_project_sprint_etl_spark.functions.text import tokens
@@ -1437,7 +1417,35 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ctext"),
         F.count(F.lit(1)).alias("n_toks"),
     )
-    fp = ct.select("doc_id", h64(F.col("ctext")).alias("chunk_fp"), "n_toks")
+    return ct.select("doc_id", h64(F.col("ctext")).alias("chunk_fp"), "n_toks")
+
+
+@register(
+    "cdc_chunk_dedup",
+    f"""
+WITH {_SQL_CDC_TOK.format(CORPUS=SQL_DOCS_MUT)},
+fp AS (SELECT doc_id, {sql_h64('ctext')} AS chunk_fp, n_toks FROM ct)
+SELECT chunk_fp,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(n_toks) AS BIGINT) AS n_tokens
+FROM fp GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) > 1
+""",
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS boundary trick on
+    word streams): a token ENDS a chunk when its 60-bit hash ≡ 0 mod
+    CDC_W, chunks are re-assembled per (doc, running boundary count),
+    and chunks whose text hash appears in 2+ docs are the duplicated
+    spans. Unlike fixed-width windows (substring_span_dedup), CDC
+    boundaries move with the content, so a prefix insertion — exactly
+    the mutant corpus' construction — re-synchronizes at the next
+    boundary instead of shifting every window. Scale shape: one
+    per-doc-partitioned window (never global), one (doc, chunk) partial
+    agg, one fingerprint-keyed agg; the chunk stream is corpus-sized
+    but narrow, and only multi-doc fingerprints (artifact-sized) reach
+    the output."""
+    fp = _cdc_chunk_fps(spark, sf_dir)
     return (
         fp.groupBy("chunk_fp")
         .agg(
@@ -1509,3 +1517,156 @@ def q_dedup_threshold_sensitivity(
 register("dedup_threshold_sensitivity", _sql_threshold_sensitivity())(
     q_dedup_threshold_sensitivity
 )
+
+
+def _sql_source_dup_rate() -> str:
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET
+
+    return f"""
+WITH {_SQL_CDC_TOK.format(CORPUS=SQL_DOCS_MUT)},
+fp AS (SELECT doc_id, {sql_h64('ctext')} AS chunk_fp FROM ct),
+dupfp AS (SELECT chunk_fp FROM fp GROUP BY chunk_fp
+          HAVING COUNT(DISTINCT doc_id) > 1),
+mem AS (SELECT DISTINCT doc_id FROM fp JOIN dupfp USING (chunk_fp)),
+corpus AS (SELECT doc_id,
+                  CASE WHEN doc_id >= {MUT_OFFSET} THEN doc_id - {MUT_OFFSET}
+                       ELSE doc_id END AS base_id
+           FROM ({SQL_DOCS_MUT}) c),
+lab AS (SELECT corpus.doc_id, d.source,
+               CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        FROM corpus JOIN documents d ON d.doc_id = corpus.base_id
+        LEFT JOIN mem ON mem.doc_id = corpus.doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+FROM lab GROUP BY source
+"""
+
+
+def q_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication scorecard: the share of each feed's docs
+    that own at least one CDC chunk duplicated in another doc — the
+    report that decides which ingest feeds to throttle or drop before
+    paying full-corpus dedup on them. Composes the shared CDC chunk
+    stream; mutant docs inherit their base doc's source (base_id = id
+    mod the mutant offset), so the planted mutants concentrate the dup
+    rate exactly where the corpus builder put them. Scale shape: dup
+    membership is a fingerprint-keyed semi-join (artifact-sized
+    output), the source map is a broadcast-sized dim join, and the
+    scorecard is one |sources|-row aggregate."""
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET, docs_with_mutants
+
+    fps = _cdc_chunk_fps(spark, sf_dir).select("doc_id", "chunk_fp")
+    dupfp = (
+        fps.groupBy("chunk_fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("chunk_fp")
+    )
+    mem = (
+        fps.join(dupfp, "chunk_fp", "left_semi").select("doc_id").distinct()
+    )
+    corpus = docs_with_mutants(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") >= MUT_OFFSET, F.col("doc_id") - MUT_OFFSET
+        )
+        .otherwise(F.col("doc_id"))
+        .alias("base_id"),
+    )
+    src = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    lab = corpus.join(F.broadcast(src), "base_id").join(
+        mem.withColumn("is_dup", F.lit(1)), "doc_id", "left"
+    )
+    return lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup_docs"),
+        F.round(
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+def _sql_decontaminate() -> str:
+    from de_project_sprint_etl_spark.plans.llm import (
+        BENCH_MOD,
+        MUT_OFFSET,
+        _SH3,
+    )
+    from de_project_sprint_etl_spark.functions import text as _t
+
+    return f"""
+WITH d AS ({SQL_DOCS_MUT}),
+tr AS (
+  SELECT id, shingle FROM (
+    SELECT id, UNNEST(sh_arr) AS shingle FROM (
+      SELECT doc_id AS id, {_SH3} AS sh_arr FROM d) s0
+  ) s WHERE LENGTH(shingle) > 0
+    AND NOT (id < {MUT_OFFSET} AND id % {BENCH_MOD} = 0)
+),
+b AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT UNNEST({_t.sql_shingles('d.text', n=3)}) AS shingle
+    FROM documents d WHERE doc_id % {BENCH_MOD} = 0) x
+  WHERE LENGTH(shingle) > 0
+),
+drop_ids AS (SELECT DISTINCT id FROM tr JOIN b USING (shingle))
+SELECT doc_id FROM d
+WHERE NOT (doc_id < {MUT_OFFSET} AND doc_id % {BENCH_MOD} = 0)
+  AND NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.id = d.doc_id)
+"""
+
+
+def q_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL twin of ``contamination_check``: the surviving
+    training corpus after dropping every train doc sharing ANY trigram
+    shingle with the held-out benchmark set — what a pipeline actually
+    executes before training, not just the report. Bench shingles are
+    broadcast (the small side — correct asymmetry at any scale); the
+    contaminated-id set is size-gated before the anti join
+    (``guards.gated_broadcast``) because a heavily-leaked corpus makes
+    it corpus-scale. Short docs with no shingles survive by definition
+    on both engines."""
+    from de_project_sprint_etl_spark.functions import dedup as _dd
+    from de_project_sprint_etl_spark.functions import guards
+    from de_project_sprint_etl_spark.plans.llm import (
+        BENCH_MOD,
+        MUT_OFFSET,
+        docs_with_mutants,
+        mutant_shingles,
+    )
+
+    sh = mutant_shingles(spark, sf_dir)
+    train_sh = sh.filter(
+        ~((F.col("id") < MUT_OFFSET) & (F.col("id") % BENCH_MOD == 0))
+    )
+    bench_docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % BENCH_MOD == 0
+    )
+    bench_sh = _dd._exploded_shingles(bench_docs, "text", "doc_id", 3).select(
+        "shingle"
+    ).distinct()
+    drop = (
+        train_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    train_docs = docs_with_mutants(spark, sf_dir).filter(
+        ~((F.col("doc_id") < MUT_OFFSET) & (F.col("doc_id") % BENCH_MOD == 0))
+    )
+    return train_docs.join(
+        guards.gated_broadcast(drop, "decontaminate_train drop set"),
+        "doc_id",
+        "left_anti",
+    ).select("doc_id")
+
+
+register("decontaminate_train", _sql_decontaminate())(q_decontaminate_train)
+
+
+register("source_dup_rate", _sql_source_dup_rate())(q_source_dup_rate)

@@ -851,3 +851,48 @@ def test_dedup_threshold_sensitivity_is_monotone(spark):
     for a, b in zip(rows, rows[1:]):
         assert a.n_pairs >= b.n_pairs
         assert a.n_docs >= b.n_docs
+
+
+def test_decontaminate_train_removes_exactly_the_leaked_docs(spark):
+    """Survivors ∪ contaminated == train corpus, disjointly: every doc
+    flagged by the registered contamination_check is gone, every other
+    train doc survives, and no bench doc was in scope at all."""
+    import de_project_sprint_etl_spark.plans.curation  # noqa: F401 — registers
+    from de_project_sprint_etl_spark.plans.llm import BENCH_MOD, MUT_OFFSET
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    survivors = {
+        r.doc_id
+        for r in RAW_QUERIES["decontaminate_train"](spark, SF).collect()
+    }
+    contaminated = {
+        r.id for r in RAW_QUERIES["contamination_check"](spark, SF).collect()
+    }
+    from de_project_sprint_etl_spark.plans.llm import docs_with_mutants
+
+    train = {
+        r.doc_id
+        for r in docs_with_mutants(spark, SF).collect()
+        if not (r.doc_id < MUT_OFFSET and r.doc_id % BENCH_MOD == 0)
+    }
+    assert contaminated, "the planted mutant leaks must be detected"
+    assert survivors == train - contaminated
+    assert not (survivors & contaminated)
+
+
+def test_source_dup_rate_concentrates_on_planted_sources(spark):
+    """Counts reconcile: n_docs sums to the mutant-corpus size, every
+    dup doc is counted once, and dup_rate = n_dup/n_docs exactly; the
+    overall dup rate is nonzero (the corpus plants mutants)."""
+    import de_project_sprint_etl_spark.plans.curation  # noqa: F401 — registers
+    from de_project_sprint_etl_spark.plans.llm import docs_with_mutants
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    rows = RAW_QUERIES["source_dup_rate"](spark, SF).collect()
+    assert rows
+    n_corpus = docs_with_mutants(spark, SF).count()
+    assert sum(r.n_docs for r in rows) == n_corpus
+    assert sum(r.n_dup_docs for r in rows) > 0
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert abs(r.dup_rate - round(r.n_dup_docs / r.n_docs, 6)) < 1e-9
