@@ -733,18 +733,28 @@ _MH_PAIRS = _ORACLES["minhash_lsh_dedup"]
 
 @register(
     "minhash_dedup_eval",
+    # each heavy pair pipeline appears EXACTLY ONCE: the original form
+    # referenced tru/pr three times each (count + intersection +
+    # denominator), and DuckDB's CTE materialization/re-evaluation of
+    # the all-pairs truth side tripled its spill footprint — at sf1 it
+    # exhausted the sandbox's temp disk. The union-flag aggregate below
+    # computes all three counts from one pass over each side's
+    # (distinct-by-construction) pair set; values are identical.
     f"""
 WITH tru AS (SELECT id_a, id_b FROM ({_NG_PAIRS}) g WHERE jaccard >= 0.5),
 pr AS (SELECT id_a, id_b FROM ({_MH_PAIRS}) m),
-hits AS (SELECT COUNT(*) AS n FROM tru JOIN pr USING (id_a, id_b))
-SELECT CAST((SELECT COUNT(*) FROM tru) AS BIGINT) AS n_true_pairs,
-       CAST((SELECT COUNT(*) FROM pr) AS BIGINT) AS n_pred_pairs,
-       CAST(hits.n AS BIGINT) AS n_hits,
-       ROUND(CAST(hits.n AS DOUBLE)
-             / GREATEST((SELECT COUNT(*) FROM pr), 1), 6) AS precision,
-       ROUND(CAST(hits.n AS DOUBLE)
-             / GREATEST((SELECT COUNT(*) FROM tru), 1), 6) AS recall
-FROM hits
+u AS (SELECT id_a, id_b, 1 AS t, 0 AS p FROM tru
+      UNION ALL SELECT id_a, id_b, 0 AS t, 1 AS p FROM pr),
+g AS (SELECT id_a, id_b, MAX(t) AS t, MAX(p) AS p FROM u GROUP BY id_a, id_b),
+s AS (SELECT CAST(SUM(t) AS BIGINT) AS n_true_pairs,
+             CAST(SUM(p) AS BIGINT) AS n_pred_pairs,
+             CAST(SUM(t * p) AS BIGINT) AS n_hits
+      FROM g)
+SELECT n_true_pairs, n_pred_pairs, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / GREATEST(n_pred_pairs, 1), 6)
+         AS precision,
+       ROUND(CAST(n_hits AS DOUBLE) / GREATEST(n_true_pairs, 1), 6) AS recall
+FROM s
 """,
 )
 def q_minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1466,11 +1476,18 @@ def _sql_threshold_sensitivity() -> str:
     from de_project_sprint_etl_spark.plans.llm import _SQL_NGRAM_PAIRS
 
     vals = ", ".join(f"(CAST({t} AS DOUBLE))" for t in SENS_THRESHOLDS)
+    # ex is MATERIALIZED explicitly: it is referenced three times (pair
+    # count + both halves of the id stack), and DuckDB 1.0 inlines
+    # plain CTEs per reference — which re-evaluated the whole all-pairs
+    # shingle pipeline underneath three times and exhausted the
+    # sandbox's temp disk at sf1. Materializing the (output-sized,
+    # pairs x thresholds) frame caps the heavy pipeline at exactly one
+    # execution; values are unchanged.
     return f"""
-WITH pairs AS ({_SQL_NGRAM_PAIRS}),
-ex AS (SELECT t.threshold, id_a, id_b
-       FROM pairs, (VALUES {vals}) AS t(threshold)
-       WHERE jaccard >= t.threshold),
+WITH ex AS MATERIALIZED (
+  SELECT t.threshold, id_a, id_b
+  FROM ({_SQL_NGRAM_PAIRS}) pairs, (VALUES {vals}) AS t(threshold)
+  WHERE jaccard >= t.threshold),
 np AS (SELECT threshold, COUNT(*) AS n_pairs FROM ex GROUP BY threshold),
 nd AS (SELECT threshold, COUNT(DISTINCT id) AS n_docs FROM (
          SELECT threshold, id_a AS id FROM ex
