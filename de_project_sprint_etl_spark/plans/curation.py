@@ -1514,8 +1514,19 @@ def q_dedup_threshold_sensitivity(
     thr = F.explode(
         F.array(*[F.lit(float(x)) for x in SENS_THRESHOLDS])
     ).alias("threshold")
-    ex = pairs.select("id_a", "id_b", "jaccard", thr).filter(
-        F.col("jaccard") >= F.col("threshold")
+    # eagerly materialize the (output-sized: pairs x thresholds)
+    # exploded frame — the two aggregate branches below are separate
+    # stages that would otherwise EACH re-execute the whole pair
+    # pipeline underneath (its self-join defeats exchange reuse, and
+    # concurrent stage scans race past a lazy cache). The Spark-side
+    # twin of the oracle's MATERIALIZED CTE; eager localCheckpoint is
+    # the right tool because the frame is tiny (the 4x
+    # localCheckpoint trap applies to WIDE multiply-scanned frames).
+    # Measured 112 s -> ~pipeline cost at sf1.
+    ex = (
+        pairs.select("id_a", "id_b", "jaccard", thr)
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .localCheckpoint(eager=True)
     )
     np_ = ex.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
     stacked = ex.select(
