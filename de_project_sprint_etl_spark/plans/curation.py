@@ -769,47 +769,42 @@ def q_minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_sprint_etl_spark.plans.llm import _MAX_SHINGLE_DF, mutant_shingles
 
     sh = mutant_shingles(spark, sf_dir, n=3)
-    # each pair table feeds two consumers (its count + the
-    # intersection) — persist so neither posting-list pipeline
-    # re-executes
-    tru = (
-        dedup.ngram_jaccard_pairs(
-            shingles=sh, n=3, min_jaccard=0.5, max_shingle_df=_MAX_SHINGLE_DF
-        )
-        .select("id_a", "id_b")
-        .persist()
-    )
+    # union-flag single pass (the Spark twin of the r7 oracle rewrite):
+    # each pair pipeline appears EXACTLY ONCE as a union branch, the
+    # per-pair MAX fold resolves membership, and one aggregate yields
+    # all three counts — no persists (the old two bare .persist()s
+    # leaked a CacheManager entry per invocation), no pair join, no
+    # multi-job fan-out.
+    tru = dedup.ngram_jaccard_pairs(
+        shingles=sh, n=3, min_jaccard=0.5, max_shingle_df=_MAX_SHINGLE_DF
+    ).select("id_a", "id_b", F.lit(1).alias("t"), F.lit(0).alias("p"))
     sigs = dedup.minhash_signatures(shingles=sh, num_hashes=16)
-    pr = (
-        dedup.minhash_lsh_pairs(sigs, num_hashes=16, bands=4, min_est_jaccard=0.5)
-        .select("id_a", "id_b")
-        .persist()
+    pr = dedup.minhash_lsh_pairs(
+        sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
+    ).select("id_a", "id_b", F.lit(0).alias("t"), F.lit(1).alias("p"))
+    g = (
+        tru.unionByName(pr)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("t").alias("t"), F.max("p").alias("p"))
     )
-    # all three counts as single-row aggregates composed in ONE plan —
-    # no driver-side actions or arithmetic
-    tru_n = tru.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    pr_n = pr.agg(F.count(F.lit(1)).alias("n_pred_pairs"))
-    hits_n = tru.join(pr, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    return (
-        hits_n.crossJoin(F.broadcast(tru_n))
-        .crossJoin(F.broadcast(pr_n))
-        .select(
-            "n_true_pairs",
-            "n_pred_pairs",
-            "n_hits",
-            F.round(
-                F.col("n_hits").cast("double")
-                / F.greatest(F.col("n_pred_pairs"), F.lit(1)),
-                6,
-            ).alias("precision"),
-            F.round(
-                F.col("n_hits").cast("double")
-                / F.greatest(F.col("n_true_pairs"), F.lit(1)),
-                6,
-            ).alias("recall"),
-        )
+    return g.agg(
+        F.sum("t").cast("bigint").alias("n_true_pairs"),
+        F.sum("p").cast("bigint").alias("n_pred_pairs"),
+        F.sum(F.col("t") * F.col("p")).cast("bigint").alias("n_hits"),
+    ).select(
+        "n_true_pairs",
+        "n_pred_pairs",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.greatest(F.col("n_pred_pairs"), F.lit(1)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("n_hits").cast("double")
+            / F.greatest(F.col("n_true_pairs"), F.lit(1)),
+            6,
+        ).alias("recall"),
     )
 
 
