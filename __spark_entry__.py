@@ -121,16 +121,17 @@ GATE_PRIORITY = [
     "ann_ivf_topk_indexed",
     "dedup_groups",
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
     # round-7 newcomers — never externally attested anywhere yet; with
     # them and the 15 never-windowed above, the r7 window closes driver
-    # attestation over the ENTIRE 244-query registry (bm25_topk_docs /
-    # bpe_encode_vocab keep their r3 attestation and rotate back later)
+    # attestation over the ENTIRE 245-query registry (ann_lsh_topk /
+    # bm25_topk_docs / bpe_encode_vocab keep their r3 attestation and
+    # rotate back later)
     "doc_continuation_pairs",
     "cdc_chunk_dedup",
     "dedup_threshold_sensitivity",
     "source_dup_rate",
     "decontaminate_train",
+    "embedding_outliers",
 ]
 
 

@@ -1693,3 +1693,106 @@ register("decontaminate_train", _sql_decontaminate())(q_decontaminate_train)
 
 
 register("source_dup_rate", _sql_source_dup_rate())(q_source_dup_rate)
+
+
+# --- embedding outlier detection ----------------------------------------------
+
+OUTLIER_TOPK = 50
+#: fixed-point scale for the centroid math: embeddings carry ~6
+#: significant decimals, and 1e6-scaled BIGINTs keep every sum exact
+#: (|x| <= ~2 => scaled |xi| <= 2e6; corpus sums and xi*n - S both stay
+#: far under 2^53, so the one double cast per diff term is exact)
+OUTLIER_SCALE = 1_000_000
+
+
+def _sql_embedding_outliers() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT vec_id,
+             list_transform(v, a -> CAST(FLOOR(a * {OUTLIER_SCALE} + 0.5)
+                                         AS BIGINT)) AS xi
+      FROM e),
+ex AS (SELECT vec_id, CAST(u.i AS INT) AS pos, xi[CAST(u.i AS INT)] AS val
+       FROM x, UNNEST(generate_series(1, len(xi))) AS u(i)),
+cent AS (SELECT pos, CAST(SUM(val) AS BIGINT) AS s FROM ex GROUP BY pos),
+n AS (SELECT COUNT(*) AS n FROM x),
+diff AS (SELECT ex.vec_id, ex.pos,
+                CAST(ex.val * n.n - cent.s AS DOUBLE) AS d
+         FROM ex JOIN cent USING (pos) CROSS JOIN n),
+dl AS (SELECT vec_id, LIST(d ORDER BY pos) AS dv FROM diff GROUP BY vec_id)
+SELECT vec_id,
+       ROUND(SQRT(list_dot_product(dv, dv))
+             / ((SELECT n FROM n) * {OUTLIER_SCALE}.0), 6) + 0.0
+         AS center_dist
+FROM dl
+ORDER BY center_dist DESC, vec_id
+LIMIT {OUTLIER_TOPK}
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: the OUTLIER_TOPK vectors farthest
+    from the corpus centroid — the pre-clustering noise prune (mislabeled
+    scrapes, encoder failures, empty-input embeddings) run before
+    SemDeDup/IVF trust the geometry. INTEGER-STABLE cross-engine: values
+    quantize to 1e6-scaled BIGINTs, the centroid is kept as the EXACT
+    integer pair (per-dim sum S_i, count n), and each squared term folds
+    from the exact integer xi*n - S_i — no double accumulation order
+    anywhere until the final fixed-order 64-term fold both engines share
+    (the established cosine-parity pattern). Scale shape: one narrow
+    corpus pass for the (64-row) centroid aggregate broadcast back, one
+    map-only distance pass, and a TakeOrdered top-k — no global sort, no
+    corpus-wide window."""
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    xi = F.transform(
+        F.col("embedding"),
+        lambda a: F.floor(a.cast("double") * OUTLIER_SCALE + 0.5).cast("long"),
+    )
+    x = emb.select("vec_id", xi.alias("xi"))
+    ex = x.select("vec_id", F.posexplode("xi").alias("pos", "val"))
+    cent = (
+        ex.groupBy("pos")
+        .agg(F.sum("val").cast("long").alias("s"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda r: r["s"],
+            ).alias("sv")
+        )
+    )
+    n1 = x.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        x.crossJoin(F.broadcast(cent))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "vec_id",
+            (
+                F.round(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                F.col("xi"),
+                                F.col("sv"),
+                                lambda a, s: (
+                                    (a * F.col("n") - s).cast("double")
+                                    * (a * F.col("n") - s).cast("double")
+                                ),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                    )
+                    / (F.col("n").cast("double") * F.lit(float(OUTLIER_SCALE))),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("center_dist"),
+        )
+    )
+    return scored.orderBy(
+        F.col("center_dist").desc(), F.col("vec_id").asc()
+    ).limit(OUTLIER_TOPK)
+
+
+register("embedding_outliers", _sql_embedding_outliers())(q_embedding_outliers)

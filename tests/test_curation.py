@@ -896,3 +896,45 @@ def test_source_dup_rate_concentrates_on_planted_sources(spark):
     for r in rows:
         assert 0 <= r.n_dup_docs <= r.n_docs
         assert abs(r.dup_rate - round(r.n_dup_docs / r.n_docs, 6)) < 1e-9
+
+
+def test_embedding_outliers_is_exact_integer_centroid_math(spark):
+    """The top-k outlier distances must equal a NumPy reference computed
+    with the same 1e6 quantization — the integer-stable centroid math is
+    exact, so the only tolerance is the final ROUND."""
+    import numpy as np
+
+    import de_project_sprint_etl_spark.plans.curation as cur
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+    from de_project_sprint_etl_spark.plans.testdata import t
+
+    rows = RAW_QUERIES["embedding_outliers"](spark, SF).collect()
+    assert len(rows) == cur.OUTLIER_TOPK
+    dists = [r.center_dist for r in rows]
+    assert dists == sorted(dists, reverse=True)
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in t(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    }
+    xi = {
+        k: np.floor(v * cur.OUTLIER_SCALE + 0.5).astype(np.int64)
+        for k, v in emb.items()
+    }
+    n = len(xi)
+    s = np.sum(np.stack(list(xi.values())), axis=0, dtype=np.int64)
+    want = {
+        k: round(
+            float(np.sqrt(np.sum(((v * n - s).astype(np.float64)) ** 2)))
+            / (n * cur.OUTLIER_SCALE),
+            6,
+        )
+        for k, v in xi.items()
+    }
+    for r in rows:
+        assert abs(r.center_dist - want[r.vec_id]) < 2e-6, (
+            r.vec_id, r.center_dist, want[r.vec_id],
+        )
+    # the reported set IS the top-k under (dist desc, vec_id asc)
+    ref_order = sorted(want, key=lambda k: (-want[k], k))[: cur.OUTLIER_TOPK]
+    assert {r.vec_id for r in rows} == set(ref_order)
