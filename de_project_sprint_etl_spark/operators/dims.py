@@ -98,11 +98,21 @@ def with_sequence_id(
 
     Dense contiguous ids require a global order — fine for dims (small).
     For big facts prefer ``with_unique_id`` (no single-partition sort).
+    Guard-enforced (not just documented): past ``guards.SEQUENCE_BOUND``
+    rows the unpartitioned window raises with that pointer instead of
+    silently funnelling a fact table through one sort partition.
     """
+    from de_project_sprint_etl_spark.functions import guards
+
     w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.select(
-        F.row_number().over(w).cast("long").alias(id_col), "*"
+    seq = guards.bounded_global_window(
+        F.row_number().over(w).cast("long"),
+        w,
+        guards.SEQUENCE_BOUND,
+        "with_sequence_id dense id numbering",
+        "with_unique_id (partition-local unique ids, no global sort)",
     )
+    return df.select(seq.alias(id_col), "*")
 
 
 def with_unique_id(df: DataFrame, id_col: str) -> DataFrame:

@@ -862,7 +862,14 @@ from de_project_sprint_etl_spark.functions import layout as _layout  # noqa: E40
 @register(
     "zorder_skipping_index",
     _layout.zorder_index_sql(
-        "(SELECT o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice"
+        # BOTH columns cast to DOUBLE: the Spark side scans
+        # o_custkey.cast("double") (see _zorder_scaled), so the oracle's
+        # mn_a/mx_a (= MIN/MAX of the raw column) must come back float64
+        # too — an uncast BIGINT o_custkey kept this cell driver-red for
+        # two rounds (755 vs 755.0 under a typed value hash) while the
+        # local comparator's to_numpy() common-dtype upcast masked it.
+        "(SELECT CAST(o_custkey AS DOUBLE) AS o_custkey,"
+        " CAST(o_totalprice AS DOUBLE) AS o_totalprice"
         " FROM orders) o",
         "o_custkey",
         "o_totalprice",

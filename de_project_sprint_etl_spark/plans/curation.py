@@ -746,9 +746,9 @@ pr AS (SELECT id_a, id_b FROM ({_MH_PAIRS}) m),
 u AS (SELECT id_a, id_b, 1 AS t, 0 AS p FROM tru
       UNION ALL SELECT id_a, id_b, 0 AS t, 1 AS p FROM pr),
 g AS (SELECT id_a, id_b, MAX(t) AS t, MAX(p) AS p FROM u GROUP BY id_a, id_b),
-s AS (SELECT CAST(SUM(t) AS BIGINT) AS n_true_pairs,
-             CAST(SUM(p) AS BIGINT) AS n_pred_pairs,
-             CAST(SUM(t * p) AS BIGINT) AS n_hits
+s AS (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_true_pairs,
+             CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pred_pairs,
+             CAST(COALESCE(SUM(t * p), 0) AS BIGINT) AS n_hits
       FROM g)
 SELECT n_true_pairs, n_pred_pairs, n_hits,
        ROUND(CAST(n_hits AS DOUBLE) / GREATEST(n_pred_pairs, 1), 6)
@@ -787,10 +787,14 @@ def q_minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.max("t").alias("t"), F.max("p").alias("p"))
     )
+    # COALESCE(,0) in both twins (ADVICE r7): SUM over zero pairs is an
+    # all-NULL row; a degenerate corpus must report zeros, not NULLs
     return g.agg(
-        F.sum("t").cast("bigint").alias("n_true_pairs"),
-        F.sum("p").cast("bigint").alias("n_pred_pairs"),
-        F.sum(F.col("t") * F.col("p")).cast("bigint").alias("n_hits"),
+        F.coalesce(F.sum("t"), F.lit(0)).cast("bigint").alias("n_true_pairs"),
+        F.coalesce(F.sum("p"), F.lit(0)).cast("bigint").alias("n_pred_pairs"),
+        F.coalesce(F.sum(F.col("t") * F.col("p")), F.lit(0))
+        .cast("bigint")
+        .alias("n_hits"),
     ).select(
         "n_true_pairs",
         "n_pred_pairs",
@@ -1313,8 +1317,17 @@ def _cont_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle SQL."""
     from de_project_sprint_etl_spark.functions.text import tokens
 
+    from de_project_sprint_etl_spark.functions import guards
+
     docs = fan_out(spark, t(spark, sf_dir, "documents").select("doc_id", "text"))
-    base = docs.select("doc_id", tokens(F.col("text")).alias("tks"))
+    # loud row-level collision guard (ADVICE r7): a natural doc_id at or
+    # past CONT_OFFSET would alias a synthetic continuation id, and the
+    # constant-sharing oracle could never detect the corruption
+    base = docs.select(
+        guards.assert_below(F.col("doc_id"), CONT_OFFSET, "_cont_corpus")
+        .alias("doc_id"),
+        tokens(F.col("text")).alias("tks"),
+    )
     cont = base.filter(
         (F.col("doc_id") % 7 == 0) & (F.size("tks") >= 14)
     ).select(

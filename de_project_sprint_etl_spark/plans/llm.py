@@ -110,6 +110,8 @@ def _materialized(
 
 
 def _docs_with_mutants_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_project_sprint_etl_spark.functions import guards
+
     docs = docs_fanned(spark, sf_dir)
     toks = text.tokens(F.col("text"))
     mut = (
@@ -120,7 +122,16 @@ def _docs_with_mutants_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("text") > 0)
     )
-    return docs.unionByName(mut)
+    # a natural doc_id >= MUT_OFFSET would collide with a shifted mutant
+    # id — and because the oracle shares the constant, the differential
+    # could never see it (ADVICE r7): fail loudly, row-level, plan-side
+    base = docs.select(
+        guards.assert_below(
+            F.col("doc_id"), MUT_OFFSET, "docs_with_mutants"
+        ).alias("doc_id"),
+        "text",
+    )
+    return base.unionByName(mut)
 
 
 def docs_with_mutants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,12 +185,20 @@ WHERE LENGTH(array_to_string(list_slice(toks, 3, len(toks)), ' ')) > 0
 
 
 def emb_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings ∪ exact copies of every 10th vector (id+100000)."""
+    """embeddings ∪ exact copies of every 10th vector (id+100000);
+    same loud id-collision guard as the mutant doc corpus."""
+    from de_project_sprint_etl_spark.functions import guards
+
     emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     cp = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + MUT_OFFSET).alias("vec_id"), "embedding"
     )
-    return emb.unionByName(cp)
+    base = emb.select(
+        guards.assert_below(F.col("vec_id"), MUT_OFFSET, "emb_with_copies")
+        .alias("vec_id"),
+        "embedding",
+    )
+    return base.unionByName(cp)
 
 
 SQL_EMB_COPIES = f"""

@@ -76,6 +76,28 @@ def test_global_window_guard_fires_past_bound(spark):
         assert "a partitioned path" in str(exc)
 
 
+def test_assert_below_collision_guard(spark):
+    """ADVICE r7: synthetic-corpus id offsets are guarded — a natural id
+    at/past the offset raises at execution (the oracle shares the
+    constant, so silent collision would be invisible to the
+    differential); in-bound ids pass through unchanged."""
+    from de_project_sprint_etl_spark.functions import guards
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    ok = df.select(
+        guards.assert_below(F.col("doc_id"), 5, "test corpus").alias("doc_id")
+    )
+    assert sorted(r.doc_id for r in ok.collect()) == [0, 1, 2, 3, 4]
+    bad = df.select(
+        guards.assert_below(F.col("doc_id"), 4, "test corpus").alias("doc_id")
+    )
+    try:
+        bad.collect()
+        raise AssertionError("expected the collision guard to raise")
+    except Exception as exc:  # Py4J wraps the SparkRuntimeException
+        assert "collide" in str(exc)
+
+
 def test_gated_broadcast_flips_on_large_build_side(spark):
     """The near-dedup broadcast size gate: a small dup-group table keeps
     the broadcast-hash plan; a table the gate measures past the
@@ -225,6 +247,25 @@ def test_sequence_ids_dense_and_unique(spark):
     assert {(r.id, r.v) for r in seq} == {(1, "a"), (2, "b"), (3, "c")}
     uniq = dims.with_unique_id(df, "id").collect()
     assert len({r.id for r in uniq}) == 3
+
+
+def test_sequence_id_guard_fires_past_bound(spark, monkeypatch):
+    """VERDICT r7 #7: with_sequence_id's single-partition global sort is
+    guard-ENFORCED, not just documented — a frame past SEQUENCE_BOUND
+    raises naming the with_unique_id scale path (bound shrunk via
+    monkeypatch; the guard reads it at call time)."""
+    from de_project_sprint_etl_spark.functions import guards
+
+    monkeypatch.setattr(guards, "SEQUENCE_BOUND", 5)
+    df = spark.range(6).select(F.col("id").alias("v"))
+    try:
+        dims.with_sequence_id(df, "sid", ["v"]).collect()
+        raise AssertionError("expected the sequence-id guard to raise")
+    except Exception as exc:  # Py4J wraps the SparkRuntimeException
+        assert "with_unique_id" in str(exc)
+    # within the bound: untouched dense ids
+    ok = dims.with_sequence_id(df.limit(5), "sid", ["v"]).collect()
+    assert sorted(r.sid for r in ok) == [1, 2, 3, 4, 5]
 
 
 def test_order_stamp_detects_lost_sort(spark):

@@ -93,23 +93,27 @@ def test_detects_swapped_rows_is_still_green(pair):
 
 
 # ---------------------------------------------------------------------------
-# Vectorized frame_rows equivalence (r6, VERDICT r5 #2)
+# Vectorized frame_rows equivalence — DTYPE-STRICT semantics (r8)
 #
-# frame_rows was rewritten from per-row iterrows() canonicalization to a
-# column-wise pass over the to_numpy() interleave. The contract is that
-# both produce IDENTICAL canonical rows for every dtype combination the
-# two engines emit — iterrows' common-dtype upcast included ('5' vs
-# '5.0' is a hash difference). The reference below IS the historical
-# implementation, kept verbatim here as the semantics pin.
+# frame_rows canonicalizes each column at its NATIVE dtype. The r6 form
+# was pinned to iterrows' common-dtype interleave, whose int→float
+# upcast hid a Spark-DOUBLE-vs-DuckDB-BIGINT output mismatch from the
+# local gate for two rounds (zorder_skipping_index; VERDICT r7 #2). The
+# new semantics pin: per-row, per-column canon of the ORIGINAL Series
+# element — integers render '5', floats '5.0', no cross-column
+# contamination. The reference below is that definition, written the
+# slow obvious way.
 # ---------------------------------------------------------------------------
 
 
 def _frame_rows_reference(df):
-    """The pre-r6 iterrows implementation, verbatim."""
+    """Per-column native-dtype canon, element-at-a-time (the pin)."""
     from tools.oracle_check import canon
 
     cols = sorted(df.columns)
-    rows = [tuple(canon(r[c]) for c in cols) for _, r in df[cols].iterrows()]
+    rows = [
+        tuple(canon(df[c].iloc[i]) for c in cols) for i in range(len(df))
+    ]
     rows.sort()
     return rows
 
@@ -121,7 +125,7 @@ def _tricky_frames():
     import numpy as np
     import pandas as pd
 
-    yield "mixed_int_float_upcast", pd.DataFrame(
+    yield "mixed_int_float_stays_native", pd.DataFrame(
         {"i": [1, 2, 3], "f": [1.5, float("nan"), -0.0]}
     )
     yield "pure_int", pd.DataFrame({"a": [1, 2], "b": [10, -5]})
@@ -140,7 +144,7 @@ def _tricky_frames():
     yield "date_objects", pd.DataFrame(
         {"d": [datetime.date(2020, 1, 1), datetime.date(2021, 2, 3)], "v": [1.0, 2.0]}
     )
-    yield "bool_plus_int_upcast", pd.DataFrame(
+    yield "bool_plus_int", pd.DataFrame(
         {"b": [True, False], "i": [7, 8]}
     )
     yield "nullable_none_nan_mix", pd.DataFrame(
@@ -155,7 +159,7 @@ def _tricky_frames():
     yield "float32_narrow", pd.DataFrame(
         {"f": np.array([0.1, float("nan"), -0.0, 2.5], dtype=np.float32)}
     )
-    yield "float32_plus_int_upcast", pd.DataFrame(
+    yield "float32_plus_int", pd.DataFrame(
         {"f": np.array([0.1, 1.5], dtype=np.float32), "i": [1, 2]}
     )
     yield "empty_frame", pd.DataFrame({"a": pd.Series([], dtype="float64")})
@@ -164,11 +168,44 @@ def _tricky_frames():
     )
 
 
-def test_frame_rows_matches_iterrows_reference():
+def test_frame_rows_matches_reference():
     from tools.oracle_check import frame_rows
 
     for name, df in _tricky_frames():
         assert frame_rows(df) == _frame_rows_reference(df), name
+
+
+def test_detects_int_vs_float_twin_frames():
+    """THE masking class (VERDICT r7): numerically-equal frames where
+    one side is int64 and the other float64 must FAIL — the driver's
+    typed value hash sees 755 vs 755.0. The r6 comparator's to_numpy()
+    common-dtype upcast waved exactly this through for two rounds
+    (zorder_skipping_index)."""
+    import pandas as pd
+
+    from tools.oracle_check import compare_frames
+
+    sdf = pd.DataFrame({"k": [1, 2], "mn_a": [755.0, 812.0]})   # Spark DOUBLE
+    odf = pd.DataFrame({"k": [1, 2], "mn_a": [755, 812]})       # DuckDB BIGINT
+    v = compare_frames(sdf, odf)
+    assert not v["hash_match"] and v["err"] is not None
+    assert "dtype mismatch" in v["err"] and "mn_a" in v["err"]
+    # and it must fail even with ZERO rows, where no value can betray it
+    v0 = compare_frames(sdf.iloc[:0], odf.iloc[:0])
+    assert not v0["hash_match"] and "dtype mismatch" in v0["err"]
+
+
+def test_int_vs_float_in_same_frame_is_fine():
+    """Strictness is CROSS-frame, per-column: a frame that mixes int
+    and float COLUMNS compares green against a dtype-identical twin
+    (the r6 bug was upcasting these before comparison)."""
+    import pandas as pd
+
+    from tools.oracle_check import compare_frames
+
+    a = pd.DataFrame({"i": [5, 7], "f": [1.5, 2.5]})
+    v = compare_frames(a, a.copy().iloc[::-1])
+    assert v["hash_match"] and v["err"] is None
 
 
 def test_canon_numpy_scalar_repr_is_version_independent():

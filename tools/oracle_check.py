@@ -60,20 +60,20 @@ def canon(v) -> str:
 
 
 def _canon_column(series) -> list[str]:
-    """Canonicalize one column of the interleaved array, dtype-dispatched.
+    """Canonicalize one column AT ITS NATIVE DTYPE, dtype-dispatched.
 
     The float/int fast paths inline exactly what ``canon`` does for
     those types; everything else (object arrays holding Decimal / str /
-    Timestamp / None / stray numpy scalars) goes element-wise through
-    ``canon`` itself so the two paths cannot drift.
+    Timestamp / None / stray numpy scalars, datetime64 → Timestamp via
+    ``.tolist()``) goes element-wise through ``canon`` itself so the
+    two paths cannot drift.
     """
     kind = series.dtype.kind
     if kind == "f":
         if series.dtype.itemsize < 8:
             # float32 etc: tolist() would WIDEN to Python float and
-            # repr the widened double ('0.10000000149011612'), while
-            # the pinned iterrows form repr'd the narrow numpy scalar
-            # ('0.1') — iterate numpy scalars through canon instead
+            # repr the widened double ('0.10000000149011612') — iterate
+            # the narrow numpy scalars through canon instead ('0.1')
             return [canon(v) for v in series.to_numpy()]
         out = []
         for v in series.tolist():  # Python floats, exact for float64
@@ -90,28 +90,51 @@ def _canon_column(series) -> list[str]:
 
 
 def frame_rows(df) -> list[tuple]:
-    # Vectorized canonicalization (r6, VERDICT r5 #2). Semantics are
-    # pinned to the historical iterrows() form: iterrows materializes
-    # df.values — the interleaved COMMON-dtype array — so a mixed
-    # int+float frame upcasts ints to floats ('5.0' not '5') and a
-    # pure-datetime frame yields Timestamps. to_numpy() is the same
-    # interleave; wrapping each column back in a Series reproduces the
-    # element types iterrows row-indexing produced (datetime64 →
-    # Timestamp via .tolist(), object passthrough). Equivalence vs an
-    # inline iterrows reference is test-pinned across the tricky dtype
-    # matrix in tests/test_oracle_check_detects.py. This removed the
-    # iterrows bottleneck that bounded sf1 sweeps (6M-row comparisons:
-    # 20+ min → well under a minute).
-    import pandas as pd
-
+    # Vectorized canonicalization, DTYPE-STRICT (r8, VERDICT r7 #2).
+    # Each column is canonicalized from the frame's OWN Series at its
+    # native dtype — never through a common-dtype interleave. The r6
+    # form went through df[cols].to_numpy(), whose common-dtype upcast
+    # turned a mixed int+float frame's integers into floats on BOTH
+    # sides before canon — so a Spark DOUBLE column against a DuckDB
+    # BIGINT column hashed equal locally while the driver's typed value
+    # hash saw 755 vs 755.0 and stayed red (zorder_skipping_index, red
+    # r6+r7). Per-column native canon mirrors the driver: an int column
+    # renders '755', a float column '755.0', and the pair fails here
+    # exactly when it fails there. Column-vectorized, so the r6 perf win
+    # over iterrows (6M-row sf1 comparisons in seconds) is kept.
     cols = sorted(df.columns)
     if len(df) == 0:
         return []
-    arr = df[cols].to_numpy()  # same common-dtype interleave as .values
-    canon_cols = [_canon_column(pd.Series(arr[:, j])) for j in range(arr.shape[1])]
+    canon_cols = [_canon_column(df[c]) for c in cols]
     rows = list(zip(*canon_cols))
     rows.sort()
     return rows
+
+
+# dtype-kind → comparison family: integer and float are DISTINCT on
+# purpose (the driver's value hash is typed); bool folds into its own
+# family; datetime64 of any unit/tz one family; everything object-ish
+# is left to value canon (Decimal vs str vs date differences surface as
+# value diffs with the actual reprs in the message).
+_KIND_FAMILY = {
+    "i": "int", "u": "int", "f": "float", "b": "bool",
+    "M": "datetime", "m": "timedelta",
+}
+
+
+def dtype_mismatches(sdf, odf) -> list[str]:
+    """Per-column dtype-FAMILY mismatches between the two frames
+    (shared columns only; schema diffs are reported separately).
+    int-vs-float is the driver-red class the r6 comparator masked;
+    any cross-family pair is reported, including on zero-row frames
+    where no value exists to betray it."""
+    bad = []
+    for c in sorted(set(sdf.columns) & set(odf.columns)):
+        fs = _KIND_FAMILY.get(sdf[c].dtype.kind, "object")
+        fo = _KIND_FAMILY.get(odf[c].dtype.kind, "object")
+        if fs != fo and "object" not in (fs, fo):
+            bad.append(f"{c}: spark={sdf[c].dtype} duckdb={odf[c].dtype}")
+    return bad
 
 
 def compare_frames(sdf, odf) -> dict:
@@ -130,6 +153,9 @@ def compare_frames(sdf, odf) -> dict:
         problems.append(
             f"columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}"
         )
+    dt_bad = dtype_mismatches(sdf, odf)
+    if dt_bad:
+        problems.append("dtype mismatch: " + ", ".join(dt_bad))
     if not problems:
         srows, orows = frame_rows(sdf), frame_rows(odf)
         hash_match = srows == orows
