@@ -1484,25 +1484,34 @@ def _sql_threshold_sensitivity() -> str:
     from de_project_sprint_etl_spark.plans.llm import _SQL_NGRAM_PAIRS
 
     vals = ", ".join(f"(CAST({t} AS DOUBLE))" for t in SENS_THRESHOLDS)
-    # ex is MATERIALIZED explicitly: it is referenced three times (pair
-    # count + both halves of the id stack), and DuckDB 1.0 inlines
-    # plain CTEs per reference — which re-evaluated the whole all-pairs
-    # shingle pipeline underneath three times and exhausted the
-    # sandbox's temp disk at sf1. Materializing the (output-sized,
-    # pairs x thresholds) frame caps the heavy pipeline at exactly one
-    # execution; values are unchanged.
+    # O(pairs), not pairs x thresholds (VERDICT r7 #4): the r7 form
+    # materialized the exploded (threshold, pair) frame — avoidable
+    # entirely. pairs is MATERIALIZED (it is referenced twice and DuckDB
+    # 1.0 inlines plain CTEs per reference — the heavy shingle pipeline
+    # must run exactly once); n_pairs(t) is a conditional count straight
+    # off pairs, n_docs(t) a conditional count off the per-doc
+    # max-jaccard (doc participates at t iff its best pair clears t).
+    # Thresholds with zero pairs are absent — exactly the old
+    # GROUP-BY-over-explode semantics.
     return f"""
-WITH ex AS MATERIALIZED (
-  SELECT t.threshold, id_a, id_b
-  FROM ({_SQL_NGRAM_PAIRS}) pairs, (VALUES {vals}) AS t(threshold)
-  WHERE jaccard >= t.threshold),
-np AS (SELECT threshold, COUNT(*) AS n_pairs FROM ex GROUP BY threshold),
-nd AS (SELECT threshold, COUNT(DISTINCT id) AS n_docs FROM (
-         SELECT threshold, id_a AS id FROM ex
-         UNION ALL SELECT threshold, id_b FROM ex) u GROUP BY threshold)
-SELECT np.threshold, CAST(np.n_pairs AS BIGINT) AS n_pairs,
-       CAST(nd.n_docs AS BIGINT) AS n_docs
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard FROM ({_SQL_NGRAM_PAIRS}) p),
+np AS (SELECT threshold,
+              CAST(COUNT(*) FILTER (WHERE jaccard >= threshold) AS BIGINT)
+                AS n_pairs
+       FROM (VALUES {vals}) AS t(threshold) CROSS JOIN pairs
+       GROUP BY threshold),
+mj AS (SELECT id, MAX(jaccard) AS mj FROM (
+         SELECT id_a AS id, jaccard FROM pairs
+         UNION ALL SELECT id_b, jaccard FROM pairs) u GROUP BY id),
+nd AS (SELECT threshold,
+              CAST(COUNT(*) FILTER (WHERE mj >= threshold) AS BIGINT)
+                AS n_docs
+       FROM (VALUES {vals}) AS t(threshold) CROSS JOIN mj
+       GROUP BY threshold)
+SELECT np.threshold, np.n_pairs, nd.n_docs
 FROM np JOIN nd USING (threshold)
+WHERE np.n_pairs > 0
 """
 
 
@@ -1518,35 +1527,56 @@ def q_dedup_threshold_sensitivity(
     two tiny aggregations over the already-verified pair output."""
     from de_project_sprint_etl_spark.plans import llm
 
-    pairs = llm.q_ngram_jaccard(spark, sf_dir).select("id_a", "id_b", "jaccard")
-    thr = F.explode(
-        F.array(*[F.lit(float(x)) for x in SENS_THRESHOLDS])
-    ).alias("threshold")
-    # eagerly materialize the (output-sized: pairs x thresholds)
-    # exploded frame — the two aggregate branches below are separate
-    # stages that would otherwise EACH re-execute the whole pair
-    # pipeline underneath (its self-join defeats exchange reuse, and
-    # concurrent stage scans race past a lazy cache). The Spark-side
-    # twin of the oracle's MATERIALIZED CTE; eager localCheckpoint is
-    # the right tool because the frame is tiny (the 4x
-    # localCheckpoint trap applies to WIDE multiply-scanned frames).
-    # Measured 112 s -> ~pipeline cost at sf1.
-    ex = (
-        pairs.select("id_a", "id_b", "jaccard", thr)
-        .filter(F.col("jaccard") >= F.col("threshold"))
+    # O(pairs), no pairs x thresholds explode (VERDICT r7 #4). The pair
+    # pipeline is eagerly materialized ONCE (output-sized frame — the
+    # two aggregate branches below would otherwise each re-execute the
+    # whole shingle pipeline: its self-join defeats exchange reuse and
+    # concurrent stage scans race past a lazy cache). n_pairs(t) =
+    # conditional SUM(jaccard >= t) in one pass over pairs; n_docs(t) =
+    # conditional count over the per-doc MAX jaccard (a doc is covered
+    # at t iff its best pair clears t) — the curve in two tiny aggs.
+    pairs = (
+        llm.q_ngram_jaccard(spark, sf_dir)
+        .select("id_a", "id_b", "jaccard")
         .localCheckpoint(eager=True)
     )
-    np_ = ex.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
-    stacked = ex.select(
-        "threshold", F.explode(F.array("id_a", "id_b")).alias("id")
+    ts = [float(x) for x in SENS_THRESHOLDS]
+
+    def curve(df, val: str, out: str) -> DataFrame:
+        row = df.agg(
+            *[
+                F.sum((F.col(val) >= F.lit(t)).cast("long")).alias(f"c{i}")
+                for i, t in enumerate(ts)
+            ]
+        )
+        return row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("threshold"),
+                            F.coalesce(F.col(f"c{i}"), F.lit(0))
+                            .cast("long")
+                            .alias(out),
+                        )
+                        for i, t in enumerate(ts)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
+
+    np_ = curve(pairs, "jaccard", "n_pairs")
+    mj = (
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("id"), "jaccard")
+        .groupBy("id")
+        .agg(F.max("jaccard").alias("mj"))
     )
-    nd = stacked.groupBy("threshold").agg(
-        F.countDistinct("id").alias("n_docs")
-    )
-    return np_.join(nd, "threshold").select(
-        "threshold",
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        F.col("n_docs").cast("long").alias("n_docs"),
+    nd = curve(mj, "mj", "n_docs")
+    # thresholds with zero pairs are absent — the old explode semantics
+    return (
+        np_.join(nd, "threshold")
+        .filter(F.col("n_pairs") > 0)
+        .select("threshold", "n_pairs", "n_docs")
     )
 
 
