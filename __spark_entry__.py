@@ -61,21 +61,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # 244/245, the window's marginal value is RECENCY — all 47 queries
 # whose latest driver-green window is r3 (the oldest tier left; plans
 # under several of them were rewritten since: normalizer, ngram sids,
-# caching lifecycles); (c) one filler: minhash_dedup_eval (r4-latest,
-# and its aggregate gained COALESCE-to-zero on empty input this round).
-# 2 + 47 + 1 = 50. Prior rounds' windows rotate to the tail.
+# caching lifecycles); and (c) the round-8 newcomers (lsh_band_tuning,
+# ivf_nprobe_recall_curve, join_cardinality_estimate — never externally
+# attested). The 50-cap leaves out the two most-trivial r3 fillers
+# (status_counts, date_functions — single-agg / map-only plans untouched
+# since r1); minhash_dedup_eval's COALESCE change is value-neutral on
+# any populated corpus and is covered by FULLDIFF. 2 + 45 + 3 = 50.
 GATE_PRIORITY = [
     # (a) the single never-driver-green cell + its twin
     "zorder_skipping_index",
     "zorder_skipping_effectiveness",
-    # (b) the 47 r3-latest — oldest attestation tier in the registry
+    # round-8 newcomers — first external attestation
+    "lsh_band_tuning",
+    "ivf_nprobe_recall_curve",
+    "join_cardinality_estimate",
+    # (b) the r3-latest — oldest attestation tier in the registry
     "ann_lsh_topk",
     "bm25_topk_docs",
     "bpe_encode_vocab",
     "calendar_dim",
     "cdc_apply_orders",
     "cosine_near_dup",
-    "date_functions",
     "distinct_on_customer",
     "doc_fingerprint",
     "embedding_normalize",
@@ -106,7 +112,6 @@ GATE_PRIORITY = [
     "scd2_point_in_time_join",
     "semdedup_embeddings",
     "simhash_dedup",
-    "status_counts",
     "text_quality",
     "tfidf_topk_terms",
     "token_histogram",
@@ -116,8 +121,6 @@ GATE_PRIORITY = [
     "tpch_q5_local_supplier_volume",
     "tpch_q9_product_profit",
     "week_range_join",
-    # (c) filler: r4-latest, aggregate changed this round (COALESCE)
-    "minhash_dedup_eval",
 ]
 
 

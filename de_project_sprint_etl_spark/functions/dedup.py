@@ -322,6 +322,19 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
+def lsh_scurve_sql(j: str, bands: int, rows: int) -> str:
+    """SQL for the LSH candidate probability (MMDS ch. 3 S-curve)
+    ``P(candidate | jaccard=j) = 1 - (1 - j^rows)^bands`` — emitted as
+    UNROLLED IEEE multiplications, never ``POWER``: libm ``pow`` is not
+    guaranteed identically rounded across engines, while the identical
+    multiply tree is bit-for-bit deterministic on Spark and DuckDB
+    (the zorder FLOOR-boundary lesson applied to exponentiation)."""
+    jr = "(" + " * ".join([f"({j})"] * rows) + ")"
+    om = f"(1.0 - {jr})"
+    omb = "(" + " * ".join([om] * bands) + ")"
+    return f"(1.0 - {omb})"
+
+
 def minhash_signatures(
     docs: DataFrame | None = None,
     text_col: str = "text",

@@ -390,6 +390,40 @@ def ivf_cells(
     )
 
 
+def ivf_cell_ranks(
+    vecs: DataFrame, centroids: DataFrame, max_rank: int
+) -> DataFrame:
+    """Like :func:`ivf_cells` but KEEPS the probe order: each vector's
+    ``max_rank`` nearest cells with their rank (1 = probed first). Same
+    scoring and tiebreak as ``ivf_cells`` by construction — the nprobe
+    recall curve depends on the two agreeing. Output: ``id, cell,
+    proberank``."""
+    from pyspark.sql import Window
+
+    scored = (
+        vecs.withColumn("__vn", l2norm(F.col("v")))
+        .crossJoin(F.broadcast(centroids.withColumn("__cn", l2norm(F.col("cv")))))
+        .select(
+            "id",
+            "cent_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("v"), F.col("cv"), F.col("__vn"), F.col("__cn")
+                ),
+                6,
+            ).alias("cos_c"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cos_c").desc(), F.col("cent_id").desc()
+    )
+    return (
+        scored.withColumn("proberank", F.row_number().over(w).cast("long"))
+        .filter(F.col("proberank") <= max_rank)
+        .select("id", F.col("cent_id").alias("cell"), "proberank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

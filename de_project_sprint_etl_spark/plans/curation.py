@@ -168,6 +168,131 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF nprobe-recall tuning curve (round 8) --------------------------------
+
+#: probe counts swept by the curve; the registered IVF ops run nprobe=2
+NPROBE_CURVE = (1, 2, 4, 8)
+
+
+def _sql_ivf_nprobe_curve() -> str:
+    from de_project_sprint_etl_spark.plans.llm import IVF_STRIDE, _sql_cos
+
+    maxp = max(NPROBE_CURVE)
+    hits = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE proberank <= {p}) AS BIGINT) AS nh_{i}"
+        for i, p in enumerate(NPROBE_CURVE)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS n_probes, n_true,"
+        f" nh_{i} AS n_hits,"
+        f" ROUND(CAST(nh_{i} AS DOUBLE) / GREATEST(n_true, 1), 6)"
+        f" AS recall_at_k FROM s"
+        for i, p in enumerate(NPROBE_CURVE)
+    )
+    # bf is referenced twice and s by every branch — MATERIALIZED so
+    # DuckDB's per-reference CTE inlining cannot re-run the brute-force
+    # pass; the neighbor-side assignment is restricted to the <=250
+    # distinct true neighbors, so the curve costs one brute-force pass
+    # plus two tiny cross joins
+    return f"""
+WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT id AS cent_id, v AS cv FROM e WHERE id % {IVF_STRIDE} = 0),
+bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({SQL_ANN_BRUTE}) b),
+nv AS (SELECT DISTINCT neighbor_id AS id FROM bf),
+ns AS (SELECT e.id, cent_id, ROUND({_sql_cos('e.v', 'cent.cv')}, 6) AS cos_c
+       FROM e JOIN nv USING (id) CROSS JOIN cent),
+ncell AS (SELECT id AS neighbor_id, cent_id AS cell FROM (
+    SELECT id, cent_id, ROW_NUMBER() OVER (
+        PARTITION BY id ORDER BY cos_c DESC, cent_id DESC) AS rn
+    FROM ns) r WHERE rn = 1),
+qsc AS (SELECT e.id, cent_id, ROUND({_sql_cos('e.v', 'cent.cv')}, 6) AS cos_c
+        FROM e CROSS JOIN cent WHERE e.id < {N_QUERIES}),
+qrank AS (SELECT id AS query_id, cent_id AS cell, CAST(rn AS BIGINT) AS proberank
+          FROM (SELECT id, cent_id, ROW_NUMBER() OVER (
+                    PARTITION BY id ORDER BY cos_c DESC, cent_id DESC) AS rn
+                FROM qsc) r WHERE rn <= {maxp}),
+j AS (SELECT bf.query_id, qr.proberank
+      FROM bf JOIN ncell USING (neighbor_id)
+      LEFT JOIN qrank qr ON qr.query_id = bf.query_id
+                        AND qr.cell = ncell.cell),
+s AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true, {hits} FROM j)
+{branches}
+"""
+
+
+@register("ivf_nprobe_recall_curve", _sql_ivf_nprobe_curve())
+def q_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe-recall tuning curve (extension op; the index-tuning
+    sibling of lsh_band_tuning and dedup_threshold_sensitivity):
+    recall@5 of the IVF index at n_probes in {1,2,4,8} against the
+    exact brute-force truth, WITHOUT running four probe passes. A true
+    neighbor is recovered at probe depth p iff its home cell ranks
+    within the query's p nearest cells — and it then survives the
+    candidate re-rank automatically, because a global top-k member
+    outranks any candidate subset under the same (cos_sim, id) order.
+    So the whole curve is: truth top-k (one brute-force pass the recall
+    eval already pays), home cells for the <=250 true neighbors, the
+    query-to-cell ranking, one join, and conditional counts. At 100 TB
+    the same plan prices the probe-depth/recall tradeoff from a sampled
+    query set before committing the index configuration."""
+    from de_project_sprint_etl_spark.functions.similarity import _dvec
+    from de_project_sprint_etl_spark.plans import llm
+
+    emb = fan_out(spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    cent = emb.filter(F.col("vec_id") % llm.IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), _dvec("embedding").alias("cv")
+    )
+    truth = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5
+    ).select("query_id", "neighbor_id")
+    nv = truth.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    ncell = similarity.ivf_cells(
+        emb.join(nv, "vec_id").select(
+            F.col("vec_id").alias("id"), _dvec("embedding").alias("v")
+        ),
+        cent,
+        nprobe=1,
+    ).select(F.col("id").alias("neighbor_id"), "cell")
+    qrank = similarity.ivf_cell_ranks(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("id"), _dvec("embedding").alias("v")
+        ),
+        cent,
+        max_rank=max(NPROBE_CURVE),
+    ).select(F.col("id").alias("query_id"), "cell", "proberank")
+    j = truth.join(ncell, "neighbor_id").join(
+        qrank, ["query_id", "cell"], "left"
+    )
+    row = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        *[
+            F.sum((F.col("proberank") <= p).cast("long")).alias(f"nh_{i}")
+            for i, p in enumerate(NPROBE_CURVE)
+        ],
+    ).select(
+        "n_true",
+        *[
+            F.coalesce(F.col(f"nh_{i}"), F.lit(0)).cast("long").alias(f"nh_{i}")
+            for i in range(len(NPROBE_CURVE))
+        ],
+    )
+    structs = [
+        F.struct(
+            F.lit(p).cast("long").alias("n_probes"),
+            F.col("n_true"),
+            F.col(f"nh_{i}").alias("n_hits"),
+            F.round(
+                F.col(f"nh_{i}").cast("double")
+                / F.greatest(F.col("n_true"), F.lit(1)),
+                6,
+            ).alias("recall_at_k"),
+        )
+        for i, p in enumerate(NPROBE_CURVE)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 # --- temperature-based mixture sampling -------------------------------------
 
 MIX_TARGET = 300  # target sample size driving the per-source rates
@@ -1583,6 +1708,120 @@ def q_dedup_threshold_sensitivity(
 register("dedup_threshold_sensitivity", _sql_threshold_sensitivity())(
     q_dedup_threshold_sensitivity
 )
+
+
+# --- LSH band tuning (round 8) ------------------------------------------------
+
+#: (bands, rows_per_band) factorizations of the 16-hash MinHash budget;
+#: the registered minhash_lsh_dedup config is (4, 4)
+LSH_TUNE_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+#: fixed-point scale for per-pair candidate probabilities: summed as
+#: exact integers so the aggregate is independent of summation order
+#: (cross-engine AND cross-partitioning deterministic)
+SCURVE_SCALE = 1_000_000
+
+
+def _scurve_scaled_sql(b: int, r: int) -> str:
+    p = dedup.lsh_scurve_sql("jaccard", b, r)
+    return f"CAST(FLOOR({p} * {SCURVE_SCALE}.0 + 0.5) AS BIGINT)"
+
+
+def _sql_lsh_band_tuning() -> str:
+    from de_project_sprint_etl_spark.plans.llm import _SQL_NGRAM_PAIRS
+
+    sums = []
+    for i, (b, r) in enumerate(LSH_TUNE_CONFIGS):
+        sp = _scurve_scaled_sql(b, r)
+        sums.append(f"CAST(COALESCE(SUM({sp}), 0) AS BIGINT) AS ec_{i}")
+        sums.append(
+            f"CAST(COALESCE(SUM(CASE WHEN jaccard >= 0.5 THEN {sp} ELSE 0 END),"
+            f" 0) AS BIGINT) AS eh_{i}"
+        )
+    branches = []
+    for i, (b, r) in enumerate(LSH_TUNE_CONFIGS):
+        est_t = round((1.0 / b) ** (1.0 / r), 6)
+        branches.append(
+            f"SELECT CAST({b} AS BIGINT) AS bands,"
+            f" CAST({r} AS BIGINT) AS rows_per_band,"
+            f" CAST({est_t!r} AS DOUBLE) AS est_threshold,"
+            f" ROUND(ec_{i} / {SCURVE_SCALE}.0, 6) AS exp_candidates,"
+            f" n_true,"
+            f" ROUND(CAST(eh_{i} AS DOUBLE)"
+            f" / ({SCURVE_SCALE}.0 * GREATEST(n_true, 1)), 6)"
+            f" AS exp_recall_at_05 FROM s"
+        )
+    # pairs materialized: the heavy shingle pipeline must run once;
+    # s materialized: the single agg row is referenced by every branch
+    # and DuckDB 1.0 inlines plain CTEs per reference
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT jaccard FROM ({_SQL_NGRAM_PAIRS}) p),
+s AS MATERIALIZED (
+  SELECT CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS BIGINT) AS n_true,
+         {", ".join(sums)}
+  FROM pairs)
+{" UNION ALL ".join(branches)}
+"""
+
+
+@register("lsh_band_tuning", _sql_lsh_band_tuning())
+def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (bands x rows) tuning curve — the configuration artifact
+    behind minhash_lsh_dedup's (4, 4) choice, computed in-engine from
+    ONE pass over the exact pair output (extension op; the band-tuning
+    sibling of dedup_threshold_sensitivity). For every factorization of
+    the 16-hash budget: the analytic S-curve threshold (1/b)^(1/r), the
+    EXPECTED candidate-pair volume SUM(P(candidate|j)) — what each
+    config would make the bucket-join shuffle carry — and expected
+    recall against the jaccard >= 0.5 truth set. Probabilities are
+    unrolled-multiplication IEEE expressions (no engine-divergent POW)
+    summed as fixed-point integers, so the curve is bit-identical
+    cross-engine and independent of partitioning — the property that
+    lets a 100-TB operator trust a sampled tuning run. At scale this
+    costs one conditional aggregate over pairs the dedup already
+    produced; picking bands too low starves recall, too high explodes
+    the candidate shuffle — this query IS that tradeoff, quantified."""
+    from de_project_sprint_etl_spark.plans import llm
+
+    pairs = llm.q_ngram_jaccard(spark, sf_dir).select("jaccard")
+    aggs = [
+        F.sum((F.col("jaccard") >= 0.5).cast("long")).alias("n_true_raw")
+    ]
+    for i, (b, r) in enumerate(LSH_TUNE_CONFIGS):
+        sp = F.expr(_scurve_scaled_sql(b, r))
+        aggs.append(F.sum(sp).alias(f"ec_{i}"))
+        aggs.append(
+            F.sum(F.when(F.col("jaccard") >= 0.5, sp).otherwise(F.lit(0))).alias(
+                f"eh_{i}"
+            )
+        )
+    row = pairs.agg(*aggs).select(
+        F.coalesce(F.col("n_true_raw"), F.lit(0)).cast("long").alias("n_true"),
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for i in range(len(LSH_TUNE_CONFIGS))
+            for c in (f"ec_{i}", f"eh_{i}")
+        ],
+    )
+    structs = []
+    for i, (b, r) in enumerate(LSH_TUNE_CONFIGS):
+        est_t = round((1.0 / b) ** (1.0 / r), 6)
+        structs.append(
+            F.struct(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(est_t).alias("est_threshold"),
+                F.round(F.col(f"ec_{i}") / F.lit(float(SCURVE_SCALE)), 6).alias(
+                    "exp_candidates"
+                ),
+                F.col("n_true"),
+                F.round(
+                    F.col(f"eh_{i}").cast("double")
+                    / (F.lit(float(SCURVE_SCALE)) * F.greatest(F.col("n_true"), F.lit(1))),
+                    6,
+                ).alias("exp_recall_at_05"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
 def _sql_source_dup_rate() -> str:

@@ -795,6 +795,78 @@ def q_partition_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- join-cardinality estimation from a deterministic key sample --------------
+
+#: 1-in-N key-sample rate for the join-size estimator
+JCE_MOD = 16
+
+_JCE_GATE = text.sql_h64("CAST(l_partkey AS VARCHAR)") + f" % {JCE_MOD} = 0"
+
+_SQL_JCE = f"""
+WITH counts AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CASE WHEN {_JCE_GATE} THEN 1 ELSE 0 END AS sampled
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(COALESCE(SUM(sampled), 0) AS BIGINT) AS n_sampled_keys,
+       CAST({JCE_MOD} * COALESCE(SUM(CASE WHEN sampled = 1
+                                          THEN cnt * cnt ELSE 0 END), 0)
+            AS BIGINT) AS est_rows,
+       CAST(COALESCE(SUM(cnt * cnt), 0) AS BIGINT) AS actual_rows,
+       ROUND(ABS({JCE_MOD}.0 * COALESCE(SUM(CASE WHEN sampled = 1
+                                              THEN cnt * cnt ELSE 0 END), 0)
+                 - COALESCE(SUM(cnt * cnt), 0))
+             / GREATEST(COALESCE(SUM(cnt * cnt), 0), 1), 6) AS rel_err
+FROM counts
+"""
+
+
+@register("join_cardinality_estimate", _SQL_JCE)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from a 1/16 DETERMINISTIC key sample — the
+    pre-flight a 100-TB pipeline runs before committing a shuffle join
+    whose output may explode (extension op; companions:
+    partition_skew_profile reports the head keys, salted_join handles
+    them). Target: the M:N lineitem self-join on l_partkey, whose true
+    output is SUM over keys of cnt^2 — computed here from the per-key
+    count table, never by materializing the join. The estimator is the
+    classic correlated (key-hash) sample: keep keys with h64(key) %
+    16 = 0, scale the sampled sum of squares by 16. Sampling BY KEY
+    (not by row) keeps each sampled key's contribution exact, which is
+    what makes the estimator unbiased for join sizes; the hash gate
+    makes it reproducible across runs, partitionings, and engines. One
+    groupBy over the fact table; everything downstream is a
+    single-row conditional aggregate of exact integers."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    counts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(
+            (
+                text.h64(F.col("l_partkey").cast("string")) % JCE_MOD == 0
+            ).cast("int")
+        ).alias("sampled"),
+    )
+    sq = F.col("cnt") * F.col("cnt")
+    samp_sq = F.sum(F.when(F.col("sampled") == 1, sq).otherwise(F.lit(0)))
+    all_sq = F.sum(sq)
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.coalesce(F.sum("sampled"), F.lit(0)).cast("long").alias("n_sampled_keys"),
+        (F.lit(JCE_MOD) * F.coalesce(samp_sq, F.lit(0)))
+        .cast("long")
+        .alias("est_rows"),
+        F.coalesce(all_sq, F.lit(0)).cast("long").alias("actual_rows"),
+        F.round(
+            F.abs(
+                F.lit(float(JCE_MOD)) * F.coalesce(samp_sq, F.lit(0))
+                - F.coalesce(all_sq, F.lit(0))
+            )
+            / F.greatest(F.coalesce(all_sq, F.lit(0)), F.lit(1)),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 # --- Markov transition matrix over event types --------------------------------
 
 _SQL_TRANSITION = """

@@ -938,3 +938,110 @@ def test_embedding_outliers_is_exact_integer_centroid_math(spark):
     # the reported set IS the top-k under (dist desc, vec_id asc)
     ref_order = sorted(want, key=lambda k: (-want[k], k))[: cur.OUTLIER_TOPK]
     assert {r.vec_id for r in rows} == set(ref_order)
+
+
+# --- round-8 tuning-curve ops -------------------------------------------------
+
+
+def test_lsh_band_tuning_matches_numpy_scurve(spark):
+    """The in-engine S-curve must equal an independent numpy evaluation
+    of 1-(1-j^r)^b over the same pair jaccards (fixed-point summed),
+    and behave like the textbook curve: more bands -> more expected
+    candidates AND more expected recall (monotone in b at fixed b*r)."""
+    from de_project_sprint_etl_spark.plans import curation as cur
+    from de_project_sprint_etl_spark.plans import llm
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in RAW_QUERIES["lsh_band_tuning"](spark, SF).collect()
+    }
+    assert set(rows) == set(cur.LSH_TUNE_CONFIGS)
+
+    j = np.array(
+        [x.jaccard for x in llm.q_ngram_jaccard(spark, SF).select("jaccard").collect()],
+        dtype=np.float64,
+    )
+    n_true = int((j >= 0.5).sum())
+    for (b, r), row in rows.items():
+        p = 1.0 - (1.0 - j**r) ** b
+        sp = np.floor(p * cur.SCURVE_SCALE + 0.5).astype(np.int64)
+        assert row.n_true == n_true
+        assert abs(row.exp_candidates - round(sp.sum() / cur.SCURVE_SCALE, 6)) < 2e-6
+        want_rec = round(
+            float(sp[j >= 0.5].sum()) / (cur.SCURVE_SCALE * max(n_true, 1)), 6
+        )
+        assert abs(row.exp_recall_at_05 - want_rec) < 2e-6
+        assert abs(row.est_threshold - round((1 / b) ** (1 / r), 6)) < 1e-9
+    # textbook monotonicity along the fixed 16-hash budget
+    by_bands = sorted(rows.values(), key=lambda r: r.bands)
+    for a, b_ in zip(by_bands, by_bands[1:]):
+        assert a.exp_candidates <= b_.exp_candidates + 1e-9
+        assert a.exp_recall_at_05 <= b_.exp_recall_at_05 + 1e-9
+
+
+def test_ivf_nprobe_curve_monotone_and_matches_direct_probe(spark):
+    """recall@k must be non-decreasing in n_probes, and the curve's
+    claim 'neighbor recovered iff its cell is probed' must agree with
+    ACTUALLY running the registered IVF query at nprobe=2."""
+    from de_project_sprint_etl_spark.functions import similarity
+    from de_project_sprint_etl_spark.plans import curation as cur
+    from de_project_sprint_etl_spark.plans import llm
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+    from de_project_sprint_etl_spark.plans.testdata import t
+
+    rows = sorted(
+        RAW_QUERIES["ivf_nprobe_recall_curve"](spark, SF).collect(),
+        key=lambda r: r.n_probes,
+    )
+    assert [r.n_probes for r in rows] == list(cur.NPROBE_CURVE)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_hits <= b.n_hits
+        assert a.n_true == b.n_true
+    # cross-check the p=2 point against a real nprobe=2 probe run
+    emb = t(spark, SF, "embeddings").select("vec_id", "embedding")
+    truth = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < llm.N_QUERIES), k=5
+    ).select("query_id", "neighbor_id")
+    approx = llm.q_ann_ivf(spark, SF).select("query_id", "neighbor_id")
+    direct_hits = truth.join(
+        approx, ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    p2 = next(r for r in rows if r.n_probes == 2)
+    assert p2.n_hits == direct_hits
+
+
+def test_join_cardinality_estimate_is_exact_key_sample_math(spark):
+    """The estimator must equal 16x the sampled sum of squares computed
+    independently in Python over the same per-key counts, and
+    actual_rows must equal the REAL self-join output size."""
+    from de_project_sprint_etl_spark.plans import governance as gov
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+    from de_project_sprint_etl_spark.plans.testdata import t
+
+    row = RAW_QUERIES["join_cardinality_estimate"](spark, SF).collect()[0]
+    li = t(spark, SF, "lineitem").select("l_partkey")
+    counts = {
+        r.l_partkey: r.cnt
+        for r in li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    actual = sum(c * c for c in counts.values())
+    assert row.actual_rows == actual
+    assert row.n_keys == len(counts)
+    # real join size equals the sum-of-squares identity
+    real = li.alias("a").join(li.alias("b"), "l_partkey").count()
+    assert real == actual
+    # sampled-key set from the shared hash gate, recomputed in-engine
+    from de_project_sprint_etl_spark.functions import text
+
+    sampled = {
+        r.l_partkey
+        for r in li.select("l_partkey")
+        .distinct()
+        .filter(text.h64(F.col("l_partkey").cast("string")) % gov.JCE_MOD == 0)
+        .collect()
+    }
+    assert row.n_sampled_keys == len(sampled)
+    est = gov.JCE_MOD * sum(counts[k] ** 2 for k in sampled)
+    assert row.est_rows == est
+    assert abs(row.rel_err - round(abs(est - actual) / max(actual, 1), 6)) < 2e-6
