@@ -61,12 +61,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # 244/245, the window's marginal value is RECENCY — all 47 queries
 # whose latest driver-green window is r3 (the oldest tier left; plans
 # under several of them were rewritten since: normalizer, ngram sids,
-# caching lifecycles); and (c) the round-8 newcomers (lsh_band_tuning,
-# ivf_nprobe_recall_curve, join_cardinality_estimate — never externally
-# attested). The 50-cap leaves out the two most-trivial r3 fillers
-# (status_counts, date_functions — single-agg / map-only plans untouched
-# since r1); minhash_dedup_eval's COALESCE change is value-neutral on
-# any populated corpus and is covered by FULLDIFF. 2 + 45 + 3 = 50.
+# caching lifecycles); and (c) the five round-8 newcomers, never
+# externally attested (lsh_band_tuning, ivf_nprobe_recall_curve,
+# join_cardinality_estimate, pack_efficiency_curve,
+# l_diversity_orders). The 50-cap leaves out the four r3 fillers whose
+# plans are untouched since they landed (status_counts, date_functions,
+# distinct_on_customer, cdc_apply_orders); minhash_dedup_eval's COALESCE
+# change is value-neutral on any populated corpus and is covered by
+# FULLDIFF. 2 + 43 + 5 = 50.
 GATE_PRIORITY = [
     # (a) the single never-driver-green cell + its twin
     "zorder_skipping_index",
@@ -75,14 +77,14 @@ GATE_PRIORITY = [
     "lsh_band_tuning",
     "ivf_nprobe_recall_curve",
     "join_cardinality_estimate",
+    "pack_efficiency_curve",
+    "l_diversity_orders",
     # (b) the r3-latest — oldest attestation tier in the registry
     "ann_lsh_topk",
     "bm25_topk_docs",
     "bpe_encode_vocab",
     "calendar_dim",
-    "cdc_apply_orders",
     "cosine_near_dup",
-    "distinct_on_customer",
     "doc_fingerprint",
     "embedding_normalize",
     "events_rolling_anomaly",

@@ -151,6 +151,55 @@ def q_k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- l-diversity audit (round 8) -----------------------------------------------
+
+L_DIV = 2  # minimum distinct sensitive values per released QI group
+
+_SQL_L_DIV = f"""
+SELECT o_orderpriority,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct,
+       CASE WHEN COUNT(*) >= {K_ANON}
+             AND COUNT(DISTINCT o_orderstatus) >= {L_DIV}
+            THEN 'release' ELSE 'suppress' END AS decision
+FROM orders
+GROUP BY o_orderpriority, order_year
+"""
+
+
+@register("l_diversity_orders", _SQL_L_DIV)
+def q_l_diversity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion k_anonymity_orders cannot
+    express: a QI group can be large (k-anonymous) yet leak the
+    sensitive attribute outright when every member shares one value.
+    Here QI = (priority, year), sensitive = order status; release
+    requires BOTH k >= {K} and >= {L} distinct sensitive values. One
+    hash aggregation with an exact distinct count whose cardinality is
+    bounded by the tiny status domain — at 100 TB this is the same
+    partial-aggregated group-by as the k-anonymity audit."""
+    orders = t(spark, sf_dir, "orders")
+    g = orders.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.countDistinct("o_orderstatus").cast("long").alias("l_distinct"),
+    )
+    return g.select(
+        "o_orderpriority",
+        "order_year",
+        "k",
+        "l_distinct",
+        F.when(
+            (F.col("k") >= K_ANON) & (F.col("l_distinct") >= L_DIV),
+            F.lit("release"),
+        )
+        .otherwise(F.lit("suppress"))
+        .alias("decision"),
+    )
+
+
 # --- time-weighted average ---------------------------------------------------
 
 _SQL_TWA = """

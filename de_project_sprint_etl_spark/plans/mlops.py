@@ -452,6 +452,96 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- packing-efficiency curve (round 8) ---------------------------------------
+
+#: candidate training context lengths swept by the packing curve
+PACK_CURVE_LENS = (128, 256, 512, 1024, 2048)
+
+
+def _chunks_sql(L: int) -> str:
+    """Per-row ceil(nt / L) in exact integer arithmetic shared verbatim
+    by both engines: the dividend is made exactly divisible before the
+    one double division (quotient < 2^53 ⇒ exact), so no FLOOR-boundary
+    ulp risk — the scaled_sql lesson applied to ceiling division."""
+    return (
+        f"(CAST((nt - (nt % {L})) / {L} AS BIGINT)"
+        f" + (CASE WHEN nt % {L} > 0 THEN 1 ELSE 0 END))"
+    )
+
+
+def _sql_pack_efficiency() -> str:
+    sums = ", ".join(
+        f"CAST(COALESCE(SUM({_chunks_sql(L)}), 0) AS BIGINT) AS nc_{i}"
+        for i, L in enumerate(PACK_CURVE_LENS)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT CAST({L} AS BIGINT) AS max_len, n_docs, total_tokens,"
+        f" nc_{i} AS n_chunks, nc_{i} * {L} AS padded_tokens,"
+        f" ROUND(1.0 - CAST(total_tokens AS DOUBLE)"
+        f" / GREATEST(nc_{i} * {L}, 1), 6) AS waste_frac FROM s"
+        for i, L in enumerate(PACK_CURVE_LENS)
+    )
+    return f"""
+WITH tc AS (SELECT CAST(len(STRING_SPLIT({SQL_NORM.format(c="text")}, ' '))
+                   AS BIGINT) AS nt
+            FROM documents),
+s AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS total_tokens,
+         {sums}
+  FROM tc)
+{branches}
+"""
+
+
+@register("pack_efficiency_curve", _sql_pack_efficiency())
+def q_pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length tuning curve for sequence packing (the sibling of
+    pack_sequences, and the fourth member of the tuning-artifact family
+    with dedup_threshold_sensitivity / lsh_band_tuning /
+    ivf_nprobe_recall_curve): for each candidate max_len, the chunk
+    count a chunk-and-pad packing would produce and the padding waste
+    fraction — the number a training-data pipeline reads before fixing
+    its context length. ONE narrow pass over the corpus (token counts),
+    one conditional aggregate; all chunk math is exact shared-text
+    integer arithmetic, so the curve hashes identically cross-engine.
+    At 100 TB this is a map-side aggregate — no shuffle grows with the
+    corpus beyond the single agg row."""
+    from de_project_sprint_etl_spark.functions.text import tokens
+
+    tc = (
+        t(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).cast("long").alias("nt"))
+    )
+    row = tc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("total_tokens"),
+        *[
+            F.coalesce(F.sum(F.expr(_chunks_sql(L))), F.lit(0))
+            .cast("long")
+            .alias(f"nc_{i}")
+            for i, L in enumerate(PACK_CURVE_LENS)
+        ],
+    )
+    structs = [
+        F.struct(
+            F.lit(L).cast("long").alias("max_len"),
+            F.col("n_docs"),
+            F.col("total_tokens"),
+            F.col(f"nc_{i}").alias("n_chunks"),
+            (F.col(f"nc_{i}") * F.lit(L)).cast("long").alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.col("total_tokens").cast("double")
+                / F.greatest(F.col(f"nc_{i}") * F.lit(L), F.lit(1)),
+                6,
+            ).alias("waste_frac"),
+        )
+        for i, L in enumerate(PACK_CURVE_LENS)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 # --- rank-family window functions -------------------------------------------
 
 

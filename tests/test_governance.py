@@ -770,3 +770,29 @@ def test_wau_covers_dau_and_is_bounded(spark):
     assert set(wau) == {r.d for r in dau_rows}
     for r in dau_rows:
         assert r.dau <= wau[r.d] <= n_users
+
+
+def test_l_diversity_flags_groups_k_anonymity_misses(spark):
+    """A group can pass k and fail l: verify against an independent
+    Python recomputation of (k, l) per (priority, year) group, and that
+    decision is exactly the conjunction."""
+    from de_project_sprint_etl_spark.plans import governance as gov
+
+    rows = RAW_QUERIES["l_diversity_orders"](spark, SF).collect()
+    orders = t(spark, SF, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("y"), "o_orderstatus"
+    ).collect()
+    groups: dict[tuple, list] = {}
+    for r in orders:
+        groups.setdefault((r.o_orderpriority, r.y), []).append(r.o_orderstatus)
+    assert len(rows) == len(groups)
+    for r in rows:
+        vals = groups[(r.o_orderpriority, r.order_year)]
+        assert r.k == len(vals)
+        assert r.l_distinct == len(set(vals))
+        want = (
+            "release"
+            if r.k >= gov.K_ANON and r.l_distinct >= gov.L_DIV
+            else "suppress"
+        )
+        assert r.decision == want

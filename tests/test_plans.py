@@ -777,3 +777,34 @@ def test_adaptive_ivf_counts_corpus_once_per_session(spark):
     from de_project_sprint_etl_spark.functions.caching import _SESSION_VALUES
 
     assert any(k[0] == id(spark) for k in _SESSION_VALUES["emb_count"]), llm
+
+
+def test_pack_efficiency_curve_is_exact_ceil_accounting(spark):
+    """Each curve point must equal the independent Python ceil-division
+    accounting over the same token counts, and waste must be
+    non-decreasing in max_len once chunks stop splitting (longer
+    contexts only add padding for short docs)."""
+    from de_project_sprint_etl_spark.functions.text import tokens as tok_fn
+    from de_project_sprint_etl_spark.plans import mlops
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+    from de_project_sprint_etl_spark.plans.testdata import t as t_
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r.max_len: r for r in RAW_QUERIES["pack_efficiency_curve"](spark, sf).collect()
+    }
+    assert set(rows) == set(mlops.PACK_CURVE_LENS)
+    nts = [
+        r.nt
+        for r in t_(spark, sf, "documents")
+        .select(F.size(tok_fn(F.col("text"))).cast("long").alias("nt"))
+        .collect()
+    ]
+    total = sum(nts)
+    for L, r in rows.items():
+        chunks = sum((nt + L - 1) // L for nt in nts)
+        assert r.n_docs == len(nts)
+        assert r.total_tokens == total
+        assert r.n_chunks == chunks
+        assert r.padded_tokens == chunks * L
+        assert abs(r.waste_frac - round(1 - total / max(chunks * L, 1), 6)) < 2e-6
