@@ -1977,6 +1977,72 @@ register("decontaminate_train", _sql_decontaminate())(q_decontaminate_train)
 register("source_dup_rate", _sql_source_dup_rate())(q_source_dup_rate)
 
 
+# --- cross-source duplication matrix (round 8) ---------------------------------
+
+
+def _sql_source_cross_dup() -> str:
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET
+
+    base = "CASE WHEN {c} >= %d THEN {c} - %d ELSE {c} END" % (
+        MUT_OFFSET,
+        MUT_OFFSET,
+    )
+    return f"""
+SELECT LEAST(s1.source, s2.source) AS source_a,
+       GREATEST(s1.source, s2.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ({_MH_PAIRS}) m
+JOIN documents s1 ON s1.doc_id = {base.format(c='m.id_a')}
+JOIN documents s2 ON s2.doc_id = {base.format(c='m.id_b')}
+GROUP BY source_a, source_b
+"""
+
+
+@register("source_cross_dup_matrix", _sql_source_cross_dup())
+def q_source_cross_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: MinHash+LSH pair counts by
+    (source, source), canonically ordered — the syndication report that
+    tells a curation run WHICH feeds re-publish each other (the
+    per-source scorecard source_dup_rate says how much each feed
+    duplicates, not against whom). Composes the registered LSH pair
+    pipeline; mutants inherit their base doc's source via the shared
+    offset mapping (loud-guarded in the corpus builder). Scale shape:
+    the pair table is artifact-sized, each label lookup is one
+    doc_id-keyed join, and the matrix aggregate is bounded by
+    |sources|^2 — nothing grows with the corpus beyond the dedup the
+    pipeline already paid for."""
+    from de_project_sprint_etl_spark.plans.llm import (
+        _MAX_SHINGLE_DF,
+        MUT_OFFSET,
+        mutant_shingles,
+    )
+
+    sigs = dedup.minhash_signatures(
+        shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
+    ).select("id_a", "id_b")
+
+    def base(c: str) -> F.Column:
+        return F.when(
+            F.col(c) >= MUT_OFFSET, F.col(c) - MUT_OFFSET
+        ).otherwise(F.col(c))
+
+    src = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    lab = (
+        pairs.select(base("id_a").alias("ba"), base("id_b").alias("bb"))
+        .join(src.select(F.col("base_id").alias("ba"), F.col("source").alias("sa")), "ba")
+        .join(src.select(F.col("base_id").alias("bb"), F.col("source").alias("sb")), "bb")
+    )
+    return lab.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
 # --- embedding outlier detection ----------------------------------------------
 
 OUTLIER_TOPK = 50

@@ -1045,3 +1045,27 @@ def test_join_cardinality_estimate_is_exact_key_sample_math(spark):
     est = gov.JCE_MOD * sum(counts[k] ** 2 for k in sampled)
     assert row.est_rows == est
     assert abs(row.rel_err - round(abs(est - actual) / max(actual, 1), 6)) < 2e-6
+
+
+def test_source_cross_dup_matrix_is_symmetric_canonical_and_complete(spark):
+    """Every LSH pair lands in exactly one canonically-ordered cell:
+    the matrix total equals the pair count, source_a <= source_b on
+    every row, and the diagonal dominates for the planted mutants
+    (a mutant shares its base doc's source, so planted near-dups are
+    same-source by construction)."""
+    from de_project_sprint_etl_spark.functions import dedup
+    from de_project_sprint_etl_spark.plans import curation  # noqa: F401 — registers
+    from de_project_sprint_etl_spark.plans.llm import mutant_shingles
+    from de_project_sprint_etl_spark.plans.registry import RAW_QUERIES
+
+    rows = RAW_QUERIES["source_cross_dup_matrix"](spark, SF).collect()
+    assert rows and all(r.source_a <= r.source_b for r in rows)
+    sigs = dedup.minhash_signatures(
+        shingles=mutant_shingles(spark, SF, n=3), num_hashes=16
+    )
+    n_pairs = dedup.minhash_lsh_pairs(
+        sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
+    ).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    diag = sum(r.n_pairs for r in rows if r.source_a == r.source_b)
+    assert diag * 2 >= n_pairs  # planted dups concentrate on the diagonal
