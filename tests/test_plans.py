@@ -808,3 +808,18 @@ def test_pack_efficiency_curve_is_exact_ceil_accounting(spark):
         assert r.n_chunks == chunks
         assert r.padded_tokens == chunks * L
         assert abs(r.waste_frac - round(1 - total / max(chunks * L, 1), 6)) < 2e-6
+
+
+def test_round8_tuning_ops_prune_their_scans(spark):
+    """The round-8 single-pass aggregates must stay single-pass at the
+    scan layer: each reads ONLY the columns it needs (a 16-column
+    lineitem scan under a 1-column estimator would be wrong at 100 TB)."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    plan = plan_of(qs["join_cardinality_estimate"](spark, sf))
+    assert "ReadSchema: struct<l_partkey:bigint>" in plan
+    plan = plan_of(qs["pack_efficiency_curve"](spark, sf))
+    assert "ReadSchema: struct<text:string>" in plan
+    assert "doc_id" not in plan  # pruned
