@@ -61,15 +61,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # 244/245, the window's marginal value is RECENCY — all 47 queries
 # whose latest driver-green window is r3 (the oldest tier left; plans
 # under several of them were rewritten since: normalizer, ngram sids,
-# caching lifecycles); and (c) the six round-8 newcomers, never
+# caching lifecycles); and (c) the seven round-8 newcomers, never
 # externally attested (lsh_band_tuning, ivf_nprobe_recall_curve,
 # join_cardinality_estimate, pack_efficiency_curve, l_diversity_orders,
-# source_cross_dup_matrix). The 50-cap leaves out the five r3 fillers
-# whose plans are untouched since they landed (status_counts,
-# date_functions, distinct_on_customer, cdc_apply_orders,
-# grouping_sets_events); minhash_dedup_eval's COALESCE change is
-# value-neutral on any populated corpus and is covered by FULLDIFF.
-# 2 + 42 + 6 = 50.
+# source_cross_dup_matrix, label_propagation_communities). The 50-cap
+# leaves out the six r3 fillers whose plans are untouched since they
+# landed (status_counts, date_functions, distinct_on_customer,
+# cdc_apply_orders, grouping_sets_events, funnel_signup_click_purchase);
+# minhash_dedup_eval's COALESCE change is value-neutral on any populated
+# corpus and is covered by FULLDIFF. 2 + 41 + 7 = 50.
 GATE_PRIORITY = [
     # (a) the single never-driver-green cell + its twin
     "zorder_skipping_index",
@@ -81,6 +81,7 @@ GATE_PRIORITY = [
     "pack_efficiency_curve",
     "l_diversity_orders",
     "source_cross_dup_matrix",
+    "label_propagation_communities",
     # (b) the r3-latest — oldest attestation tier in the registry
     "ann_lsh_topk",
     "bm25_topk_docs",
@@ -94,7 +95,6 @@ GATE_PRIORITY = [
     "events_windowed_agg",
     "exact_dedup",
     "fact_sales_v2",
-    "funnel_signup_click_purchase",
     "heavy_hitters_cms",
     "hybrid_rrf_retrieval",
     "incremental_minhash_dedup",

@@ -25,7 +25,7 @@ join output is linear in lineitem.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000_000_000  # 1e12: integer rank mass, bigint-safe
@@ -239,6 +239,73 @@ SELECT node, CAST(MIN(d) AS INT) AS dist FROM reach GROUP BY node
 
 
 # --- triangle counting ------------------------------------------------------
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), fully
+    deterministic: every node starts labeled with its own id; each
+    round, a node adopts its neighbors' MOST FREQUENT current label,
+    ties broken toward the smaller label. ``rounds`` is a fixed bound
+    (the Pregel-style supersteps), so the computation unrolls to a
+    finite plan both engines can evaluate identically — no convergence
+    race, no async update order.
+
+    Per round: one edges-by-dst equi-join against the current label
+    frame, one (node, label) partial-combined count, one per-node
+    argmax window over that node's *distinct neighbor labels* (bounded
+    by degree, never the corpus) — the same per-iteration shape as
+    :func:`pagerank`. Expects a symmetric edge set (every node appears
+    as ``src``). Output: ``node, community``."""
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        nl = edges.join(
+            labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        cnt = nl.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+        labels = (
+            cnt.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select("node", F.col("lbl").cast("long").alias("community"))
+
+
+def sql_copurchase_label_propagation(lineitem_rel: str, rounds: int = 3) -> str:
+    """DuckDB mirror of ``label_propagation(copurchase_edges(lineitem))``
+    — rounds unrolled as CTEs with the identical (count DESC, label ASC)
+    argmax. ``edges`` is MATERIALIZED: it is referenced once per round
+    and DuckDB 1.0 inlines plain CTEs per reference (the r7 temp-disk
+    lesson)."""
+    its = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        its.append(f"""r{i} AS (
+  SELECT e.src AS node, p.lbl, COUNT(*) AS c
+  FROM edges e JOIN {prev} p ON p.node = e.dst
+  GROUP BY e.src, p.lbl),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rk
+    FROM r{i}) t WHERE rk = 1)""")
+        prev = f"l{i}"
+    body = ",\n".join(its)
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM {lineitem_rel}
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT a.part AS src, b.part AS dst
+  FROM op a JOIN op b ON a.ok = b.ok AND a.part <> b.part
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+{body}
+SELECT node, CAST(lbl AS BIGINT) AS community FROM {prev}
+"""
 
 
 def undirected_edges(edges: DataFrame) -> DataFrame:

@@ -757,6 +757,26 @@ def q_bfs_copurchase_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "label_propagation_communities",
+    graph.sql_copurchase_label_propagation("lineitem", rounds=3),
+)
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 fixed
+    supersteps, most-frequent-neighbor label, ties toward the smaller
+    label) over the part co-purchase graph — the COMMUNITY primitive
+    completing the graph tier next to importance (pagerank), cliques
+    (triangles), paths (bfs), and components (dup_groups). Unlike the
+    min-id contraction of connected components, frequency voting
+    yields sub-component structure on a connected graph. Per superstep:
+    one edges-by-dst join against the (node, label) frame + one
+    partial-combined count + a per-node argmax window bounded by
+    degree — the bounded-rounds Pregel shape that holds at 100 TB; the
+    oracle unrolls the same three rounds with the identical tiebreak."""
+    edges = copurchase_edges_cached(spark, sf_dir)
+    return graph.label_propagation(edges, rounds=3)
+
+
 # --- data-integrity fingerprint ---------------------------------------------
 
 _CHECKSUM_ROW = (
