@@ -145,10 +145,10 @@ FROM {prev} ORDER BY rank DESC, node LIMIT {top_k}"""
         else f"SELECT node, rank FROM {prev}"
     )
     return f"""
-WITH op AS (
+WITH op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM {lineitem_rel}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT a.part AS src, b.part AS dst
   FROM op a JOIN op b ON a.ok = b.ok AND a.part <> b.part
 ),
@@ -216,10 +216,10 @@ def sql_copurchase_bfs(lineitem_rel: str, max_depth: int = 3) -> str:
     part id): depth-bounded recursive CTE with per-level dedup, then
     MIN(d) per node."""
     return f"""
-WITH RECURSIVE op AS (
+WITH RECURSIVE op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM {lineitem_rel}
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT DISTINCT a.part AS src, b.part AS dst
   FROM op a JOIN op b ON a.ok = b.ok AND a.part <> b.part
 ),
@@ -295,7 +295,7 @@ l{i} AS (
         prev = f"l{i}"
     body = ",\n".join(its)
     return f"""
-WITH op AS (
+WITH op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM {lineitem_rel}
 ),
 edges AS MATERIALIZED (
@@ -398,10 +398,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def sql_copurchase_triangles(lineitem_rel: str) -> str:
     """DuckDB mirror of ``triangle_count(copurchase_edges(lineitem))``."""
     return f"""
-WITH op AS (
+WITH op AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS ok, l_partkey AS part FROM {lineitem_rel}
 ),
-und AS (
+und AS MATERIALIZED (
   SELECT DISTINCT LEAST(a.part, b.part) AS a, GREATEST(a.part, b.part) AS b
   FROM op a JOIN op b ON a.ok = b.ok AND a.part <> b.part
 ),

@@ -77,11 +77,17 @@ def gated_broadcast(
     twice (once for the count, again when the consumer joins the
     frame), ``df`` is persisted through ``cached_generation`` first:
     the gate count materializes the cache and the downstream join reads
-    it back, one execution total, with the house generation lifecycle
-    (at most one live cache per (session, tag), no CacheManager leak).
-    This deliberately fires a driver-side action at plan-construction
-    time — the price of an accurate size decision; callers are the
-    near-dedup builders whose drop-set is consumed immediately after.
+    it back, one execution total, with the house generation lifecycle —
+    at most one live cache per (session, tag), the previous generation
+    unpersisted when the same tag is re-invoked. There is no release
+    hook after the consumer's single scan (lazy plans have no
+    "consumed" callback), so the last generation per tag stays
+    resident until the next invocation or session end: bounded at one
+    MEMORY_AND_DISK frame per call site (three near-dedup tags today),
+    evictable to disk under executor memory pressure. This deliberately
+    fires a driver-side action at plan-construction time — the price of
+    an accurate size decision; callers are the near-dedup builders
+    whose drop-set is consumed immediately after.
     ``bytes_per_row`` is the estimated in-memory row footprint used to
     convert the byte threshold into the row cap (default 64: two longs
     + row overhead, the dedup (id, group_id) shape)."""

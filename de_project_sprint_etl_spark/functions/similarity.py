@@ -345,24 +345,16 @@ def lsh_topk_tables(
     )
 
 
-def ivf_cells(
-    vecs: DataFrame,
-    centroids: DataFrame,
-    nprobe: int = 1,
-) -> DataFrame:
-    """Assign each vector in ``vecs`` (``id``, ``v``) to its ``nprobe``
-    nearest centroids (``cent_id``, ``cv``) by cosine.
+def _ranked_cells(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """THE single definition of IVF cell assignment order: every vector
+    in ``vecs`` (``id``, ``v``) scored against the broadcast centroid
+    set (``cent_id``, ``cv``) by rounded cosine, ranked per id with the
+    (cos_c DESC, cent_id DESC) tiebreak. ``ivf_cells`` and
+    ``ivf_cell_ranks`` are both thin filters over this frame, so their
+    agreement — which the nprobe recall curve's correctness argument
+    rests on — is structural, not by parallel maintenance.
 
-    The centroid set is broadcast; assignment is one narrow pass over
-    the corpus computing ``n_list`` dots per row, then a per-id window
-    for the argmax (ties broken toward the greatest ``cent_id``,
-    mirrored by the oracle). At real scale the corpus-side assignment
-    (``nprobe=1``) is an *index build*: materialize once, write
-    ``partitionBy("cell")``, and probes become partition-pruned reads —
-    the window here never sees more than ``n_list`` rows per id.
-
-    Output: ``id, v, cell``.
-    """
+    Output: ``id, v, cent_id, __rn``."""
     from pyspark.sql import Window
 
     scored = (
@@ -383,8 +375,29 @@ def ivf_cells(
     w = Window.partitionBy("id").orderBy(
         F.col("cos_c").desc(), F.col("cent_id").desc()
     )
+    return scored.withColumn("__rn", F.row_number().over(w))
+
+
+def ivf_cells(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector in ``vecs`` (``id``, ``v``) to its ``nprobe``
+    nearest centroids (``cent_id``, ``cv``) by cosine.
+
+    The centroid set is broadcast; assignment is one narrow pass over
+    the corpus computing ``n_list`` dots per row, then a per-id window
+    for the argmax (ties broken toward the greatest ``cent_id``,
+    mirrored by the oracle). At real scale the corpus-side assignment
+    (``nprobe=1``) is an *index build*: materialize once, write
+    ``partitionBy("cell")``, and probes become partition-pruned reads —
+    the window here never sees more than ``n_list`` rows per id.
+
+    Output: ``id, v, cell``.
+    """
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        _ranked_cells(vecs, centroids)
         .filter(F.col("__rn") <= nprobe)
         .select("id", "v", F.col("cent_id").alias("cell"))
     )
@@ -394,31 +407,13 @@ def ivf_cell_ranks(
     vecs: DataFrame, centroids: DataFrame, max_rank: int
 ) -> DataFrame:
     """Like :func:`ivf_cells` but KEEPS the probe order: each vector's
-    ``max_rank`` nearest cells with their rank (1 = probed first). Same
-    scoring and tiebreak as ``ivf_cells`` by construction — the nprobe
-    recall curve depends on the two agreeing. Output: ``id, cell,
-    proberank``."""
-    from pyspark.sql import Window
-
-    scored = (
-        vecs.withColumn("__vn", l2norm(F.col("v")))
-        .crossJoin(F.broadcast(centroids.withColumn("__cn", l2norm(F.col("cv")))))
-        .select(
-            "id",
-            "cent_id",
-            F.round(
-                cosine_prenormed(
-                    F.col("v"), F.col("cv"), F.col("__vn"), F.col("__cn")
-                ),
-                6,
-            ).alias("cos_c"),
-        )
-    )
-    w = Window.partitionBy("id").orderBy(
-        F.col("cos_c").desc(), F.col("cent_id").desc()
-    )
+    ``max_rank`` nearest cells with their rank (1 = probed first). Both
+    are filters over :func:`_ranked_cells`, so the scoring/tiebreak
+    agreement the nprobe recall curve depends on is structural.
+    Output: ``id, cell, proberank``."""
+    ranked = _ranked_cells(vecs, centroids)
     return (
-        scored.withColumn("proberank", F.row_number().over(w).cast("long"))
+        ranked.withColumn("proberank", F.col("__rn").cast("long"))
         .filter(F.col("proberank") <= max_rank)
         .select("id", F.col("cent_id").alias("cell"), "proberank")
     )

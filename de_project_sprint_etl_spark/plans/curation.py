@@ -2011,11 +2011,7 @@ def q_source_cross_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-keyed join, and the matrix aggregate is bounded by
     |sources|^2 — nothing grows with the corpus beyond the dedup the
     pipeline already paid for."""
-    from de_project_sprint_etl_spark.plans.llm import (
-        _MAX_SHINGLE_DF,
-        MUT_OFFSET,
-        mutant_shingles,
-    )
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET, mutant_shingles
 
     sigs = dedup.minhash_signatures(
         shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16

@@ -254,3 +254,27 @@ def test_frame_rows_hypothesis_mixed(spark):
         assert frame_rows(df) == _frame_rows_reference(df)
 
     check()
+
+
+def test_detects_decimal_vs_int_twin_frames():
+    """The residual masking hole (r8 review): Spark DECIMAL outputs ship
+    as object-of-Decimal, which a kind-only dtype check skips — and
+    canon(Decimal('755'))=='755'==str(755) hashes equal. The family
+    classifier must resolve object columns by element and FAIL
+    decimal-vs-int (and decimal-vs-float) pairs."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from tools.oracle_check import compare_frames
+
+    sdf = pd.DataFrame({"k": [1, 2], "v": [Decimal("755"), Decimal("812")]})
+    odf = pd.DataFrame({"k": [1, 2], "v": [755, 812]})
+    v = compare_frames(sdf, odf)
+    assert not v["hash_match"] and "dtype mismatch" in v["err"]
+    odf_f = pd.DataFrame({"k": [1, 2], "v": [755.0, 812.0]})
+    v2 = compare_frames(sdf, odf_f)
+    assert not v2["hash_match"] and "dtype mismatch" in v2["err"]
+    # decimal vs decimal stays green (canon normalizes scale)
+    v3 = compare_frames(sdf, sdf.copy().iloc[::-1])
+    assert v3["hash_match"] and v3["err"] is None

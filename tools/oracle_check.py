@@ -113,27 +113,67 @@ def frame_rows(df) -> list[tuple]:
 
 # dtype-kind → comparison family: integer and float are DISTINCT on
 # purpose (the driver's value hash is typed); bool folds into its own
-# family; datetime64 of any unit/tz one family; everything object-ish
-# is left to value canon (Decimal vs str vs date differences surface as
-# value diffs with the actual reprs in the message).
+# family; datetime64 of any unit/tz one family. Object columns are
+# classified by their first non-null ELEMENT (Spark's toPandas ships
+# DecimalType as object-of-Decimal and DateType as object-of-date —
+# leaving those unclassified was a residual masking hole for e.g. a
+# Spark DECIMAL column against a DuckDB BIGINT oracle, the zorder class
+# through a different dtype).
 _KIND_FAMILY = {
     "i": "int", "u": "int", "f": "float", "b": "bool",
     "M": "datetime", "m": "timedelta",
 }
 
 
+def _column_family(series) -> str | None:
+    """Comparison family of one column; None = unclassifiable (empty or
+    all-null object column — nothing for a value hash to see either)."""
+    kind = series.dtype.kind
+    if kind in _KIND_FAMILY:
+        return _KIND_FAMILY[kind]
+    import datetime
+
+    for v in series:
+        if v is None:
+            continue
+        if isinstance(v, Decimal):
+            return "decimal"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, int):
+            return "int"
+        if isinstance(v, float):
+            if v != v:  # NaN placeholder in an object column — skip
+                continue
+            return "float"
+        if isinstance(v, datetime.datetime):  # Timestamp subclasses this
+            return "datetime"
+        if isinstance(v, datetime.date):
+            return "date"
+        if isinstance(v, str):
+            return "str"
+        return "object"  # arrays/maps/bytes — value canon handles
+    return None
+
+
 def dtype_mismatches(sdf, odf) -> list[str]:
     """Per-column dtype-FAMILY mismatches between the two frames
     (shared columns only; schema diffs are reported separately).
     int-vs-float is the driver-red class the r6 comparator masked;
-    any cross-family pair is reported, including on zero-row frames
-    where no value exists to betray it."""
+    any cross-family pair is reported — decimal/date families resolved
+    from object-column elements — including on zero-row frames where
+    no value exists to betray it (zero-row object columns stay
+    unclassifiable and are skipped)."""
     bad = []
     for c in sorted(set(sdf.columns) & set(odf.columns)):
-        fs = _KIND_FAMILY.get(sdf[c].dtype.kind, "object")
-        fo = _KIND_FAMILY.get(odf[c].dtype.kind, "object")
-        if fs != fo and "object" not in (fs, fo):
-            bad.append(f"{c}: spark={sdf[c].dtype} duckdb={odf[c].dtype}")
+        fs = _column_family(sdf[c])
+        fo = _column_family(odf[c])
+        if fs is None or fo is None or "object" in (fs, fo):
+            continue
+        if fs != fo:
+            bad.append(
+                f"{c}: spark={sdf[c].dtype}/{fs} duckdb={odf[c].dtype}/{fo}"
+            )
     return bad
 
 
