@@ -251,24 +251,29 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     race, no async update order.
 
     Per round: one edges-by-dst equi-join against the current label
-    frame, one (node, label) partial-combined count, one per-node
-    argmax window over that node's *distinct neighbor labels* (bounded
-    by degree, never the corpus) — the same per-iteration shape as
-    :func:`pagerank`. Expects a symmetric edge set (every node appears
-    as ``src``). Output: ``node, community``."""
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
+    frame, then a (node, label) partial-combined count and a per-node
+    HASH-AGG argmax: ``max(struct(c, -lbl))`` reproduces the
+    (count DESC, label ASC) vote without a sort window, and is total
+    because (node, label) rows are distinct post-count. The edge set is
+    re-scanned per round (a pruned columnar read of the cached edge
+    parquet — measured cheaper at bench scale than a per-invocation
+    repartition+persist round-trip; at a real 100 TB run the edges
+    would be bucketed on dst once, pagerank's stationary-adjacency
+    discipline). Expects a symmetric edge set (every node appears as
+    ``src``). Output: ``node, community``."""
+    adj = edges
+    labels = adj.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     for _ in range(rounds):
-        nl = edges.join(
+        nl = adj.join(
             labels.select(F.col("node").alias("dst"), "lbl"), "dst"
         ).select(F.col("src").alias("node"), "lbl")
         cnt = nl.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
         labels = (
-            cnt.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select("node", "lbl")
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("lbl"))
         )
     return labels.select("node", F.col("lbl").cast("long").alias("community"))
 
