@@ -62,20 +62,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # marginal value is RECENCY — the queries whose latest driver-green
 # window is r3 (the oldest tier left; plans under several of them were
 # rewritten since: normalizer, ngram sids,
-# caching lifecycles); and (c) the seven round-8 newcomers, never
-# externally attested (lsh_band_tuning, ivf_nprobe_recall_curve,
-# join_cardinality_estimate, pack_efficiency_curve, l_diversity_orders,
-# source_cross_dup_matrix, label_propagation_communities). The 50-cap
-# leaves out the six r3 fillers whose plans are untouched since they
-# landed (status_counts, date_functions, distinct_on_customer,
-# cdc_apply_orders, grouping_sets_events, funnel_signup_click_purchase);
-# minhash_dedup_eval's COALESCE change is value-neutral on any populated
-# corpus and is covered by FULLDIFF. 2 + 41 + 7 = 50.
+# caching lifecycles); and (c) the fourteen round-8 newcomers, never
+# externally attested — the first wave (lsh_band_tuning,
+# ivf_nprobe_recall_curve, join_cardinality_estimate,
+# pack_efficiency_curve, l_diversity_orders, source_cross_dup_matrix,
+# label_propagation_communities) and the second wave
+# (pareto_frontier_orders, gini_revenue_concentration,
+# rfm_customer_segments, ks_value_drift, token_pmi_bigrams,
+# mixture_epochs_plan, dup_cluster_quality_report). Never-attested
+# outranks oldest-attested, so the second wave displaces the seven
+# r3-tier fillers whose plans are untouched since they landed and whose
+# r3 attestations still stand (calendar_dim, events_windowed_agg,
+# fact_sales_v2, week_range_join, tpch_q1/q3/q5) — all of them remain
+# row-level green in FULLDIFF_r8 at both scales. 2 + 14 + 34 = 50.
 GATE_PRIORITY = [
     # (a) the single never-driver-green cell + its twin
     "zorder_skipping_index",
     "zorder_skipping_effectiveness",
-    # round-8 newcomers — first external attestation
+    # round-8 newcomers, first wave — first external attestation
     "lsh_band_tuning",
     "ivf_nprobe_recall_curve",
     "join_cardinality_estimate",
@@ -83,19 +87,24 @@ GATE_PRIORITY = [
     "l_diversity_orders",
     "source_cross_dup_matrix",
     "label_propagation_communities",
+    # round-8 newcomers, second wave — first external attestation
+    "pareto_frontier_orders",
+    "gini_revenue_concentration",
+    "rfm_customer_segments",
+    "ks_value_drift",
+    "token_pmi_bigrams",
+    "mixture_epochs_plan",
+    "dup_cluster_quality_report",
     # (b) the r3-latest — oldest attestation tier in the registry
     "ann_lsh_topk",
     "bm25_topk_docs",
     "bpe_encode_vocab",
-    "calendar_dim",
     "cosine_near_dup",
     "doc_fingerprint",
     "embedding_normalize",
     "events_rolling_anomaly",
     "events_sessionize",
-    "events_windowed_agg",
     "exact_dedup",
-    "fact_sales_v2",
     "heavy_hitters_cms",
     "hybrid_rrf_retrieval",
     "incremental_minhash_dedup",
@@ -119,12 +128,8 @@ GATE_PRIORITY = [
     "text_quality",
     "tfidf_topk_terms",
     "token_histogram",
-    "tpch_q1_pricing_summary",
     "tpch_q21_suppliers_kept_waiting",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
     "tpch_q9_product_profit",
-    "week_range_join",
 ]
 
 

@@ -1375,3 +1375,180 @@ def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Pareto frontier (2-D skyline) --------------------------------------------
+
+PARETO_BUCKETS = 64
+PARETO_SURVIVOR_BOUND = 10_000_000
+
+_SQL_PARETO = """
+WITH pts AS (
+  SELECT o_totalprice AS price, CAST(o_orderdate AS DATE) AS odate,
+         CAST(COUNT(*) AS BIGINT) AS n_orders, MIN(o_orderkey) AS min_orderkey
+  FROM orders GROUP BY 1, 2),
+ranked AS (
+  SELECT *, MAX(odate) OVER (ORDER BY price DESC, odate DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx_prev
+  FROM pts)
+SELECT price, CAST(odate AS VARCHAR) AS odate, n_orders, min_orderkey
+FROM ranked WHERE mx_prev IS NULL OR odate > mx_prev
+"""
+
+
+@register("pareto_frontier_orders", _SQL_PARETO)
+def q_pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of orders over (maximize price,
+    maximize recency): the distinct (price, order-date) points no other
+    point weakly dominates — "the biggest recent deals" query that a
+    single ORDER BY cannot express.
+
+    Two-phase sort-based skyline, the distributed textbook shape:
+    (1) points are pre-aggregated to distinct (price, date) pairs (so
+    duplicate orders collapse and dominance is strict by construction),
+    then each deterministic hash bucket computes its LOCAL skyline with
+    a per-bucket running-max window — a conservative prefilter, since
+    any point dominated inside a bucket is dominated globally; a random
+    bucket of m points keeps only ~O(log m) survivors. (2) The handful
+    of survivors take one ordered pass (guarded unpartitioned window:
+    price desc, date desc, running max of date over strictly-preceding
+    rows) — a point survives iff its date beats every higher-priced
+    point's date. At 100 TB phase 1 is embarrassingly parallel and the
+    phase-2 input is buckets x O(log m), not the corpus; the guard
+    raises loudly if survivors somehow exceed the bound instead of
+    funnelling big data through one partition."""
+    from de_project_sprint_etl_spark.functions import guards
+
+    pts = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+    )
+    bkt = F.pmod(
+        h64(
+            F.concat_ws(
+                "|", F.col("price").cast("string"), F.col("odate").cast("string")
+            )
+        ),
+        F.lit(PARETO_BUCKETS),
+    )
+    w_loc = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("price").desc(), F.col("odate").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        pts.withColumn("__bkt", bkt)
+        .withColumn("__mx", F.max("odate").over(w_loc))
+        .filter(F.col("__mx").isNull() | (F.col("odate") > F.col("__mx")))
+        .drop("__bkt", "__mx")
+    )
+    w_glob = Window.orderBy(F.col("price").desc(), F.col("odate").desc())
+    mx_prev = guards.bounded_global_window(
+        F.max("odate").over(
+            w_glob.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        w_glob,
+        PARETO_SURVIVOR_BOUND,
+        "pareto_frontier_orders global merge",
+        "a second local-skyline round on a coarser bucket key",
+    )
+    return (
+        local.withColumn("__mx", mx_prev)
+        .filter(F.col("__mx").isNull() | (F.col("odate") > F.col("__mx")))
+        .select(
+            "price",
+            F.col("odate").cast("string").alias("odate"),
+            "n_orders",
+            "min_orderkey",
+        )
+    )
+
+
+# --- Gini / revenue concentration ----------------------------------------------
+
+GINI_CUSTOMER_BOUND = 10_000_000
+
+_SQL_GINI = """
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT rev_cents,
+         ROW_NUMBER() OVER (ORDER BY rev_cents, o_custkey) AS rn
+  FROM per),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(CAST(rev_cents AS DECIMAL(38,0))) AS s_w,
+             SUM(CAST(rn * rev_cents AS DECIMAL(38,0))) AS s_iw
+      FROM ranked)
+SELECT n_customers,
+       CAST(s_w AS BIGINT) AS total_revenue_cents,
+       ROUND(2.0 * CAST(s_iw AS DOUBLE)
+               / (CAST(n_customers AS DOUBLE) * CAST(s_w AS DOUBLE))
+             - (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE),
+             6) AS gini
+FROM s
+"""
+
+
+@register("gini_revenue_concentration", _SQL_GINI)
+def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the single-number
+    concentration gate ("do 1% of customers carry 50% of revenue?")
+    computed from the rank formulation G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n over revenues sorted ascending with a full deterministic
+    tiebreak (revenue, custkey).
+
+    Exactness: revenues are exact integer cents, both weighted sums
+    accumulate as DECIMAL(38,0) (addition-order-free — a double sum of
+    rank-weighted products would differ between engines), and the two
+    final divisions are the only float ops. Scale shape: one
+    partial-combined groupBy to the customer grain, then a guarded
+    unpartitioned rank window — bounded by |customers|, with the
+    percentile-bucket two-pass rank as the named 100-TB alternative."""
+    from de_project_sprint_etl_spark.functions import guards
+
+    per = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.orderBy(F.col("rev_cents").asc(), F.col("o_custkey").asc())
+    rn = guards.bounded_global_window(
+        F.row_number().over(w).cast("long"),
+        w,
+        GINI_CUSTOMER_BOUND,
+        "gini_revenue_concentration rank",
+        "a percentile-bucket two-pass rank",
+    )
+    ranked = per.select("rev_cents", rn.alias("rn"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("s_w"),
+        F.sum((F.col("rn") * F.col("rev_cents")).cast("decimal(38,0)")).alias(
+            "s_iw"
+        ),
+    )
+    n_d = F.col("n_customers").cast("double")
+    return s.select(
+        "n_customers",
+        F.col("s_w").cast("bigint").alias("total_revenue_cents"),
+        F.round(
+            F.lit(2.0)
+            * F.col("s_iw").cast("double")
+            / (n_d * F.col("s_w").cast("double"))
+            - (n_d + F.lit(1.0)) / n_d,
+            6,
+        ).alias("gini"),
+    )

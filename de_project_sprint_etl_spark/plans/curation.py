@@ -2140,3 +2140,185 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("embedding_outliers", _sql_embedding_outliers())(q_embedding_outliers)
+
+
+# --- quality-weighted mixture / epochs planning ----------------------------------
+
+EPOCH_BUDGET_MULT = 3.0  # token budget = 3x the corpus, the repeat-data regime
+
+
+def _sql_mixture_epochs() -> str:
+    from de_project_sprint_etl_spark.plans.llm import _sql_text_quality
+
+    return f"""
+WITH q AS ({_sql_text_quality("documents")}),
+j AS (SELECT d.source, q.n_bpe_tokens,
+             CAST(q.quality_score AS DECIMAL(18,6)) AS qd
+      FROM q JOIN documents d USING (doc_id)),
+per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bpe_tokens) AS BIGINT) AS avail_tokens,
+               SUM(qd) AS qmass
+        FROM j GROUP BY source),
+tot AS (SELECT SUM(qmass) AS tq, CAST(SUM(avail_tokens) AS BIGINT) AS tt
+        FROM per),
+rates AS (SELECT source, n_docs, avail_tokens,
+                 CAST(qmass AS DOUBLE) / CAST(tq AS DOUBLE) AS share,
+                 CAST(FLOOR((CAST(qmass AS DOUBLE) / CAST(tq AS DOUBLE))
+                            * ({EPOCH_BUDGET_MULT} * CAST(tt AS DOUBLE)))
+                      AS BIGINT) AS target_tokens
+          FROM per CROSS JOIN tot)
+SELECT source, n_docs, avail_tokens,
+       ROUND(share, 6) AS target_share,
+       target_tokens,
+       ROUND(CAST(target_tokens AS DOUBLE) / CAST(avail_tokens AS DOUBLE), 6)
+         AS epochs
+FROM rates
+"""
+
+
+@register("mixture_epochs_plan", _sql_mixture_epochs())
+def q_mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted data-mixture planner: allocate a fixed token
+    budget (3x the corpus — the repeat-data regime every
+    under-trained-corpus run lives in) across sources in proportion to
+    each source's QUALITY MASS (sum of per-doc quality scores), and
+    report the implied per-source epoch count — epochs > 1 means that
+    source repeats, the number a pretraining run commits to before it
+    starts. This is the planning artifact for the mixture gate the
+    sampler (mixture_sample_temperature) then applies.
+
+    Determinism: quality scores are 6-decimal, summed as
+    DECIMAL(18,6) (order-free), so the share doubles are bit-identical;
+    token counts are exact integers; the only floats are the share and
+    epoch divisions, mirrored expression-for-expression. Scale shape:
+    one map-side projection for the stats, one partial-combined groupBy
+    to |sources| rows, one 1-row total broadcast — the corpus itself
+    never shuffles."""
+    from de_project_sprint_etl_spark.functions import text as _tx
+    from de_project_sprint_etl_spark.plans.llm import docs_fanned
+
+    q = _tx.with_text_stats(docs_fanned(spark, sf_dir), "text").select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.col("quality_score").cast("decimal(18,6)").alias("qd"),
+    )
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    per = (
+        q.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("avail_tokens"),
+            F.sum("qd").alias("qmass"),
+        )
+    )
+    tot = per.agg(
+        F.sum("qmass").alias("tq"),
+        F.sum("avail_tokens").cast("bigint").alias("tt"),
+    )
+    share = F.col("qmass").cast("double") / F.col("tq").cast("double")
+    target = F.floor(
+        share * (F.lit(EPOCH_BUDGET_MULT) * F.col("tt").cast("double"))
+    ).cast("bigint")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        F.round(share, 6).alias("target_share"),
+        target.alias("target_tokens"),
+        F.round(
+            target.cast("double") / F.col("avail_tokens").cast("double"), 6
+        ).alias("epochs"),
+    )
+
+
+# --- near-dup cluster quality report ----------------------------------------------
+
+
+def _sql_dup_cluster_quality() -> str:
+    from de_project_sprint_etl_spark.plans.llm import (
+        _sql_minhash_lsh,
+        _sql_text_quality,
+    )
+
+    quality = _sql_text_quality(f"({SQL_DOCS_MUT}) dm")
+    return f"""
+WITH RECURSIVE mh AS ({_sql_minhash_lsh()}),
+edges AS (SELECT id_a AS s, id_b AS d FROM mh
+          UNION SELECT id_b, id_a FROM mh),
+reach(id, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+lab AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id),
+q AS ({quality}),
+m AS (SELECT l.group_id, CAST(q.quality_score AS DECIMAL(18,6)) AS qd
+      FROM lab l JOIN q ON q.doc_id = l.id),
+pg AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n,
+              MAX(qd) AS mx, MIN(qd) AS mn, SUM(qd) AS s
+       FROM m GROUP BY group_id)
+SELECT n AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       ROUND(CAST(SUM(mx) AS DOUBLE) / COUNT(*), 6) AS avg_best_quality,
+       ROUND(CAST(SUM(mx - mn) AS DOUBLE) / COUNT(*), 6) AS avg_quality_spread,
+       ROUND(CAST(SUM(mx * n - s) AS DOUBLE) / CAST(SUM(n - 1) AS DOUBLE), 6)
+         AS avg_dropped_loss
+FROM pg GROUP BY n
+"""
+
+
+@register("dup_cluster_quality_report", _sql_dup_cluster_quality())
+def q_dup_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What near-dup dedup actually costs, by cluster size: for every
+    MinHash+LSH connected component, the quality of the member a
+    keep-best pass would survive (max), the in-cluster quality spread
+    (max - min), and the mean quality gap of the DROPPED members vs the
+    keeper — aggregated per group size. A fat high-spread tail says
+    clusters mix good and bad variants (keep-best matters); near-zero
+    spread says exact-ish re-posts (any member is fine, use the cheaper
+    min-id keep). Composes the verified pair -> connected-components
+    pipeline and the Gopher-style quality projection.
+
+    Determinism: quality is 6-decimal, all per-group reductions run as
+    DECIMAL(18,6) (max/min/sum are order-free; the dropped-loss
+    numerator mx*n - s stays exact decimal), one double division per
+    output cell. Scale shape: the group table holds dup members only;
+    both aggregates are partial-combined; nothing windows or sorts
+    globally."""
+    from de_project_sprint_etl_spark.functions import text as _tx
+    from de_project_sprint_etl_spark.plans.llm import mutant_shingles
+
+    pairs = dedup.minhash_lsh_pairs(
+        dedup.minhash_signatures(
+            shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
+        ),
+        num_hashes=16,
+        bands=4,
+        min_est_jaccard=0.5,
+    )
+    groups = dedup.dup_groups(pairs).select("id", "group_id")
+    q = _tx.with_text_stats(docs_with_mutants(spark, sf_dir), "text").select(
+        F.col("doc_id"),
+        F.col("quality_score").cast("decimal(18,6)").alias("qd"),
+    )
+    m = groups.join(q, groups["id"] == q["doc_id"]).select("group_id", "qd")
+    pg = m.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("qd").alias("mx"),
+        F.min("qd").alias("mn"),
+        F.sum("qd").alias("s"),
+    )
+    return pg.groupBy(F.col("n").alias("group_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.round(F.sum("mx").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_best_quality"
+        ),
+        F.round(
+            F.sum(F.col("mx") - F.col("mn")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_quality_spread"),
+        F.round(
+            F.sum(F.col("mx") * F.col("n") - F.col("s")).cast("double")
+            / F.sum(F.col("n") - 1).cast("double"),
+            6,
+        ).alias("avg_dropped_loss"),
+    )

@@ -2563,3 +2563,116 @@ def q_wau_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.col("target_d").cast("string").alias("day"), "wau")
     )
+
+
+# --- Kolmogorov-Smirnov drift test ----------------------------------------------
+
+KS_BINS = 1000
+
+_SQL_KS = f"""
+WITH tagged AS (
+  SELECT value,
+         CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'a' ELSE 'b' END AS side
+  FROM events),
+rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM tagged),
+binned AS (
+  SELECT side,
+         LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {KS_BINS})) AS INT),
+               {KS_BINS - 1}) AS bin
+  FROM tagged CROSS JOIN rng),
+counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin,
+         CAST(SUM(n_a) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+         CAST(SUM(n_b) OVER (ORDER BY bin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+  FROM counts),
+tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta, CAST(SUM(n_b) AS BIGINT) AS tb
+        FROM counts),
+diffs AS (
+  SELECT bin,
+         ABS(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb) AS d
+  FROM cum CROSS JOIN tot),
+mx AS (SELECT MAX(d) AS mxd FROM diffs)
+SELECT (SELECT ta FROM tot) AS n_a,
+       (SELECT tb FROM tot) AS n_b,
+       ROUND(mxd, 6) AS ks_stat,
+       (SELECT MIN(bin) FROM diffs WHERE d = mxd) AS ks_bin
+FROM mx
+"""
+
+
+@register("ks_value_drift", _SQL_KS)
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the event
+    values before vs after the PSI split date, on a fixed 1000-bin
+    equal-width grid over the global range: D = max |ecdf_a - ecdf_b|
+    evaluated at bin right edges, plus the bin where the gap peaks —
+    the nonparametric complement to the PSI monitor (PSI sees density
+    re-allocation, KS sees the worst single distributional gap).
+
+    The grid is what makes the statistic 100-TB-shaped: exact KS needs
+    a total order over distinct values (corpus-scale sort), while the
+    binned ecdf needs one groupBy to <= 1000 rows and a structurally
+    bounded cumulative window. Ties in the argmax resolve to the
+    lowest bin; both engines compute the identical IEEE division chain
+    from exact integer counts, so the float equality in the argmax is
+    engine-stable."""
+    ev = events_df(spark, sf_dir).select(
+        "value",
+        F.when(F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("side"),
+    )
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "side",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / KS_BINS)
+            ).cast("int"),
+            F.lit(KS_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("side") == "a").cast("long")).alias("n_a"),
+        F.sum((F.col("side") == "b").cast("long")).alias("n_b"),
+    )
+    # cumulative window over <= KS_BINS rows — structurally bounded by
+    # the constant grid, never by data volume
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "bin",
+        F.sum("n_a").over(w).cast("bigint").alias("ca"),
+        F.sum("n_b").over(w).cast("bigint").alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("bigint").alias("ta"),
+        F.sum("n_b").cast("bigint").alias("tb"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ta",
+        "tb",
+        F.abs(
+            F.col("ca").cast("double") / F.col("ta")
+            - F.col("cb").cast("double") / F.col("tb")
+        ).alias("d"),
+    )
+    mx = diffs.agg(F.max("d").alias("mxd"))
+    return (
+        diffs.crossJoin(F.broadcast(mx))
+        .filter(F.col("d") == F.col("mxd"))
+        .agg(
+            F.min("ta").alias("n_a"),
+            F.min("tb").alias("n_b"),
+            F.round(F.min("mxd"), 6).alias("ks_stat"),
+            F.min("bin").alias("ks_bin"),
+        )
+    )

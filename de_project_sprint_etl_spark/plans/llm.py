@@ -1724,3 +1724,96 @@ def q_event_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rank", F.row_number().over(rw).cast("int"))
     )
+
+
+# --- PMI bigram collocations -----------------------------------------------------
+
+PMI_MIN_PAIR = 10
+
+
+def _sql_pmi() -> str:
+    toks = text.SQL_TOKENS.format(c="text")
+    return f"""
+WITH toked AS (SELECT {toks} AS t FROM documents),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT UNNEST(t) AS w FROM toked) u
+  WHERE LENGTH(w) > 0 GROUP BY w),
+n1 AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_uni FROM uni),
+big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toked, UNNEST(CASE WHEN len(t) >= 2 THEN range(1, len(t)) ELSE [] END) AS r(i)
+  WHERE LENGTH(t[i]) > 0 AND LENGTH(t[i + 1]) > 0),
+pairs AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+n2 AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_big FROM pairs)
+SELECT p.w1, p.w2, p.c12,
+       ROUND(LN((CAST(p.c12 AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_big AS DOUBLE) * ua.c1 * ub.c1)), 6) AS pmi
+FROM pairs p
+JOIN uni ua ON ua.w = p.w1
+JOIN uni ub ON ub.w = p.w2
+CROSS JOIN n1 CROSS JOIN n2
+WHERE p.c12 >= {PMI_MIN_PAIR}
+"""
+
+
+@register("token_pmi_bigrams", _sql_pmi())
+def q_token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information bigram collocations over the corpus
+    — the word2phrase-style detector for multiword units worth fusing
+    before tokenizer training: PMI = ln(p(w1,w2) / (p(w1) p(w2))) with
+    unigram probabilities from occurrence counts and the pair
+    probability from adjacent-bigram counts, reported for every pair
+    seen >= {PMI_MIN_PAIR} times (a count floor, not a top-k — rank
+    ties under ulp noise would make top-k engine-unstable, a frequency
+    floor is exact).
+
+    Scale shape: two partial-combined aggregates (the Zipf head
+    collapses map-side), two vocabulary-keyed equi-joins onto the
+    filtered pair list, and two 1-row broadcast totals; nothing touches
+    a window or a global sort. The log's integer inputs are exact and
+    the output rounds to 6, absorbing libm-vs-JVM last-ulp drift."""
+    toked = docs_fanned(spark, sf_dir).select(
+        text.tokens(F.col("text")).alias("__toks")
+    )
+    uni = (
+        toked.select(F.explode("__toks").alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    n1 = uni.agg(F.sum("c1").cast("bigint").alias("n_uni"))
+    big = (
+        toked.select(F.explode(lm._bigram_structs(F.col("__toks"))).alias("b"))
+        .select("b.w1", "b.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    pairs = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    n2 = pairs.agg(F.sum("c12").cast("bigint").alias("n_big"))
+    kept = pairs.filter(F.col("c12") >= PMI_MIN_PAIR)
+    ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    return (
+        kept.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (
+                        F.col("n_big").cast("double")
+                        * F.col("c1a")
+                        * F.col("c1b")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1336,3 +1336,95 @@ def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.o_orderstatus").alias("old_status"),
         F.col("b.o_orderstatus").alias("new_status"),
     )
+
+
+# --- RFM customer segmentation --------------------------------------------------
+
+RFM_TILES = 4
+RFM_CUSTOMER_BOUND = 10_000_000
+
+_SQL_RFM = f"""
+WITH anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders),
+per AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_date,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT NTILE({RFM_TILES}) OVER (ORDER BY last_date, o_custkey) AS r_score,
+         NTILE({RFM_TILES}) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+         NTILE({RFM_TILES}) OVER (ORDER BY rev_cents, o_custkey) AS m_score,
+         n_orders, rev_cents
+  FROM per)
+SELECT CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(n_orders) AS BIGINT) AS sum_orders,
+       CAST(SUM(rev_cents) AS BIGINT) AS sum_revenue_cents
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
+@register("rfm_customer_segments", _SQL_RFM)
+def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing-warehouse cube: each
+    customer scored 1-4 on Recency (last order date), Frequency (order
+    count), and Monetary (lifetime revenue) by NTILE quartile, then the
+    4x4x4 segment grid aggregated to counts and exact integer-cent
+    revenue. Quartile 4 = most recent / most frequent / highest spend.
+
+    Determinism: every NTILE ordering carries the custkey tiebreak, so
+    equal values tile identically in both engines; revenue stays in
+    integer cents end-to-end. Scale shape: one partial-combined groupBy
+    to the customer grain, then three guarded unpartitioned NTILE
+    windows — bounded by |customers|, with approx-quantile cut-point
+    joins as the named 100-TB alternative (quartiles only need the 3
+    cuts, not a total order)."""
+    from de_project_sprint_etl_spark.functions import guards
+
+    per = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+
+    def tile(order_cols, what):
+        w = Window.orderBy(*order_cols)
+        return guards.bounded_global_window(
+            F.ntile(RFM_TILES).over(w),
+            w,
+            RFM_CUSTOMER_BOUND,
+            what,
+            "approx-quantile cut-point joins",
+        )
+
+    scored = per.select(
+        tile(
+            [F.col("last_date").asc(), F.col("o_custkey").asc()],
+            "rfm r_score ntile",
+        ).alias("r_score"),
+        tile(
+            [F.col("n_orders").asc(), F.col("o_custkey").asc()],
+            "rfm f_score ntile",
+        ).alias("f_score"),
+        tile(
+            [F.col("rev_cents").asc(), F.col("o_custkey").asc()],
+            "rfm m_score ntile",
+        ).alias("m_score"),
+        "n_orders",
+        "rev_cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("sum_orders"),
+        F.sum("rev_cents").cast("bigint").alias("sum_revenue_cents"),
+    )
