@@ -62,19 +62,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # marginal value is RECENCY — the queries whose latest driver-green
 # window is r3 (the oldest tier left; plans under several of them were
 # rewritten since: normalizer, ngram sids,
-# caching lifecycles); and (c) the fourteen round-8 newcomers, never
+# caching lifecycles); and (c) the eighteen round-8 newcomers, never
 # externally attested — the first wave (lsh_band_tuning,
 # ivf_nprobe_recall_curve, join_cardinality_estimate,
 # pack_efficiency_curve, l_diversity_orders, source_cross_dup_matrix,
-# label_propagation_communities) and the second wave
+# label_propagation_communities), the second wave
 # (pareto_frontier_orders, gini_revenue_concentration,
 # rfm_customer_segments, ks_value_drift, token_pmi_bigrams,
-# mixture_epochs_plan, dup_cluster_quality_report). Never-attested
-# outranks oldest-attested, so the second wave displaces the seven
-# r3-tier fillers whose plans are untouched since they landed and whose
-# r3 attestations still stand (calendar_dim, events_windowed_agg,
-# fact_sales_v2, week_range_join, tpch_q1/q3/q5) — all of them remain
-# row-level green in FULLDIFF_r8 at both scales. 2 + 14 + 34 = 50.
+# mixture_epochs_plan, dup_cluster_quality_report), and the third wave
+# (quality_roc_auc, benford_price_audit, compaction_bin_plan,
+# dataset_card_stats). Never-attested outranks oldest-attested, so the
+# newcomers displace the eleven r3-tier fillers whose plans are
+# untouched since they landed and whose r3 attestations still stand
+# (calendar_dim, events_windowed_agg, fact_sales_v2, week_range_join,
+# tpch_q1/q3/q5, events_rolling_anomaly, events_sessionize,
+# heavy_hitters_cms, hybrid_rrf_retrieval) — all of them remain
+# row-level green in FULLDIFF_r8 at both scales. 2 + 18 + 30 = 50.
 GATE_PRIORITY = [
     # (a) the single never-driver-green cell + its twin
     "zorder_skipping_index",
@@ -95,6 +98,11 @@ GATE_PRIORITY = [
     "token_pmi_bigrams",
     "mixture_epochs_plan",
     "dup_cluster_quality_report",
+    # round-8 newcomers, third wave — first external attestation
+    "quality_roc_auc",
+    "benford_price_audit",
+    "compaction_bin_plan",
+    "dataset_card_stats",
     # (b) the r3-latest — oldest attestation tier in the registry
     "ann_lsh_topk",
     "bm25_topk_docs",
@@ -102,11 +110,7 @@ GATE_PRIORITY = [
     "cosine_near_dup",
     "doc_fingerprint",
     "embedding_normalize",
-    "events_rolling_anomaly",
-    "events_sessionize",
     "exact_dedup",
-    "heavy_hitters_cms",
-    "hybrid_rrf_retrieval",
     "incremental_minhash_dedup",
     "ivfpq_topk",
     "kmeans_embeddings",

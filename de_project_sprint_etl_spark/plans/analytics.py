@@ -1552,3 +1552,74 @@ def q_gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- compaction bin-packing plan -------------------------------------------------
+
+COMPACTION_TARGET_BYTES = 131_072  # 128 KiB bins at test scale; a knob at 100 TB
+COMPACTION_PARTITION_BOUND = 100_000
+
+
+_SQL_COMPACTION = f"""
+WITH parts AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(LENGTH(props) + 24) AS BIGINT) AS part_bytes
+  FROM events GROUP BY 1),
+planned AS (
+  SELECT day, n_events, part_bytes,
+         CAST(FLOOR((SUM(part_bytes) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - part_bytes) / {COMPACTION_TARGET_BYTES}.0) AS BIGINT) AS bin_id
+  FROM parts)
+SELECT CAST(day AS VARCHAR) AS day, n_events, part_bytes, bin_id
+FROM planned
+"""
+
+
+@register("compaction_bin_plan", _SQL_COMPACTION)
+def q_compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan — the table-maintenance pass every
+    100-TB lakehouse runs nightly: size each day-partition of the event
+    log (payload bytes + fixed per-row overhead), then assign
+    consecutive days to compaction bins by running-sum division so each
+    rewritten file lands near the target size. First-fit on the SORTED
+    day order on purpose: compaction must preserve time locality (a bin
+    spanning random days would destroy partition pruning for time-range
+    scans).
+
+    Same running-sum bin-assignment shape as the sequence packer (one
+    ordered pass, exact integer cumulative bytes); the window runs over
+    DAY PARTITIONS, not rows, and is guarded — per-month planning is
+    the named path when the partition census itself outgrows one
+    ordered pass."""
+    from de_project_sprint_etl_spark.functions import guards
+
+    parts = (
+        events_df(spark, sf_dir)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.length("props") + 24).cast("bigint").alias("part_bytes"),
+        )
+    )
+    w = Window.orderBy("day")
+    cum = guards.bounded_global_window(
+        F.sum("part_bytes").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        w,
+        COMPACTION_PARTITION_BOUND,
+        "compaction_bin_plan partition census",
+        "per-month partitioned planning",
+    )
+    return parts.select(
+        F.col("day").cast("string").alias("day"),
+        "n_events",
+        "part_bytes",
+        F.floor(
+            (cum - F.col("part_bytes")) / float(COMPACTION_TARGET_BYTES)
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    )

@@ -2322,3 +2322,99 @@ def q_dup_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_dropped_loss"),
     )
+
+
+# --- dataset card ------------------------------------------------------------------
+
+
+def _sql_dataset_card() -> str:
+    from de_project_sprint_etl_spark.plans.llm import _sql_text_quality
+
+    norm = SQL_NORM.format(c="text")
+    return f"""
+WITH q AS ({_sql_text_quality("documents")}),
+base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                SUM(CAST(quality_score AS DECIMAL(18,6))) AS qsum
+         FROM q),
+fp AS (SELECT CAST(COUNT(DISTINCT md5({norm})) AS BIGINT) AS n_uniq
+       FROM documents),
+langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY lang),
+nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_langs FROM langs),
+top AS (SELECT lang AS top_lang, cnt AS top_cnt
+        FROM langs ORDER BY cnt DESC, lang LIMIT 1)
+SELECT n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS mean_tokens_per_doc,
+       ROUND(CAST(qsum AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_quality,
+       n_langs, top_lang,
+       ROUND(CAST(top_cnt AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS top_lang_share,
+       ROUND(1.0 - CAST(n_uniq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         AS exact_dup_rate
+FROM base CROSS JOIN fp CROSS JOIN nl CROSS JOIN top
+"""
+
+
+@register("dataset_card_stats", _sql_dataset_card())
+def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card, computed in-engine: the one-row corpus summary
+    a training run publishes next to its data — doc and token volume,
+    mean tokens/doc, mean quality score, language census (count, top
+    language and its share, deterministic lowest-lang tiebreak), and
+    the exact-duplicate rate from the canonical normalized fingerprint.
+    Composes four already-verified projections; every input to a float
+    division is an exact integer or an order-free DECIMAL sum.
+
+    Scale shape: three independent partial-combined aggregates (stats,
+    fingerprint distinct, language census) + a LIMIT 1 on the
+    |langs|-row census; all joined as 1-row broadcasts. The distinct
+    fingerprint count is the only shuffle whose width scales with the
+    corpus — the same hash-groupBy the exact-dedup pass itself pays."""
+    from de_project_sprint_etl_spark.functions import text as _tx
+    from de_project_sprint_etl_spark.plans.llm import docs_fanned
+
+    docs = docs_fanned(spark, sf_dir)
+    stats = _tx.with_text_stats(docs, "text")
+    base = stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("quality_score").cast("decimal(18,6)")).alias("qsum"),
+    )
+    fp = docs.select(
+        F.md5(_tx.norm_text(F.col("text"))).alias("h")
+    ).agg(F.count_distinct("h").cast("bigint").alias("n_uniq"))
+    langs = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    nl = langs.agg(F.count(F.lit(1)).cast("bigint").alias("n_langs"))
+    top = (
+        langs.orderBy(F.col("cnt").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("cnt").alias("top_cnt"))
+    )
+    nd = F.col("n_docs").cast("double")
+    return (
+        base.crossJoin(F.broadcast(fp))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / nd, 6).alias(
+                "mean_tokens_per_doc"
+            ),
+            F.round(F.col("qsum").cast("double") / nd, 6).alias("mean_quality"),
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_cnt").cast("double") / nd, 6).alias(
+                "top_lang_share"
+            ),
+            F.round(
+                F.lit(1.0) - F.col("n_uniq").cast("double") / nd, 6
+            ).alias("exact_dup_rate"),
+        )
+    )

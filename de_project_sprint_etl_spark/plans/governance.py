@@ -2676,3 +2676,90 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("bin").alias("ks_bin"),
         )
     )
+
+
+# --- Benford first-digit audit ----------------------------------------------------
+
+# log10(1 + 1/d), embedded as identical full-precision literals in both
+# engines so the expected counts and chi-square terms are bit-identical
+BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def _sql_benford() -> str:
+    p_case = " ".join(
+        f"WHEN digit = {d} THEN {p!r}" for d, p in BENFORD_P.items()
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders),
+digits AS (
+  SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM cents),
+obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM digits GROUP BY digit),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+ex AS (SELECT digit, n_obs, n,
+              CASE {p_case} END AS benford_p,
+              CAST(n AS DOUBLE) * (CASE {p_case} END) AS expected
+       FROM obs CROSS JOIN tot)
+SELECT digit, n_obs,
+       ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_share,
+       benford_p,
+       ROUND((CAST(n_obs AS DOUBLE) - expected)
+             * (CAST(n_obs AS DOUBLE) - expected) / expected, 6) AS chi2_term
+FROM ex
+"""
+
+
+@register("benford_price_audit", _sql_benford())
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order prices — the classic
+    fabricated-numbers screen in a data-quality suite: observed
+    first-significant-digit shares vs the Benford expectation
+    log10(1 + 1/d), with per-digit chi-square terms (the caller sums 9
+    numbers and compares to the chi2(8) critical value; a synthetic
+    uniform-price corpus SHOULD fail it loudly, which is the point of
+    publishing the terms rather than a verdict).
+
+    Determinism: the first digit comes from the exact integer-cents
+    string, never from log10 of a double (engine ulp at decade
+    boundaries would misclassify); Benford probabilities are shared
+    full-precision literals. Scale shape: one map-side projection and
+    one 9-row aggregate; the 1-row total broadcasts."""
+    cents = t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    bp = None
+    for d, p in BENFORD_P.items():
+        bp = (
+            F.when(F.col("digit") == d, F.lit(p))
+            if bp is None
+            else bp.when(F.col("digit") == d, F.lit(p))
+        )
+    expected = F.col("n").cast("double") * bp
+    d_obs = F.col("n_obs").cast("double")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        F.round(d_obs / F.col("n").cast("double"), 6).alias("obs_share"),
+        bp.alias("benford_p"),
+        F.round((d_obs - expected) * (d_obs - expected) / expected, 6).alias(
+            "chi2_term"
+        ),
+    )

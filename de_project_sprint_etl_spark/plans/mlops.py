@@ -876,3 +876,101 @@ def q_linreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).cast("double").alias("y"),
     )
     return _ml.linreg_gd(feats, n_features=4, iterations=3, lr=0.5)
+
+
+# --- ROC-AUC of the in-engine quality model --------------------------------------
+
+AUC_SCORE_BOUND = 10_000_000
+
+
+def _sql_quality_auc() -> str:
+    from de_project_sprint_etl_spark.plans.registry import ORACLES
+
+    train = ORACLES["linreg_quality_train"]
+    return f"""
+WITH scored AS ({train}),
+per AS (
+  SELECT pred,
+         CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM scored GROUP BY pred),
+cum AS (
+  SELECT n_pos, n_neg,
+         CAST(COALESCE(SUM(n_neg) OVER (ORDER BY pred
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below
+  FROM per),
+s AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+             CAST(SUM(n_neg) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_scores,
+             CAST(SUM(n_pos * (2 * neg_below + n_neg)) AS BIGINT) AS numer2
+      FROM cum)
+SELECT p AS n_pos, n AS n_neg, n_scores,
+       ROUND(CAST(numer2 AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)),
+             6) AS auc
+FROM s
+"""
+
+
+@register("quality_roc_auc", _sql_quality_auc())
+def q_quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the in-engine-trained quality model against its
+    is-English label — the threshold-free companion to the calibration
+    reliability diagram: AUC = P(score_pos > score_neg) + 0.5
+    P(score_pos = score_neg), computed exactly from the score-level
+    histogram (per distinct score: positive/negative counts; one
+    ordered pass accumulates negatives-below; ties contribute the half
+    term via the doubled-numerator integer identity numer2 =
+    sum(n_pos * (2*neg_below + n_neg)), so the whole statistic is ONE
+    double division).
+
+    Scale shape: the rank window runs over DISTINCT SCORES, not docs —
+    already collapsed by a partial-combined groupBy — and is guarded,
+    with a quantized-score (6-decimal) histogram named as the 100-TB
+    fallback that bounds it structurally. The oracle replays the full
+    GD training then the same accumulation."""
+    from de_project_sprint_etl_spark.functions import guards
+
+    scored = q_linreg_quality_train(spark, sf_dir)
+    per = scored.groupBy("pred").agg(
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("y") == 1.0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_neg"),
+    )
+    w = Window.orderBy("pred")
+    neg_below = guards.bounded_global_window(
+        F.coalesce(
+            F.sum("n_neg").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+        w,
+        AUC_SCORE_BOUND,
+        "quality_roc_auc score ranking",
+        "a 6-decimal quantized-score histogram (bounds distinct scores)",
+    )
+    cum = per.select("n_pos", "n_neg", neg_below.alias("neg_below"))
+    s = cum.agg(
+        F.sum("n_pos").cast("bigint").alias("p"),
+        F.sum("n_neg").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))
+        )
+        .cast("bigint")
+        .alias("numer2"),
+    )
+    return s.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        "n_scores",
+        F.round(
+            F.col("numer2").cast("double")
+            / (F.lit(2.0) * F.col("p").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("auc"),
+    )

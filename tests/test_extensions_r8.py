@@ -285,3 +285,111 @@ def test_dup_cluster_quality_consistent_with_groups(spark):
     # keeper may BE the min-id doc (group_id == doc_id), so count via
     # the report instead: every group has exactly one keeper
     assert sum(r.n_groups for r in rows) >= n_dup_groups
+
+
+# --- quality ROC-AUC -----------------------------------------------------------
+
+
+def test_auc_matches_numpy_rank_auc(spark):
+    import numpy as np
+
+    scored = RAW_QUERIES["linreg_quality_train"](spark, SF).collect()
+    pred = np.array([r.pred for r in scored])
+    y = np.array([r.y for r in scored])
+    order = np.argsort(pred, kind="mergesort")
+    ranks = np.empty(len(pred))
+    sp = pred[order]
+    i = 0
+    pos = 1.0
+    while i < len(sp):
+        j = i
+        while j < len(sp) and sp[j] == sp[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0  # average rank of the tie run
+        i = j
+    n_pos = int(y.sum())
+    n_neg = len(y) - n_pos
+    auc = (ranks[y == 1.0].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    row = RAW_QUERIES["quality_roc_auc"](spark, SF).collect()[0]
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert abs(row.auc - round(auc, 6)) < 1e-6
+    assert 0.0 <= row.auc <= 1.0
+
+
+# --- Benford audit ---------------------------------------------------------------
+
+
+def test_benford_matches_python(spark):
+    from de_project_sprint_etl_spark.plans.governance import BENFORD_P
+
+    prices = [
+        r.o_totalprice for r in t(spark, SF, "orders").select("o_totalprice").collect()
+    ]
+    counts = {}
+    for p in prices:
+        d = int(str(int(math.floor(p * 100 + 0.5)))[0])
+        counts[d] = counts.get(d, 0) + 1
+    n = len(prices)
+    rows = RAW_QUERIES["benford_price_audit"](spark, SF).collect()
+    assert sum(r.n_obs for r in rows) == n
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.n_obs == counts[r.digit]
+        exp = n * BENFORD_P[r.digit]
+        assert abs(r.chi2_term - round((r.n_obs - exp) ** 2 / exp, 6)) < 1e-5
+        assert r.benford_p == BENFORD_P[r.digit]
+
+
+# --- compaction plan --------------------------------------------------------------
+
+
+def test_compaction_plan_first_fit_invariants(spark):
+    from de_project_sprint_etl_spark.plans.analytics import (
+        COMPACTION_TARGET_BYTES,
+    )
+
+    rows = sorted(
+        RAW_QUERIES["compaction_bin_plan"](spark, SF01).collect(),
+        key=lambda r: r.day,
+    )
+    # replay the running-sum assignment in Python
+    cum = 0
+    bins = {}
+    for r in rows:
+        assert r.bin_id == cum // COMPACTION_TARGET_BYTES
+        cum += r.part_bytes
+        bins.setdefault(r.bin_id, 0)
+        bins[r.bin_id] += r.part_bytes
+    # bin ids are non-decreasing with day (time locality preserved)
+    ids = [r.bin_id for r in rows]
+    assert ids == sorted(ids)
+    # every bin except possibly the last is filled past the target
+    # minus its own last part (first-fit property)
+    for b, total in bins.items():
+        if b != max(bins):
+            assert total >= COMPACTION_TARGET_BYTES - max(
+                r.part_bytes for r in rows
+            )
+
+
+# --- dataset card ------------------------------------------------------------------
+
+
+def test_dataset_card_matches_python_census(spark):
+    from de_project_sprint_etl_spark.functions.text import py_norm_text
+
+    docs = t(spark, SF, "documents").select("text", "lang").collect()
+    n = len(docs)
+    uniq = len({py_norm_text(r.text) for r in docs})
+    langs = {}
+    for r in docs:
+        langs[r.lang] = langs.get(r.lang, 0) + 1
+    top = sorted(langs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    row = RAW_QUERIES["dataset_card_stats"](spark, SF).collect()[0]
+    assert row.n_docs == n
+    assert row.n_langs == len(langs)
+    assert row.top_lang == top[0]
+    assert abs(row.top_lang_share - round(top[1] / n, 6)) < 1e-9
+    assert abs(row.exact_dup_rate - round(1.0 - uniq / n, 6)) < 1e-9
+    assert abs(row.mean_tokens_per_doc - round(row.n_tokens / n, 6)) < 1e-6
+    assert 0.0 <= row.mean_quality <= 1.0
