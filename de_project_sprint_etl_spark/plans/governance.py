@@ -2644,6 +2644,12 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("side") == "a").cast("long")).alias("n_a"),
         F.sum((F.col("side") == "b").cast("long")).alias("n_b"),
     )
+    # four downstream subtrees (cum, tot, diffs-for-max, diffs-for-
+    # argmax) hang off this frame — Catalyst's ReuseExchange dedups the
+    # identical scan+bin-agg exchanges (6 ReusedExchange nodes in the
+    # executed plan), so the corpus is scanned once without a persist
+    # (a persist here measured SLOWER: materialization barrier on a
+    # <=1000-row frame the reuse rule already shares)
     # cumulative window over <= KS_BINS rows — structurally bounded by
     # the constant grid, never by data volume
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
