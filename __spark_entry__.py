@@ -71,13 +71,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # rfm_customer_segments, ks_value_drift, token_pmi_bigrams,
 # mixture_epochs_plan, dup_cluster_quality_report), and the third wave
 # (quality_roc_auc, benford_price_audit, compaction_bin_plan,
-# dataset_card_stats). Never-attested outranks oldest-attested, so the
-# newcomers displace the eleven r3-tier fillers whose plans are
-# untouched since they landed and whose r3 attestations still stand
-# (calendar_dim, events_windowed_agg, fact_sales_v2, week_range_join,
-# tpch_q1/q3/q5, events_rolling_anomaly, events_sessionize,
-# heavy_hitters_cms, hybrid_rrf_retrieval) — all of them remain
-# row-level green in FULLDIFF_r8 at both scales. 2 + 18 + 30 = 50.
+# dataset_card_stats, dedup_blocking_eval). Never-attested outranks
+# oldest-attested, so the newcomers displace the twelve r3-tier fillers
+# whose plans are untouched since they landed and whose r3 attestations
+# still stand (calendar_dim, events_windowed_agg, fact_sales_v2,
+# week_range_join, tpch_q1/q3/q5, events_rolling_anomaly,
+# events_sessionize, heavy_hitters_cms, hybrid_rrf_retrieval,
+# bm25_topk_docs) — all of them remain row-level green in FULLDIFF_r8
+# at both scales. 2 + 19 + 29 = 50.
 GATE_PRIORITY = [
     # (a) the single never-driver-green cell + its twin
     "zorder_skipping_index",
@@ -103,9 +104,9 @@ GATE_PRIORITY = [
     "benford_price_audit",
     "compaction_bin_plan",
     "dataset_card_stats",
+    "dedup_blocking_eval",
     # (b) the r3-latest — oldest attestation tier in the registry
     "ann_lsh_topk",
-    "bm25_topk_docs",
     "bpe_encode_vocab",
     "cosine_near_dup",
     "doc_fingerprint",

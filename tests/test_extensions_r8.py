@@ -393,3 +393,50 @@ def test_dataset_card_matches_python_census(spark):
     assert abs(row.exact_dup_rate - round(1.0 - uniq / n, 6)) < 1e-9
     assert abs(row.mean_tokens_per_doc - round(row.n_tokens / n, 6)) < 1e-6
     assert 0.0 <= row.mean_quality <= 1.0
+
+
+# --- dedup blocking eval -------------------------------------------------------------
+
+
+def test_blocking_eval_matches_python_census(spark):
+    from de_project_sprint_etl_spark.functions.text import py_norm_text
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET
+
+    base = {
+        r.doc_id: r.text
+        for r in t(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    corpus = dict(base)
+    for did, txt in base.items():
+        if did % 5 == 0:
+            mut = " ".join(py_norm_text(txt).split()[2:])
+            if mut:
+                corpus[did + MUT_OFFSET] = mut
+
+    def feats(txt):
+        tk = py_norm_text(txt).split(" ")
+        return (len(txt) // 64, len(tk) // 8, tk[0])
+
+    fmap = {did: feats(txt) for did, txt in corpus.items()}
+    n = len(corpus)
+    total = n * (n - 1) // 2
+    truth = [
+        (did, did + MUT_OFFSET) for did in corpus if did + MUT_OFFSET in corpus
+    ]
+    rows = {
+        r.blocking_key: r
+        for r in RAW_QUERIES["dedup_blocking_eval"](spark, SF).collect()
+    }
+    assert set(rows) == {"len64", "tok8", "first_tok"}
+    for i, key in enumerate(["len64", "tok8", "first_tok"]):
+        blocks = {}
+        for did in corpus:
+            blocks[fmap[did][i]] = blocks.get(fmap[did][i], 0) + 1
+        cand = sum(nb * (nb - 1) // 2 for nb in blocks.values())
+        co = sum(1 for a, b in truth if fmap[a][i] == fmap[b][i])
+        r = rows[key]
+        assert r.n_blocks == len(blocks)
+        assert r.candidate_pairs == cand
+        assert r.n_truth == len(truth)
+        assert abs(r.reduction_ratio - round(1.0 - cand / total, 6)) < 1e-9
+        assert abs(r.pair_completeness - round(co / len(truth), 6)) < 1e-9
