@@ -2513,12 +2513,10 @@ def q_dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.size(toks) / 8).cast("bigint").alias("k_tok8"),
         F.element_at(toks, 1).alias("k_first"),
     )
-    tot = feat.agg(
-        F.floor(
-            (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1)) / 2
-        )
-        .cast("bigint")
-        .alias("total")
+    # integer DIV, never floor(double/2): a block of 1e9 rows puts
+    # nb*(nb-1) past 2^53 where double division drops low bits
+    tot = feat.agg(F.count(F.lit(1)).alias("__n")).select(
+        F.expr("CAST(__n * (__n - 1) DIV 2 AS BIGINT)").alias("total")
     )
     fb = feat.alias("fb")
     fm = feat.alias("fm")
@@ -2550,9 +2548,7 @@ def q_dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         census = blocks.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
-            F.sum(
-                F.floor((F.col("nb") * (F.col("nb") - 1)) / 2)
-            )
+            F.sum(F.expr("nb * (nb - 1) DIV 2"))
             .cast("bigint")
             .alias("cand"),
         )
