@@ -71,14 +71,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # rfm_customer_segments, ks_value_drift, token_pmi_bigrams,
 # mixture_epochs_plan, dup_cluster_quality_report), and the third wave
 # (quality_roc_auc, benford_price_audit, compaction_bin_plan,
-# dataset_card_stats, dedup_blocking_eval). Never-attested outranks
-# oldest-attested, so the newcomers displace the twelve r3-tier fillers
-# whose plans are untouched since they landed and whose r3 attestations
-# still stand (calendar_dim, events_windowed_agg, fact_sales_v2,
-# week_range_join, tpch_q1/q3/q5, events_rolling_anomaly,
-# events_sessionize, heavy_hitters_cms, hybrid_rrf_retrieval,
-# bm25_topk_docs) — all of them remain row-level green in FULLDIFF_r8
-# at both scales. 2 + 19 + 29 = 50.
+# dataset_card_stats, dedup_blocking_eval, ngram_novelty_curve,
+# embedding_pca_variance). Never-attested outranks oldest-attested, so
+# the newcomers displace the fourteen r3-tier fillers whose plans are
+# untouched since they landed and whose r3 attestations still stand
+# (calendar_dim, events_windowed_agg, fact_sales_v2, week_range_join,
+# tpch_q1/q3/q5, events_rolling_anomaly, events_sessionize,
+# heavy_hitters_cms, hybrid_rrf_retrieval, bm25_topk_docs,
+# ann_lsh_topk, scd2_point_in_time_join) — all of them remain row-level
+# green in FULLDIFF_r8 at both scales. 2 + 21 + 27 = 50.
 GATE_PRIORITY = [
     # (a) the single never-driver-green cell + its twin
     "zorder_skipping_index",
@@ -105,8 +106,9 @@ GATE_PRIORITY = [
     "compaction_bin_plan",
     "dataset_card_stats",
     "dedup_blocking_eval",
+    "ngram_novelty_curve",
+    "embedding_pca_variance",
     # (b) the r3-latest — oldest attestation tier in the registry
-    "ann_lsh_topk",
     "bpe_encode_vocab",
     "cosine_near_dup",
     "doc_fingerprint",
@@ -127,7 +129,6 @@ GATE_PRIORITY = [
     "retention_mart",
     "returned_customers",
     "scd2_customer_priority",
-    "scd2_point_in_time_join",
     "semdedup_embeddings",
     "simhash_dedup",
     "text_quality",

@@ -2578,3 +2578,282 @@ def q_dedup_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one_key("tok8", "k_tok8"))
         .unionByName(one_key("first_tok", "k_first"))
     )
+
+
+# --- n-gram novelty curve ------------------------------------------------------------
+
+NOVELTY_BUCKETS = 10
+
+
+def _sql_novelty() -> str:
+    from de_project_sprint_etl_spark.functions.text import sql_shingles
+
+    sh3 = sql_shingles("text", n=3)
+    return f"""
+WITH sh AS (SELECT doc_id, UNNEST({sh3}) AS shingle FROM documents),
+shf AS (SELECT doc_id, shingle FROM sh WHERE LENGTH(shingle) > 0),
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM shf GROUP BY shingle),
+cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         FROM shf GROUP BY doc_id),
+news AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+         FROM first GROUP BY first_doc),
+per_doc AS (
+  SELECT c.doc_id, c.n_shingles,
+         CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
+  FROM cnts c LEFT JOIN news n USING (doc_id)),
+rng AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM per_doc)
+SELECT CAST((doc_id - mn) // (((mx - mn) // {NOVELTY_BUCKETS}) + 1) AS INT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(SUM(n_new) AS BIGINT) AS n_new,
+       ROUND(CAST(SUM(n_new) AS DOUBLE) / CAST(SUM(n_shingles) AS DOUBLE), 6)
+         AS novelty_rate
+FROM per_doc CROSS JOIN rng
+GROUP BY 1
+"""
+
+
+@register("ngram_novelty_curve", _sql_novelty())
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-data-value curve: for each tranche of the corpus (10
+    equal-width doc_id buckets, doc_id = ingestion order), what
+    fraction of its distinct trigram shingles had never appeared in any
+    earlier document. Early tranches score near 1, and the decay rate
+    says how fast NEW data stops adding new n-grams — the per-tranche
+    complement of the corpus-level vocab_growth_curve, and the signal
+    behind the Heaps-law saturation router (dedup_strategy_select).
+
+    First-occurrence attribution is one shingle-keyed groupBy
+    (min doc_id) — the SAME shuffle key the shingle-dedup tier already
+    pays — followed by a per-doc aggregate and a 10-row rollup; the
+    novelty rate is pooled from exact integer counts, one division per
+    bucket."""
+    from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET, mutant_shingles
+
+    # the base-corpus slice of the once-per-corpus materialized shingle
+    # stage (mutants live above MUT_OFFSET) — an inline explode here
+    # re-pays the regex/shingle tree AND trips InferFiltersFromGenerate
+    # into dragging it below the fan-out (the dedup._exploded_shingles
+    # pathology): measured 9.1 s vs 1.3 s at sf0.1 for identical rows
+    sh = (
+        mutant_shingles(spark, sf_dir, n=3)
+        .filter(F.col("id") < MUT_OFFSET)
+        .select(F.col("id").alias("doc_id"), "shingle")
+    )
+    # n_new per doc comes from the first-occurrence table ALONE (group
+    # the min-doc winners by doc), never from joining the corpus-scale
+    # shingle stream back onto itself — the join formulation re-keyed
+    # every shingle row a second time and measured 2x slower
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    cnts = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    news = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    per_doc = cnts.join(news, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    rng = per_doc.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    bucketed = per_doc.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"CAST((doc_id - mn) DIV (((mx - mn) DIV {NOVELTY_BUCKETS}) + 1)"
+            " AS INT)"
+        ).alias("bucket"),
+        "n_shingles",
+        "n_new",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_shingles").cast("bigint").alias("n_shingles"),
+        F.sum("n_new").cast("bigint").alias("n_new"),
+        F.round(
+            F.sum("n_new").cast("double") / F.sum("n_shingles").cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
+# --- PCA variance (power iteration) ---------------------------------------------------
+
+PCA_ITERS = 3
+PCA_SCALE = 1_000_000  # same 1e6 fixed-point grid as embedding_outliers
+
+
+def _sql_pca_variance() -> str:
+    it_ctes = []
+    prev = "v0"
+    for i in range(1, PCA_ITERS + 1):
+        it_ctes.append(f"""w{i} AS (
+  SELECT m.j, list_aggregate(LIST(m.md * {prev}.vv ORDER BY m.k), 'sum') AS wv
+  FROM m JOIN {prev} ON {prev}.k = m.k GROUP BY m.j),
+nrm{i} AS (SELECT SQRT(list_aggregate(LIST(wv * wv ORDER BY j), 'sum')) AS nr
+           FROM w{i}),
+v{i} AS (SELECT j AS k, wv / nr AS vv FROM w{i} CROSS JOIN nrm{i})""")
+        prev = f"v{i}"
+    its = ",\n".join(it_ctes)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (SELECT vec_id,
+             list_transform(v, a -> CAST(FLOOR(a * {PCA_SCALE} + 0.5)
+                                         AS BIGINT)) AS xi
+      FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+              CAST(COUNT(*) AS BIGINT) AS n_vecs FROM x),
+dd AS (SELECT CAST(MAX(len(xi)) AS INT) AS dim FROM x),
+ex AS (SELECT vec_id, CAST(u.i AS INT) AS j, xi[CAST(u.i AS INT)] AS vj, xi
+       FROM x, UNNEST(generate_series(1, len(xi))) u(i)),
+pr AS (SELECT j, CAST(w.i AS INT) AS k, vj, xi[CAST(w.i AS INT)] AS vk
+       FROM ex, UNNEST(generate_series(1, len(xi))) w(i)),
+a AS (SELECT j, k,
+             CAST(SUM(CAST(vj * vk AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS av
+      FROM pr GROUP BY j, k),
+s AS (SELECT j, CAST(SUM(vj) AS DECIMAL(19,0)) AS sv FROM ex GROUP BY j),
+m AS (SELECT a.j, a.k,
+             nn.n * a.av - sj.sv * sk.sv AS mdec,
+             CAST(nn.n * a.av - sj.sv * sk.sv AS DOUBLE) AS md
+      FROM a JOIN s sj ON sj.j = a.j JOIN s sk ON sk.j = a.k CROSS JOIN nn),
+tr AS (SELECT CAST(SUM(mdec) AS DOUBLE) AS trace FROM m WHERE j = k),
+v0 AS (SELECT j AS k, CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS vv FROM s),
+{its},
+w4 AS (
+  SELECT m.j, list_aggregate(LIST(m.md * v{PCA_ITERS}.vv ORDER BY m.k), 'sum')
+           AS wv
+  FROM m JOIN v{PCA_ITERS} ON v{PCA_ITERS}.k = m.k GROUP BY m.j),
+lam AS (SELECT list_aggregate(
+                 LIST(v{PCA_ITERS}.vv * w4.wv ORDER BY v{PCA_ITERS}.k), 'sum')
+                 AS l1
+        FROM v{PCA_ITERS} JOIN w4 ON w4.j = v{PCA_ITERS}.k),
+top AS (SELECT k AS top_dim FROM v{PCA_ITERS}
+        ORDER BY ABS(vv) DESC, k LIMIT 1)
+SELECT nn.n_vecs, dd.dim,
+       ROUND(lam.l1 / tr.trace, 6) AS explained_ratio,
+       top.top_dim
+FROM nn CROSS JOIN dd CROSS JOIN lam CROSS JOIN tr CROSS JOIN top
+"""
+
+
+@register("embedding_pca_variance", _sql_pca_variance())
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component variance share of the embedding corpus,
+    by in-engine power iteration — the artifact read before trusting a
+    truncation dim (MRL / random projection) or an IVF geometry: a high
+    explained_ratio says the space is effectively low-rank (truncation
+    is cheap, one IVF axis dominates); near-uniform says it is not.
+
+    Exactness staging (the embedding-family pattern): vectors quantize
+    to the 1e6 fixed-point grid, the scatter matrix accumulates as
+    EXACT integers (per-dim sums DECIMAL(19,0), cross-products
+    DECIMAL(28,0)), and the centered second-moment matrix
+    M = n*A - s s^T is exact DECIMAL before ONE shared cast to double —
+    so both engines start the float phase from identical 64x64 values.
+    The {PCA_ITERS} unrolled power iterations, norms, the Rayleigh
+    quotient, and the trace ratio are all fixed-order folds over
+    dim-sorted lists (never a partition-order float sum). Deterministic
+    e_1 start; ties in the loading argmax resolve to the lowest dim.
+
+    Scale shape: ONE O(n*d^2) corpus pass for A (map-side combine onto
+    d^2 = 4096 keys — the honest covariance cost; sampled estimation is
+    the named cheaper path), then every iteration runs on the d^2-row
+    matrix frame, bounded by MODEL size, not data; Catalyst's
+    ReuseExchange shares the A aggregate across all iteration branches."""
+    from de_project_sprint_etl_spark.plans.llm import fan_out
+
+    emb = fan_out(
+        spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    xi = F.transform(
+        F.col("embedding"),
+        lambda a: F.floor(a.cast("double") * PCA_SCALE + 0.5).cast("long"),
+    )
+    x = emb.select("vec_id", xi.alias("xi"))
+    nn = x.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    dd = x.agg(F.max(F.size("xi")).cast("int").alias("dim"))
+    ex = x.select("xi", F.posexplode("xi").alias("p", "vj")).select(
+        (F.col("p") + 1).alias("j"), "vj", "xi"
+    )
+    pr = ex.select("j", "vj", F.posexplode("xi").alias("q", "vk")).select(
+        "j", "vj", (F.col("q") + 1).alias("k"), "vk"
+    )
+    a = pr.groupBy("j", "k").agg(
+        F.sum((F.col("vj") * F.col("vk")).cast("decimal(28,0)"))
+        .cast("decimal(28,0)")
+        .alias("av")
+    )
+    s = ex.groupBy("j").agg(
+        F.sum(F.col("vj").cast("decimal(19,0)"))
+        .cast("decimal(19,0)")
+        .alias("sv")
+    )
+    sj = s.select(F.col("j").alias("j"), F.col("sv").alias("svj"))
+    sk = s.select(F.col("j").alias("k"), F.col("sv").alias("svk"))
+    n_dec = F.col("n_vecs").cast("decimal(10,0)")
+    mdec = n_dec * F.col("av") - F.col("svj") * F.col("svk")
+    m = (
+        a.join(sj, "j")
+        .join(sk, "k")
+        .crossJoin(F.broadcast(nn))
+        .select("j", "k", mdec.alias("mdec"), mdec.cast("double").alias("md"))
+    )
+    tr = (
+        m.filter(F.col("j") == F.col("k"))
+        .agg(F.sum("mdec").cast("double").alias("trace"))
+    )
+
+    def fold(items, sort_key, term):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(sort_key.alias("o"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, t_: acc + t_["t"],
+        )
+
+    def mat_vec(v: DataFrame) -> DataFrame:
+        return (
+            m.join(v, "k")
+            .groupBy("j")
+            .agg(
+                fold(None, F.col("k"), F.col("md") * F.col("vv")).alias("wv")
+            )
+        )
+
+    v = s.select(
+        F.col("j").alias("k"),
+        F.when(F.col("j") == 1, 1.0).otherwise(0.0).cast("double").alias("vv"),
+    )
+    for _ in range(PCA_ITERS):
+        w = mat_vec(v)
+        nrm = w.agg(
+            F.sqrt(
+                fold(None, F.col("j"), F.col("wv") * F.col("wv"))
+            ).alias("nr")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("j").alias("k"), (F.col("wv") / F.col("nr")).alias("vv")
+        )
+    w4 = mat_vec(v)
+    lam = (
+        v.join(w4, v["k"] == w4["j"])
+        .agg(fold(None, v["k"], v["vv"] * w4["wv"]).alias("l1"))
+    )
+    top = (
+        v.orderBy(F.abs(F.col("vv")).desc(), F.col("k").asc())
+        .limit(1)
+        .select(F.col("k").alias("top_dim"))
+    )
+    return (
+        nn.crossJoin(F.broadcast(dd))
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_vecs",
+            "dim",
+            F.round(F.col("l1") / F.col("trace"), 6).alias("explained_ratio"),
+            "top_dim",
+        )
+    )

@@ -440,3 +440,82 @@ def test_blocking_eval_matches_python_census(spark):
         assert r.n_truth == len(truth)
         assert abs(r.reduction_ratio - round(1.0 - cand / total, 6)) < 1e-9
         assert abs(r.pair_completeness - round(co / len(truth), 6)) < 1e-9
+
+
+# --- ngram novelty curve -------------------------------------------------------------
+
+
+def test_novelty_curve_matches_python(spark):
+    from de_project_sprint_etl_spark.functions.text import py_norm_text
+    from de_project_sprint_etl_spark.plans.curation import NOVELTY_BUCKETS
+
+    docs = {
+        r.doc_id: r.text
+        for r in t(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    sh = {}
+    for did, txt in docs.items():
+        tk = py_norm_text(txt).split(" ")
+        sh[did] = {
+            " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+        } - {""}
+    first = {}
+    for did in sorted(sh):
+        for g in sh[did]:
+            first.setdefault(g, did)
+    per = {
+        did: (len(g), sum(1 for x in g if first[x] == did))
+        for did, g in sh.items()
+        if g
+    }
+    mn, mx = min(per), max(per)
+    width = (mx - mn) // NOVELTY_BUCKETS + 1
+    expect = {}
+    for did, (ns, nw) in per.items():
+        b = (did - mn) // width
+        nd, s_, w_ = expect.get(b, (0, 0, 0))
+        expect[b] = (nd + 1, s_ + ns, w_ + nw)
+    rows = RAW_QUERIES["ngram_novelty_curve"](spark, SF).collect()
+    got = {r.bucket: (r.n_docs, r.n_shingles, r.n_new) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert abs(r.novelty_rate - round(r.n_new / r.n_shingles, 6)) < 1e-9
+    # novelty decays: the first bucket is the most novel
+    first_b = min(got)
+    assert rows and max(rows, key=lambda r: r.novelty_rate).bucket == first_b
+
+
+# --- PCA variance ----------------------------------------------------------------------
+
+
+def test_pca_variance_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from de_project_sprint_etl_spark.plans.curation import PCA_ITERS, PCA_SCALE
+
+    emb = t(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    X = np.array(
+        [
+            [math.floor(float(a) * PCA_SCALE + 0.5) for a in r.embedding]
+            for r in emb
+        ],
+        dtype=object,  # exact python ints, like the engines' DECIMAL stage
+    )
+    n, d = X.shape
+    A = X.T @ X
+    s = X.sum(axis=0)
+    M = (n * A - np.outer(s, s)).astype(np.float64)
+    v = np.zeros(d)
+    v[0] = 1.0
+    for _ in range(PCA_ITERS):
+        w = M @ v
+        v = w / math.sqrt(float(w @ w))
+    lam = float(v @ (M @ v))
+    ratio = lam / float(np.trace(M))
+    row = RAW_QUERIES["embedding_pca_variance"](spark, SF).collect()[0]
+    assert row.n_vecs == n and row.dim == d
+    # numpy's pairwise summation differs from the engines' sequential
+    # folds only in last ulps — 1e-5 on a 6-decimal output is slack
+    assert abs(row.explained_ratio - round(ratio, 6)) < 1e-5
+    assert 0.0 < row.explained_ratio <= 1.0 + 1e-9
+    assert row.top_dim == int(np.argmax(np.abs(v))) + 1
