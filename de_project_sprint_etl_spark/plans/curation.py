@@ -2792,11 +2792,16 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = s.select(F.col("j").alias("k"), F.col("sv").alias("svk"))
     n_dec = F.col("n_vecs").cast("decimal(10,0)")
     mdec = n_dec * F.col("av") - F.col("svj") * F.col("svk")
+    # the 4096-row matrix frame feeds every unrolled iteration — eager
+    # checkpoint (zorder-effectiveness pattern) so the O(n*d^2) corpus
+    # pass runs ONCE and the iteration plans reference a model-sized
+    # leaf instead of re-stating corpus lineage per branch
     m = (
         a.join(sj, "j")
         .join(sk, "k")
         .crossJoin(F.broadcast(nn))
         .select("j", "k", mdec.alias("mdec"), mdec.cast("double").alias("md"))
+        .localCheckpoint(eager=True)
     )
     tr = (
         m.filter(F.col("j") == F.col("k"))
