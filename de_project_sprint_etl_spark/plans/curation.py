@@ -2808,7 +2808,9 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("mdec").cast("double").alias("trace"))
     )
 
-    def fold(items, sort_key, term):
+    def fold(sort_key, term):
+        """Order-fixed double reduction: fold the sort_key-sorted term
+        list in-row, mirroring the oracle's LIST(... ORDER BY) sum."""
         return F.aggregate(
             F.array_sort(
                 F.collect_list(F.struct(sort_key.alias("o"), term.alias("t")))
@@ -2821,9 +2823,7 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             m.join(v, "k")
             .groupBy("j")
-            .agg(
-                fold(None, F.col("k"), F.col("md") * F.col("vv")).alias("wv")
-            )
+            .agg(fold(F.col("k"), F.col("md") * F.col("vv")).alias("wv"))
         )
 
     v = s.select(
@@ -2834,7 +2834,7 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = mat_vec(v)
         nrm = w.agg(
             F.sqrt(
-                fold(None, F.col("j"), F.col("wv") * F.col("wv"))
+                fold(F.col("j"), F.col("wv") * F.col("wv"))
             ).alias("nr")
         )
         v = w.crossJoin(F.broadcast(nrm)).select(
@@ -2843,7 +2843,7 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     w4 = mat_vec(v)
     lam = (
         v.join(w4, v["k"] == w4["j"])
-        .agg(fold(None, v["k"], v["vv"] * w4["wv"]).alias("l1"))
+        .agg(fold(v["k"], v["vv"] * w4["wv"]).alias("l1"))
     )
     top = (
         v.orderBy(F.abs(F.col("vv")).desc(), F.col("k").asc())
