@@ -519,3 +519,42 @@ def test_pca_variance_matches_numpy_power_iteration(spark):
     assert abs(row.explained_ratio - round(ratio, 6)) < 1e-5
     assert 0.0 < row.explained_ratio <= 1.0 + 1e-9
     assert row.top_dim == int(np.argmax(np.abs(v))) + 1
+
+
+# --- plan-shape pins ---------------------------------------------------------------
+
+
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_new_ops_plan_shapes(spark):
+    """Static-plan pins for the session's ops: the 1-row/tiny frames ride
+    BroadcastExchange (never a real cartesian), scans prune to the
+    referenced columns, and nothing plans a CartesianProduct."""
+    for name in (
+        "pareto_frontier_orders",
+        "gini_revenue_concentration",
+        "rfm_customer_segments",
+        "ks_value_drift",
+        "token_pmi_bigrams",
+        "mixture_epochs_plan",
+        "benford_price_audit",
+        "compaction_bin_plan",
+        "dedup_blocking_eval",
+        "ngram_novelty_curve",
+        "quality_roc_auc",
+        "dataset_card_stats",
+    ):
+        plan = _plan_of(RAW_QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+    # the 1-row stats/total frames broadcast in the crossJoin-composed ops
+    for name in ("ks_value_drift", "token_pmi_bigrams", "benford_price_audit"):
+        plan = _plan_of(RAW_QUERIES[name](spark, SF))
+        assert "BroadcastExchange" in plan, name
+    # orders-grain ops read only the referenced columns (column pruning
+    # reaches the scan)
+    plan = _plan_of(RAW_QUERIES["benford_price_audit"](spark, SF))
+    assert "o_orderkey" not in plan.split("Scan parquet")[1][:500], plan[:200]
