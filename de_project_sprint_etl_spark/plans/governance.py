@@ -2573,11 +2573,12 @@ _SQL_KS = f"""
 WITH tagged AS (
   SELECT value,
          CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 'a' ELSE 'b' END AS side
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM tagged),
 binned AS (
   SELECT side,
-         LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / {KS_BINS})) AS INT),
+         LEAST(CAST(FLOOR((value - lo)
+                          / GREATEST((hi - lo) / {KS_BINS}, 1e-12)) AS INT),
                {KS_BINS - 1}) AS bin
   FROM tagged CROSS JOIN rng),
 counts AS (
@@ -2623,11 +2624,21 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest bin; both engines compute the identical IEEE division chain
     from exact integer counts, so the float equality in the argmax is
     engine-stable."""
-    ev = events_df(spark, sf_dir).select(
-        "value",
-        F.when(F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp"), "a")
-        .otherwise("b")
-        .alias("side"),
+    # NULL values are excluded before binning (ADVICE r8: a NULL would
+    # land in a NULL bin whose ORDER BY position differs cross-engine),
+    # and the bin width is floored at 1e-12 so a degenerate hi == lo
+    # corpus yields the constant-D=0 single-bin result instead of NaN
+    # bins — both guards mirrored in the oracle, value-neutral when the
+    # range is real.
+    ev = (
+        events_df(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "value",
+            F.when(F.col("ts") < F.lit(PSI_SPLIT).cast("timestamp"), "a")
+            .otherwise("b")
+            .alias("side"),
+        )
     )
     rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     binned = ev.crossJoin(F.broadcast(rng)).select(
@@ -2635,7 +2646,9 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.floor(
                 (F.col("value") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / KS_BINS)
+                / F.greatest(
+                    (F.col("hi") - F.col("lo")) / KS_BINS, F.lit(1e-12)
+                )
             ).cast("int"),
             F.lit(KS_BINS - 1),
         ).alias("bin"),
