@@ -1173,11 +1173,7 @@ def q_user_cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFr
 # near-dup pairs and the deterministic hash-bucket split rule — so the
 # leakage report is itself inside the correctness gate.
 
-from de_project_sprint_etl_spark.functions import dedup as _dedup  # noqa: E402
-from de_project_sprint_etl_spark.plans.llm import (  # noqa: E402
-    _sql_minhash_lsh,
-    mutant_shingles,
-)
+from de_project_sprint_etl_spark.plans.llm import _sql_minhash_lsh  # noqa: E402
 from de_project_sprint_etl_spark.plans.mlops import (  # noqa: E402
     TRAIN_PCT,
     VAL_PCT,
@@ -1212,13 +1208,11 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs per (split, split) cell with the leakage flag —
     cross-split cells are eval contamination. Pair-level (no component
     assembly needed): the report costs one projection over the already-
-    bounded candidate pair set."""
-    sigs = _dedup.minhash_signatures(
-        shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
-    )
-    pairs = _dedup.minhash_lsh_pairs(
-        sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
-    )
+    bounded candidate pair set — read from the once-per-corpus
+    materialized pair artifact (VERDICT r8 #2)."""
+    from de_project_sprint_etl_spark.plans.llm import minhash_pairs
+
+    pairs = minhash_pairs(spark, sf_dir)
     s_a = (
         F.when(split_bucket(F.col("id_a")) < TRAIN_PCT, F.lit("train"))
         .when(split_bucket(F.col("id_a")) < TRAIN_PCT + VAL_PCT, F.lit("val"))

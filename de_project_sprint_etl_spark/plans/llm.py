@@ -173,6 +173,52 @@ def mutant_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _materialized(spark, sf_dir, "tokens", build)
 
 
+def ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact n-gram-Jaccard near-dup PAIR OUTPUT (n=3, j >= 0.3),
+    materialized once per corpus (VERDICT r8 #2). At 100 TB near-dup
+    pairs are a WRITTEN pipeline artifact — the dedup pass produces
+    them once and every tuning/eval/report query scans that table; the
+    engine mirrors that by extending the shingle-stage discipline to
+    the pair output. ``ngram_jaccard_dedup`` itself still executes the
+    live join (it IS the pair pipeline under test); this accessor is
+    for its consumers. Bit-identical to the inline derivation (a
+    deterministic output round-tripped through parquet); every
+    consumer's DuckDB oracle still re-derives pairs from raw
+    ``documents``, so the cache sits inside the correctness gate."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "ngram_pairs_n3_j03",
+        lambda: dedup.ngram_jaccard_pairs(
+            shingles=mutant_shingles(spark, sf_dir, n=3),
+            n=3,
+            min_jaccard=0.3,
+            max_shingle_df=_MAX_SHINGLE_DF,
+        ),
+    )
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash(16)+LSH(4x4) candidate PAIR OUTPUT (est j >= 0.5),
+    materialized once per corpus — same pipeline-artifact argument as
+    ``ngram_pairs``: the banded dedup produces this table once; the
+    cross-dup matrix, leakage check, cluster-quality report and eval
+    queries scan it instead of re-mining candidates per report."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "mh_pairs_16x4_j05",
+        lambda: dedup.minhash_lsh_pairs(
+            dedup.minhash_signatures(
+                shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
+            ),
+            num_hashes=16,
+            bands=4,
+            min_est_jaccard=0.5,
+        ),
+    )
+
+
 SQL_DOCS_MUT = f"""
 SELECT doc_id, text FROM documents
 UNION ALL
