@@ -2813,9 +2813,11 @@ PCA_SCALE = 1_000_000  # same 1e6 fixed-point grid as embedding_outliers
 #: dims — model-sized by construction. Spark MLlib draws the same line
 #: (RowMatrix.computePrincipalComponents caps at 65535 Gramian columns).
 PCA_DRIVER_DIM_BOUND = 1024
+#: bounded output of the PC1 projection query
+PC1_TOPK = 50
 
 
-def _sql_pca_variance() -> str:
+def _sql_pca_ctes() -> str:
     it_ctes = []
     prev = "v0"
     for i in range(1, PCA_ITERS + 1):
@@ -2860,11 +2862,30 @@ lam AS (SELECT list_aggregate(
                  AS l1
         FROM v{PCA_ITERS} JOIN w4 ON w4.j = v{PCA_ITERS}.k),
 top AS (SELECT k AS top_dim FROM v{PCA_ITERS}
-        ORDER BY ABS(vv) DESC, k LIMIT 1)
+        ORDER BY ABS(vv) DESC, k LIMIT 1)"""
+
+
+def _sql_pca_variance() -> str:
+    return f"""{_sql_pca_ctes()}
 SELECT nn.n_vecs, dd.dim,
        ROUND(lam.l1 / tr.trace, 6) AS explained_ratio,
        top.top_dim
 FROM nn CROSS JOIN dd CROSS JOIN lam CROSS JOIN tr CROSS JOIN top
+"""
+
+
+def _sql_pc1_scores() -> str:
+    return f"""{_sql_pca_ctes()},
+scores AS (
+  SELECT ex.vec_id,
+         list_aggregate(
+           LIST(CAST(ex.vj AS DOUBLE) * v{PCA_ITERS}.vv ORDER BY ex.j),
+           'sum') AS sdot
+  FROM ex JOIN v{PCA_ITERS} ON v{PCA_ITERS}.k = ex.j
+  GROUP BY ex.vec_id)
+SELECT vec_id, ROUND(sdot / {PCA_SCALE}.0, 6) AS pc1_score
+FROM scores
+ORDER BY ABS(sdot) DESC, vec_id LIMIT {PC1_TOPK}
 """
 
 
@@ -2927,13 +2948,20 @@ def _pca_scatter_batches(batches):
                 )
 
 
-@register("embedding_pca_variance", _sql_pca_variance())
-def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-principal-component variance share of the embedding corpus,
-    by in-engine power iteration — the artifact read before trusting a
-    truncation dim (MRL / random projection) or an IVF geometry: a high
-    explained_ratio says the space is effectively low-rank (truncation
-    is cheap, one IVF axis dominates); near-uniform says it is not.
+#: once-per-corpus PCA model memo (codebook pattern — the PQ family
+#: caches its trained codebooks the same way); stat-fingerprint-keyed
+#: so a regenerated fixture can never serve a stale component
+_PCA_MODEL_CACHE: dict[tuple, dict | None] = {}
+
+
+def _pca_model(spark: SparkSession, sf_dir: str) -> dict | None:
+    """Top-principal-component model of the embedding corpus by power
+    iteration — the shared once-per-corpus stage behind
+    ``embedding_pca_variance`` (the variance-share artifact) and
+    ``embedding_pc1_scores`` (the executed projection). Returns None on
+    an empty corpus; otherwise ``{n_vecs, dim, dims, v, l1, trace,
+    top_dim}`` where ``v`` is the unit top component keyed by 1-based
+    dim.
 
     Exactness staging (the embedding-family pattern): vectors quantize
     to the 1e6 fixed-point grid, the scatter matrix accumulates as
@@ -2960,7 +2988,22 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells) and the Python loop replays the identical IEEE fold order,
     so the result is bit-equal to the former in-engine iteration AND to
     the oracle's LIST(... ORDER BY) sums."""
+    import os
+
     from de_project_sprint_etl_spark.plans.llm import fan_out
+    from de_project_sprint_etl_spark.plans.registry import data_fingerprint
+
+    key = (
+        id(spark),
+        sf_dir,
+        data_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+    )
+    if key in _PCA_MODEL_CACHE:
+        return _PCA_MODEL_CACHE[key]
+    # single-live-session contract (the _PLAN_CACHE discipline): drop
+    # models trained under any other SparkSession on insert
+    for k in [k for k in _PCA_MODEL_CACHE if k[0] != id(spark)]:
+        _PCA_MODEL_CACHE.pop(k, None)
 
     emb = fan_out(
         spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -2977,7 +3020,7 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vecs, dim = head["n_vecs"], head["dim"]
     if dim is not None and dim > PCA_DRIVER_DIM_BOUND:
         raise ValueError(
-            f"embedding_pca_variance: dim {dim} exceeds the driver "
+            f"embedding pca model: dim {dim} exceeds the driver "
             f"eigensolve bound {PCA_DRIVER_DIM_BOUND}; use the "
             "distributed matrix-frame power iteration (or a randomized "
             "sketch) for wide models"
@@ -3021,14 +3064,10 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     if not cells:
-        # empty corpus: the former all-DataFrame form produced zero
-        # rows (inner joins over empty frames) — preserve that
-        return spark.range(0).select(
-            F.lit(None).cast("bigint").alias("n_vecs"),
-            F.lit(None).cast("int").alias("dim"),
-            F.lit(None).cast("double").alias("explained_ratio"),
-            F.lit(None).cast("int").alias("top_dim"),
-        )
+        # empty corpus: callers produce empty frames (the former
+        # all-DataFrame form yielded zero rows via empty inner joins)
+        _PCA_MODEL_CACHE[key] = None
+        return None
     # trace as an exact integer sum (the cells' DECIMALs are integers);
     # int -> float is correctly rounded in both CPython and the JVM, so
     # this equals the former Spark-side SUM(mdec)::DOUBLE bit-for-bit
@@ -3060,7 +3099,7 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         nrm = math.sqrt(acc)
         if nrm == 0.0:
             raise ValueError(
-                "embedding_pca_variance: zero spectral norm — the "
+                "embedding pca model: zero spectral norm — the "
                 "centered corpus is identically zero"
             )
         v = {j: w[j] / nrm for j in dims}
@@ -3072,11 +3111,102 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in dims:
         if abs(v[k]) > best:
             top_dim, best = k, abs(v[k])
+    model = {
+        "n_vecs": n_vecs,
+        "dim": dim,
+        "dims": dims,
+        "v": v,
+        "l1": l1,
+        "trace": trace,
+        "top_dim": top_dim,
+    }
+    _PCA_MODEL_CACHE[key] = model
+    return model
+
+
+@register("embedding_pca_variance", _sql_pca_variance())
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component variance share of the embedding corpus —
+    the artifact read before trusting a truncation dim (MRL / random
+    projection) or an IVF geometry: a high explained_ratio says the
+    space is effectively low-rank (truncation is cheap, one IVF axis
+    dominates); near-uniform says it is not. All the machinery —
+    exact-integer scatter, Arrow-batched matmuls, the driver-side
+    fixed-order power iteration and its scale guards — lives in
+    ``_pca_model`` (shared with ``embedding_pc1_scores``)."""
+    model = _pca_model(spark, sf_dir)
+    if model is None:
+        return spark.range(0).select(
+            F.lit(None).cast("bigint").alias("n_vecs"),
+            F.lit(None).cast("int").alias("dim"),
+            F.lit(None).cast("double").alias("explained_ratio"),
+            F.lit(None).cast("int").alias("top_dim"),
+        )
     # division + HALF_UP rounding stay in Spark so the output cell is
     # produced by the same engine expression as before
     return spark.range(1).select(
-        F.lit(n_vecs).cast("bigint").alias("n_vecs"),
-        F.lit(dim).cast("int").alias("dim"),
-        F.round(F.lit(l1) / F.lit(trace), 6).alias("explained_ratio"),
-        F.lit(top_dim).cast("int").alias("top_dim"),
+        F.lit(model["n_vecs"]).cast("bigint").alias("n_vecs"),
+        F.lit(model["dim"]).cast("int").alias("dim"),
+        F.round(F.lit(model["l1"]) / F.lit(model["trace"]), 6).alias(
+            "explained_ratio"
+        ),
+        F.lit(model["top_dim"]).cast("int").alias("top_dim"),
+    )
+
+
+@register("embedding_pc1_scores", _sql_pc1_scores())
+def q_embedding_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the PCA: the {PC1_TOPK} vectors most extreme along the
+    corpus's top principal component, with their projection scores —
+    the companion that applies what ``embedding_pca_variance`` only
+    measures (the same curve→assignment pairing as
+    pack_efficiency_curve→pack_assign_greedy). Extreme-PC1 vectors are
+    the review queue for axis-dominating content (near-constant
+    boilerplate embeddings, a single over-represented domain) before a
+    truncation or IVF geometry is frozen on this corpus.
+
+    The component comes from the shared once-per-corpus ``_pca_model``
+    (driver-side fixed-order eigensolve, memoized); the projection is
+    one map-side zip_with fold per vector in dim order — the identical
+    IEEE sequence the oracle's LIST(... ORDER BY j) sum performs — and
+    the top-k is rank-by-|raw-dot| with vec_id tiebreak, computed on
+    the UNROUNDED dot so a rounding collision cannot reorder the
+    boundary. Scale shape: ONE narrow corpus pass + Spark's TakeOrdered
+    top-k; nothing but the k result rows crosses to the driver."""
+    from de_project_sprint_etl_spark.plans.llm import fan_out
+
+    model = _pca_model(spark, sf_dir)
+    emb = fan_out(
+        spark, t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    xi = F.transform(
+        F.col("embedding"),
+        lambda a: F.floor(a.cast("double") * PCA_SCALE + 0.5).cast("long"),
+    )
+    x = emb.select("vec_id", xi.alias("xi"))
+    if model is None:
+        return x.select(
+            "vec_id", F.lit(None).cast("double").alias("pc1_score")
+        ).filter(F.lit(False))
+    varr = F.array(
+        *[
+            F.lit(model["v"].get(j, 0.0))
+            for j in range(1, model["dim"] + 1)
+        ]
+    )
+    sdot = F.aggregate(
+        F.zip_with(
+            F.col("xi"), varr, lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, term: acc + term,
+    )
+    return (
+        x.select("vec_id", sdot.alias("sdot"))
+        .orderBy(F.abs(F.col("sdot")).desc(), F.col("vec_id").asc())
+        .limit(PC1_TOPK)
+        .select(
+            "vec_id",
+            F.round(F.col("sdot") / PCA_SCALE, 6).alias("pc1_score"),
+        )
     )

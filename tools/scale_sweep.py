@@ -63,6 +63,7 @@ GRAPH_QUERIES = [
     "triangle_count_copurchase",
     "pagerank_copurchase",
     "bfs_copurchase_distances",
+    "label_propagation_communities",
 ]
 DEFAULT_QUERIES = [
     "semdedup_embeddings",
