@@ -65,7 +65,7 @@ CREATE VIEW base AS
 SELECT o.o_orderkey AS id,
        'u' || CAST(o.o_orderkey AS VARCHAR) AS uniq_id,
        CAST(o.o_orderdate AS TIMESTAMP)
-         + INTERVAL (o.o_orderkey % 86400) SECOND AS date_time,
+         + (o.o_orderkey % 86400) * INTERVAL 1 SECOND AS date_time,
        CAST(o.o_custkey % 100 AS INT) AS city_id,
        'city_' || CAST(o.o_custkey % 100 AS VARCHAR) AS city_name,
        o.o_custkey AS customer_id,
@@ -75,11 +75,12 @@ SELECT o.o_orderkey AS id,
        'item_' || CAST(o.o_orderkey % 1000 AS VARCHAR) AS item_name,
        CAST(o.o_orderkey % 5 + 1 AS BIGINT) AS quantity,
        o.o_totalprice AS payment_amount,
-       o.o_orderdate AS od
+       CAST(o.o_orderdate AS DATE) AS od
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 """)
     cutoff = con.sql(
-        "SELECT min(od) + CAST(0.9 * (max(od) - min(od)) AS BIGINT) FROM base"
+        "SELECT min(od) + CAST(FLOOR(0.9 * date_diff('day', min(od), max(od)))"
+        " AS INT) FROM base"
     ).fetchone()[0]
     cols = """id, uniq_id, date_time, city_id, city_name, customer_id,
               first_name, last_name, item_id, item_name, quantity,
