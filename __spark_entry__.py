@@ -53,90 +53,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # round regardless of order
 # (tools/oracle_check.py + the committed FULLDIFF artifacts); this only
 # chooses what the externally-truncated check gets to see.
-# ROUND-8 ROTATION (VERDICT r7, Next-round #1 and #5): front (a) the
-# zorder pair — zorder_skipping_index was the r7 registry's ONLY
-# never-driver-green cell (red r6+r7: the oracle rel left o_custkey as
-# BIGINT so DuckDB returned int64 mn_a/mx_a against Spark's DOUBLE; the
-# rel now casts BOTH columns, and tools/oracle_check is dtype-strict so
-# the class can't hide again); then (b) with r1–r7 cumulative
-# attestation at 244 of the 245 pre-round-8 queries, the window's
-# marginal value is RECENCY — the queries whose latest driver-green
-# window is r3 (the oldest tier left; plans under several of them were
-# rewritten since: normalizer, ngram sids,
-# caching lifecycles); and (c) the twenty-one round-8 newcomers, never
-# externally attested — the first wave (lsh_band_tuning,
-# ivf_nprobe_recall_curve, join_cardinality_estimate,
-# pack_efficiency_curve, l_diversity_orders, source_cross_dup_matrix,
-# label_propagation_communities), the second wave
-# (pareto_frontier_orders, gini_revenue_concentration,
-# rfm_customer_segments, ks_value_drift, token_pmi_bigrams,
-# mixture_epochs_plan, dup_cluster_quality_report), and the third wave
-# (quality_roc_auc, benford_price_audit, compaction_bin_plan,
-# dataset_card_stats, dedup_blocking_eval, ngram_novelty_curve,
-# embedding_pca_variance). Never-attested outranks oldest-attested, so
-# the newcomers displace the fourteen r3-tier fillers whose plans are
-# untouched since they landed and whose r3 attestations still stand
-# (calendar_dim, events_windowed_agg, fact_sales_v2, week_range_join,
-# tpch_q1/q3/q5, events_rolling_anomaly, events_sessionize,
-# heavy_hitters_cms, hybrid_rrf_retrieval, bm25_topk_docs,
-# ann_lsh_topk, scd2_point_in_time_join) — all of them remain row-level
-# green in FULLDIFF_r8 at both scales. 2 + 21 + 27 = 50.
+# ROUND-9 ROTATION (VERDICT r8, Next-round #3): front (a) the four
+# round-9 newcomers, never externally attested (pack_assign_greedy,
+# lsh_empirical_scurve, shingle_df_histogram, embedding_pc1_scores);
+# then (b) the ten queries whose PLANS CHANGED this round after their
+# r8 attestation — the PCA rewrite (Arrow scatter + driver eigensolve),
+# the pair-artifact consumers (lsh_band_tuning,
+# dedup_threshold_sensitivity, source_cross_dup_matrix,
+# minhash_dedup_eval, dup_cluster_quality_report, split_leakage_check)
+# and the ADVICE-r8 guard fixes (ks_value_drift, compaction_bin_plan,
+# mixture_epochs_plan) — a changed plan invalidates the old
+# attestation's evidentiary value even though the values are proven
+# unchanged locally; then (c) the twenty r3-attested queries, the
+# oldest tier left after r8's rotation (computed from the cumulative
+# CORRECTNESS_r1..r8 windows); and (d) sixteen alphabetical fillers
+# from the r4-attested tier, the next-oldest. 4 + 10 + 20 + 16 = 50.
 GATE_PRIORITY = [
-    # (a) the single never-driver-green cell + its twin
-    "zorder_skipping_index",
-    "zorder_skipping_effectiveness",
-    # round-8 newcomers, first wave — first external attestation
-    "lsh_band_tuning",
-    "ivf_nprobe_recall_curve",
-    "join_cardinality_estimate",
-    "pack_efficiency_curve",
-    "l_diversity_orders",
-    "source_cross_dup_matrix",
-    "label_propagation_communities",
-    # round-8 newcomers, second wave — first external attestation
-    "pareto_frontier_orders",
-    "gini_revenue_concentration",
-    "rfm_customer_segments",
-    "ks_value_drift",
-    "token_pmi_bigrams",
-    "mixture_epochs_plan",
-    "dup_cluster_quality_report",
-    # round-8 newcomers, third wave — first external attestation
-    "quality_roc_auc",
-    "benford_price_audit",
-    "compaction_bin_plan",
-    "dataset_card_stats",
-    "dedup_blocking_eval",
-    "ngram_novelty_curve",
+    # (a) round-9 newcomers — first external attestation
+    "pack_assign_greedy",
+    "lsh_empirical_scurve",
+    "shingle_df_histogram",
+    "embedding_pc1_scores",
+    # (b) plans changed in round 9 after their r8 attestation
     "embedding_pca_variance",
-    # (b) the r3-latest — oldest attestation tier in the registry
-    "bpe_encode_vocab",
-    "cosine_near_dup",
-    "doc_fingerprint",
-    "embedding_normalize",
-    "exact_dedup",
-    "incremental_minhash_dedup",
-    "ivfpq_topk",
-    "kmeans_embeddings",
-    "lang_id",
-    "minhash_lsh_dedup",
-    "new_customers",
-    "ngram_jaccard_dedup",
-    "order_log_v2_merge",
-    "pagerank_copurchase",
-    "pii_redaction",
-    "retention_compact",
-    "retention_compact_ordered",
-    "retention_mart",
-    "returned_customers",
-    "scd2_customer_priority",
-    "semdedup_embeddings",
-    "simhash_dedup",
-    "text_quality",
-    "tfidf_topk_terms",
-    "token_histogram",
-    "tpch_q21_suppliers_kept_waiting",
-    "tpch_q9_product_profit",
+    "lsh_band_tuning",
+    "dedup_threshold_sensitivity",
+    "source_cross_dup_matrix",
+    "minhash_dedup_eval",
+    "dup_cluster_quality_report",
+    "split_leakage_check",
+    "ks_value_drift",
+    "compaction_bin_plan",
+    "mixture_epochs_plan",
+    # (c) the r3-latest — oldest attestation tier in the registry
+    "ann_lsh_topk",
+    "bm25_topk_docs",
+    "calendar_dim",
+    "cdc_apply_orders",
+    "date_functions",
+    "distinct_on_customer",
+    "events_rolling_anomaly",
+    "events_sessionize",
+    "events_windowed_agg",
+    "fact_sales_v2",
+    "funnel_signup_click_purchase",
+    "grouping_sets_events",
+    "heavy_hitters_cms",
+    "hybrid_rrf_retrieval",
+    "scd2_point_in_time_join",
+    "status_counts",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "week_range_join",
+    # (d) r4-attested fillers, alphabetical
+    "approx_count_distinct_customers",
+    "argmax_order_per_priority",
+    "asof_join_clicks_purchases",
+    "attribution_linear_touch",
+    "calendar_weeks",
+    "cogroup_user_activity",
+    "distinct_on_item",
+    "dsir_importance_weights",
+    "fact_sales",
+    "gap_fill_daily_events",
+    "gopher_quality_filter",
+    "hll_distinct_cascade",
+    "ivm_customer_revenue",
+    "lateral_top_lineitems",
+    "new_customers_compact",
+    "null_safe_join_props",
 ]
 
 
