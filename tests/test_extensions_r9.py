@@ -83,6 +83,29 @@ def test_pack_assign_greedy_invariants(spark):
         )
 
 
+def test_r9_ops_plan_shapes(spark):
+    """Static-plan pins for the round's other ops: no CartesianProduct
+    anywhere; the pair-keyed S-curve join broadcasts its smaller side;
+    the PC1 top-k plans as TakeOrdered (never a global Sort)."""
+
+    def plan(name):
+        df = RAW_QUERIES[name](spark, SF01)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    for name in (
+        "lsh_empirical_scurve",
+        "shingle_df_histogram",
+        "embedding_pc1_scores",
+    ):
+        assert "CartesianProduct" not in plan(name), name
+    assert "BroadcastHashJoin" in plan("lsh_empirical_scurve")
+    p = plan("embedding_pc1_scores")
+    assert "TakeOrderedAndProject" in p
+    assert "+- Sort" not in p
+
+
 def test_pack_assign_greedy_plan_shape(spark):
     plan = RAW_QUERIES["pack_assign_greedy"](spark, SF01)._sc._jvm.PythonSQLUtils.explainString(
         RAW_QUERIES["pack_assign_greedy"](spark, SF01)._jdf.queryExecution(),
