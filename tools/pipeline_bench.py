@@ -22,8 +22,14 @@ section; the timed section is ONE ``run_all`` against a fresh
 ``base_dir`` — every staging/mart table is written to parquet exactly
 as the production lifecycle would.
 
-Usage: python tools/pipeline_bench.py [sf_dir] [--keep]
+Usage: python tools/pipeline_bench.py [sf_dir] [--keep] [--fixed-point]
 Prints one JSON line: {"metric": "pipeline_run_all", "value": <sec>, ...}
+
+``--fixed-point`` re-runs the whole composition over the SAME base_dir
+and asserts every mart's (row count, order-insensitive xxhash64 value
+fingerprint) is unchanged — the reference's C5 idempotency invariant
+(README.md:21-22 "processed correctly and not duplicated"), verified at
+corpus scale rather than only on the unit-test fixtures.
 """
 
 from __future__ import annotations
@@ -152,17 +158,52 @@ def main() -> None:
             ("mart", "f_customer_retention"),
         )
     }
-    print(
-        json.dumps(
-            {
-                "metric": "pipeline_run_all",
-                "value": round(wall, 2),
-                "unit": "sec",
-                "sf_dir": SF_DIR,
-                "rows": counts,
-            }
-        )
-    )
+    out = {
+        "metric": "pipeline_run_all",
+        "value": round(wall, 2),
+        "unit": "sec",
+        "sf_dir": SF_DIR,
+        "rows": counts,
+    }
+    if "--fixed-point" in sys.argv:
+        from pyspark.sql import functions as F
+
+        def fingerprint(layer: str, name: str) -> tuple[int, int]:
+            df = spark.read.parquet(os.path.join(base, layer, name))
+            row = df.select(
+                F.xxhash64(
+                    *[F.col(c).cast("string") for c in sorted(df.columns)]
+                ).alias("h")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("x"),
+            ).collect()[0]
+            return int(row["n"]), int(row["x"])
+
+        marts = [
+            ("mart", m)
+            for m in (
+                "d_calendar",
+                "d_customer",
+                "d_item",
+                "f_sales",
+                "f_sales_v2",
+                "d_calendar_weeks",
+                "retention_compact",
+                "f_customer_retention",
+            )
+        ]
+        before = {m[1]: fingerprint(*m) for m in marts}
+        t0 = time.time()
+        pipeline.run_all(spark, src, base)
+        rerun_wall = time.time() - t0
+        after = {m[1]: fingerprint(*m) for m in marts}
+        diverged = sorted(k for k in before if before[k] != after[k])
+        if diverged:
+            raise SystemExit(f"fixed-point VIOLATED for marts: {diverged}")
+        out["fixed_point"] = "ok"
+        out["rerun_sec"] = round(rerun_wall, 2)
+    print(json.dumps(out))
     if "--keep" not in sys.argv:
         shutil.rmtree(base, ignore_errors=True)
 
