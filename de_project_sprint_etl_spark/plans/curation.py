@@ -1832,13 +1832,15 @@ def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_lsh_empirical_scurve() -> str:
     return f"""
-WITH tru AS (SELECT id_a, id_b, jaccard FROM ({_NG_PAIRS}) g),
+WITH tru AS (SELECT id_a, id_b,
+                    (10 * shared) // (n_a + n_b - shared) AS bucket
+             FROM ({_NG_PAIRS}) g),
 cand AS (SELECT id_a, id_b FROM ({_MH_PAIRS}) m),
-j AS (SELECT t.jaccard,
+j AS (SELECT t.bucket,
              CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS hit
       FROM tru t
       LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
-SELECT CAST(FLOOR(jaccard * 10) AS INT) AS bucket,
+SELECT CAST(bucket AS INT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(SUM(hit) AS BIGINT) AS n_candidates,
        ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
@@ -1859,19 +1861,27 @@ def q_lsh_empirical_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes the two once-per-corpus MATERIALIZED pair artifacts
     (VERDICT r8 #2): one pair-keyed left join of two artifact-sized
-    tables, one bounded groupBy — nothing rescans the corpus. Bucket
-    math is FLOOR(jaccard * 10) on the identical 6-decimal double in
-    both engines (same IEEE product, same floor), so bucket edges
-    cannot drift cross-engine."""
+    tables, one bounded groupBy — nothing rescans the corpus. The
+    decile comes from the EXACT INTEGER pair stats the artifact
+    carries — (10 * shared) DIV union — never from the float jaccard:
+    FLOOR(0.7 * 10) is 6 in IEEE (0.7 is below 0.7 in binary), so a
+    float bucket would file exact-decade pairs one decile low in both
+    engines; the integer DIV puts every edge pair where a human reads
+    it."""
     from de_project_sprint_etl_spark.plans.llm import minhash_pairs, ngram_pairs
 
-    tru = ngram_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    tru = ngram_pairs(spark, sf_dir).select(
+        "id_a",
+        "id_b",
+        F.expr("CAST((10 * shared) DIV (n_a + n_b - shared) AS INT)").alias(
+            "bucket"
+        ),
+    )
     cand = minhash_pairs(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("hit")
     )
     j = tru.join(cand, ["id_a", "id_b"], "left").select(
-        F.floor(F.col("jaccard") * 10).cast("int").alias("bucket"),
-        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+        "bucket", F.coalesce(F.col("hit"), F.lit(0)).alias("hit")
     )
     return j.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
