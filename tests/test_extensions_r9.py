@@ -218,3 +218,59 @@ def test_lpa_early_exit_is_bit_identical_and_converges(spark):
     assert full == fast
     # two cliques: every member adopts the clique's min id
     assert {c for _, c in fast} == {1, 10}
+
+
+# --- pair-artifact cache integrity ----------------------------------------------
+
+
+def test_pair_artifacts_match_live_pipelines(spark):
+    """The materialized pair tables must be row-for-row the live
+    pipelines' output — the bit-identical-artifact claim behind the
+    round-9 consumer switch, pinned (the consumer oracles check this
+    indirectly by re-deriving from raw docs; this is the direct
+    engine-side statement)."""
+    from de_project_sprint_etl_spark.plans import llm
+
+    cols = ["id_a", "id_b", "shared", "n_a", "n_b", "jaccard"]
+    live = {
+        tuple(r[c] for c in cols)
+        for r in llm.q_ngram_jaccard(spark, SF01).collect()
+    }
+    art = {
+        tuple(r[c] for c in cols)
+        for r in llm.ngram_pairs(spark, SF01).select(*cols).collect()
+    }
+    assert live == art
+    mh_cols = ["id_a", "id_b"]
+    live_mh = {
+        tuple(r[c] for c in mh_cols)
+        for r in llm.q_minhash_lsh(spark, SF01).collect()
+    }
+    art_mh = {
+        tuple(r[c] for c in mh_cols)
+        for r in llm.minhash_pairs(spark, SF01).select(*mh_cols).collect()
+    }
+    assert live_mh == art_mh
+
+
+def test_pair_artifact_invalidates_on_fixture_change(spark, tmp_path):
+    """A regenerated corpus must never serve a stale pair artifact:
+    the cache key folds in the documents fixture's (mtime_ns, size), so
+    rewriting the file — even with identical bytes — points the
+    accessor at a fresh build."""
+    import os
+    import shutil
+
+    from de_project_sprint_etl_spark.plans import llm
+
+    d = tmp_path / "corpus"
+    shutil.copytree("/root/testdata/sf0.001", d)
+    p1 = llm.ngram_pairs(spark, str(d))
+    files1 = set(p1.inputFiles())
+    n1 = p1.count()
+    doc = d / "documents.parquet"
+    os.utime(doc, ns=(os.stat(doc).st_atime_ns, os.stat(doc).st_mtime_ns + 7))
+    p2 = llm.ngram_pairs(spark, str(d))
+    files2 = set(p2.inputFiles())
+    assert files1 != files2, "stale artifact served after fixture rewrite"
+    assert p2.count() == n1
