@@ -2321,10 +2321,11 @@ def q_mixture_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side projection for the stats, one partial-combined groupBy
     to |sources| rows, one 1-row total broadcast — the corpus itself
     never shuffles."""
-    from de_project_sprint_etl_spark.functions import text as _tx
-    from de_project_sprint_etl_spark.plans.llm import docs_fanned
+    from de_project_sprint_etl_spark.plans.llm import doc_stats
 
-    q = _tx.with_text_stats(docs_fanned(spark, sf_dir), "text").select(
+    # the attributes table (doc_stats artifact): quality mass planning
+    # reads the scored table, never re-scores the corpus
+    q = doc_stats(spark, sf_dir).select(
         "doc_id",
         "n_bpe_tokens",
         F.col("quality_score").cast("decimal(18,6)").alias("qd"),
@@ -2430,12 +2431,11 @@ def q_dup_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     output cell. Scale shape: the group table holds dup members only;
     both aggregates are partial-combined; nothing windows or sorts
     globally."""
-    from de_project_sprint_etl_spark.functions import text as _tx
-    from de_project_sprint_etl_spark.plans.llm import minhash_pairs
+    from de_project_sprint_etl_spark.plans.llm import minhash_pairs, mutant_stats
 
     pairs = minhash_pairs(spark, sf_dir)
     groups = dedup.dup_groups(pairs).select("id", "group_id")
-    q = _tx.with_text_stats(docs_with_mutants(spark, sf_dir), "text").select(
+    q = mutant_stats(spark, sf_dir).select(
         F.col("doc_id"),
         F.col("quality_score").cast("decimal(18,6)").alias("qd"),
     )
@@ -2511,10 +2511,12 @@ def q_dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint count is the only shuffle whose width scales with the
     corpus — the same hash-groupBy the exact-dedup pass itself pays."""
     from de_project_sprint_etl_spark.functions import text as _tx
-    from de_project_sprint_etl_spark.plans.llm import docs_fanned
+    from de_project_sprint_etl_spark.plans.llm import doc_stats, docs_fanned
 
     docs = docs_fanned(spark, sf_dir)
-    stats = _tx.with_text_stats(docs, "text")
+    # volume/quality block reads the attributes artifact; only the
+    # exact-dup fingerprint still needs the raw text stream
+    stats = doc_stats(spark, sf_dir)
     base = stats.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),

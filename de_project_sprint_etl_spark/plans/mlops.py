@@ -834,7 +834,6 @@ def q_pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- in-engine supervised training (GD linear model) ------------------------
 
 from de_project_sprint_etl_spark.functions import ml as _ml  # noqa: E402
-from de_project_sprint_etl_spark.functions import text as _text  # noqa: E402
 from de_project_sprint_etl_spark.plans.llm import _sql_text_quality  # noqa: E402
 
 _LINREG_FEATS_SQL = f"""(
@@ -859,12 +858,12 @@ def q_linreg_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/ml.linreg_gd — same engine-replayable iterative tier as
     k-means and PageRank). Features are pre-rounded ratios of exact
     integers, so both engines descend from identical doubles."""
-    from de_project_sprint_etl_spark.plans.llm import fan_out
+    from de_project_sprint_etl_spark.plans.llm import doc_stats
 
-    docs = fan_out(
-        spark, t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    )
-    s = _text.with_text_stats(docs, "text")
+    # features come from the once-per-corpus attributes table — the
+    # learned filter trains on the same scored artifact the planners
+    # and reports read
+    s = doc_stats(spark, sf_dir)
     feats = s.select(
         "doc_id",
         F.array(
