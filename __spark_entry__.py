@@ -61,13 +61,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # the pair-artifact consumers (lsh_band_tuning,
 # dedup_threshold_sensitivity, source_cross_dup_matrix,
 # minhash_dedup_eval, dup_cluster_quality_report, split_leakage_check)
-# and the ADVICE-r8 guard fixes (ks_value_drift, compaction_bin_plan,
-# mixture_epochs_plan) — a changed plan invalidates the old
-# attestation's evidentiary value even though the values are proven
-# unchanged locally; then (c) the twenty r3-attested queries, the
-# oldest tier left after r8's rotation (computed from the cumulative
-# CORRECTNESS_r1..r8 windows); and (d) sixteen alphabetical fillers
-# from the r4-attested tier, the next-oldest. 4 + 10 + 20 + 16 = 50.
+# the ADVICE-r8 guard fixes (ks_value_drift, compaction_bin_plan,
+# mixture_epochs_plan), and the attributes-table consumers
+# (quality_percentiles, quality_percentiles_approx,
+# dataset_card_stats, linreg_quality_train) — a changed plan
+# invalidates the old attestation's evidentiary value even though the
+# values are proven unchanged locally; then (c) the twenty r3-attested
+# queries, the oldest tier left after r8's rotation (computed from the
+# cumulative CORRECTNESS_r1..r8 windows); and (d) twelve alphabetical
+# fillers from the r4-attested tier, the next-oldest.
+# 4 + 14 + 20 + 12 = 50.
 GATE_PRIORITY = [
     # (a) round-9 newcomers — first external attestation
     "pack_assign_greedy",
@@ -85,6 +88,10 @@ GATE_PRIORITY = [
     "ks_value_drift",
     "compaction_bin_plan",
     "mixture_epochs_plan",
+    "quality_percentiles",
+    "quality_percentiles_approx",
+    "dataset_card_stats",
+    "linreg_quality_train",
     # (c) the r3-latest — oldest attestation tier in the registry
     "ann_lsh_topk",
     "bm25_topk_docs",
@@ -119,10 +126,6 @@ GATE_PRIORITY = [
     "gap_fill_daily_events",
     "gopher_quality_filter",
     "hll_distinct_cascade",
-    "ivm_customer_revenue",
-    "lateral_top_lineitems",
-    "new_customers_compact",
-    "null_safe_join_props",
 ]
 
 
