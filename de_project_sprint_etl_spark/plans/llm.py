@@ -737,20 +737,14 @@ def q_near_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session broadcast threshold (``guards.gated_broadcast``); on a
     high-dup-rate corpus — a 100 TB web crawl can be 30–50% dup
     members, making the drop set corpus-scale — the join degrades to a
-    plain shuffle anti join instead of an executor OOM. Composes three
-    already-verified operators; the oracle recomputes the same thing
-    with a recursive CTE."""
+    plain shuffle anti join instead of an executor OOM. Composes the
+    once-per-corpus pair ARTIFACT with the CC and anti-join operators —
+    the staged production DAG (the dedup stage writes pairs; the
+    removal pass reads them); the oracle recomputes the same thing from
+    raw documents with a recursive CTE."""
     from de_project_sprint_etl_spark.functions import guards
 
-    pairs = dedup.minhash_lsh_pairs(
-        dedup.minhash_signatures(
-            shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
-        ),
-        num_hashes=16,
-        bands=4,
-        min_est_jaccard=0.5,
-    )
-    groups = dedup.dup_groups(pairs)
+    groups = dedup.dup_groups(minhash_pairs(spark, sf_dir))
     drop = groups.filter(F.col("id") != F.col("group_id")).select(
         F.col("id").alias("doc_id")
     )
@@ -805,18 +799,11 @@ def q_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from de_project_sprint_etl_spark.functions import guards
 
-    pairs = dedup.minhash_lsh_pairs(
-        dedup.minhash_signatures(
-            shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
-        ),
-        num_hashes=16,
-        bands=4,
-        min_est_jaccard=0.5,
-    )
-    groups = dedup.dup_groups(pairs)  # (id, group_id) — dup members only
-    q = text.with_text_stats(docs_with_mutants(spark, sf_dir), "text").select(
-        "doc_id", "quality_score"
-    )
+    # both inputs are written stage artifacts — the candidate pairs and
+    # the attributes table (quality scored once per corpus): the
+    # keep-best pass composes them with CC + the group-best window
+    groups = dedup.dup_groups(minhash_pairs(spark, sf_dir))
+    q = mutant_stats(spark, sf_dir).select("doc_id", "quality_score")
     lab = q.join(
         guards.gated_broadcast(groups, "near_dedup_keep_best dup groups"),
         q["doc_id"] == groups["id"],
