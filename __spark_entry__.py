@@ -56,7 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROUND-9 ROTATION (VERDICT r8, Next-round #3): front (a) the four
 # round-9 newcomers, never externally attested (pack_assign_greedy,
 # lsh_empirical_scurve, shingle_df_histogram, embedding_pc1_scores);
-# then (b) the ten queries whose PLANS CHANGED this round after their
+# then (b) the sixteen queries whose PLANS CHANGED this round after their
 # r8 attestation — the PCA rewrite (Arrow scatter + driver eigensolve),
 # the pair-artifact consumers (lsh_band_tuning,
 # dedup_threshold_sensitivity, source_cross_dup_matrix,
@@ -64,13 +64,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # the ADVICE-r8 guard fixes (ks_value_drift, compaction_bin_plan,
 # mixture_epochs_plan), and the attributes-table consumers
 # (quality_percentiles, quality_percentiles_approx,
-# dataset_card_stats, linreg_quality_train) — a changed plan
+# dataset_card_stats, linreg_quality_train, and the end-to-end passes
+# near_dedup_filter / near_dedup_keep_best, which now compose the
+# written stage artifacts) — a changed plan
 # invalidates the old attestation's evidentiary value even though the
 # values are proven unchanged locally; then (c) the twenty r3-attested
 # queries, the oldest tier left after r8's rotation (computed from the
-# cumulative CORRECTNESS_r1..r8 windows); and (d) twelve alphabetical
+# cumulative CORRECTNESS_r1..r8 windows); and (d) ten alphabetical
 # fillers from the r4-attested tier, the next-oldest.
-# 4 + 14 + 20 + 12 = 50.
+# 4 + 16 + 20 + 10 = 50.
 GATE_PRIORITY = [
     # (a) round-9 newcomers — first external attestation
     "pack_assign_greedy",
@@ -92,6 +94,8 @@ GATE_PRIORITY = [
     "quality_percentiles_approx",
     "dataset_card_stats",
     "linreg_quality_train",
+    "near_dedup_filter",
+    "near_dedup_keep_best",
     # (c) the r3-latest — oldest attestation tier in the registry
     "ann_lsh_topk",
     "bm25_topk_docs",
@@ -124,8 +128,6 @@ GATE_PRIORITY = [
     "dsir_importance_weights",
     "fact_sales",
     "gap_fill_daily_events",
-    "gopher_quality_filter",
-    "hll_distinct_cascade",
 ]
 
 
