@@ -1040,7 +1040,15 @@ def q_pack_assign_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-local slots offset by chunk * {PACK_FFD_CHUNK}; a doc larger
     than the budget opens its own over-budget bin, which can never
     receive another doc — the standard oversize-truncates-at-training
-    convention).
+    convention). The rank itself is the SHARDED exact global rank
+    (functions/ranking.py, VERDICT r9 #3): quantile-cut shards rank
+    independently in parallel and driver-folded base offsets
+    reconstruct the identical global row number — no
+    Exchange SinglePartition anywhere in the plan (pinned in
+    tests/test_extensions_r10.py), so the packer's per-corpus costs
+    are all embarrassingly parallel. Construction runs the two tiny
+    ranking jobs eagerly over the persisted token-count projection
+    (see the ranking module's eagerness note).
 
     Chunked on purpose, not as an approximation dodge: UNCHUNKED FFD is
     an inherently sequential global fold (each placement depends on
@@ -1049,45 +1057,88 @@ def q_pack_assign_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB packer ships — each chunk packs independently (one small
     pandas group per chunk, any number of executors), and because the
     rank order sorts by length, docs within a chunk are near-uniform,
-    where FFD is at its strongest. The only global step is the
-    guard-bounded ranking (same bound class as the sequence-id ops).
-    The DuckDB oracle replays the identical algorithm as a depth-64
+    where FFD is at its strongest. The DuckDB oracle replays the identical algorithm as a depth-64
     recursive CTE over per-chunk (loads, assigns) list state —
     bit-identical integer arithmetic, so the whole assignment (not a
     summary of it) sits inside the correctness gate."""
-    from de_project_sprint_etl_spark.functions import guards
+    import os
+
+    from de_project_sprint_etl_spark.functions import ranking
+    from de_project_sprint_etl_spark.functions.caching import (
+        cached_generation,
+        session_scoped_value,
+    )
     from de_project_sprint_etl_spark.functions.text import tokens
+    from de_project_sprint_etl_spark.plans.llm import fan_out
+    from de_project_sprint_etl_spark.plans.registry import data_fingerprint
 
     budget, chunk = PACK_FFD_BUDGET, PACK_FFD_CHUNK
-    docs = t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
-    )
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
-    rn = guards.bounded_global_window(
-        F.row_number().over(w),
-        w,
-        guards.SEQUENCE_BOUND,
-        "pack_assign_greedy ranking",
-        "per-shard packing with budget-aligned shard boundaries",
-    )
-    ranked = docs.select(
-        "doc_id", "n_tokens", rn.cast("long").alias("rn")
-    ).select(
-        "doc_id",
-        "n_tokens",
-        "rn",
-        F.expr(f"CAST((rn - 1) DIV {chunk} AS BIGINT)").alias("chunk_id"),
+
+    # persist the tokenize projection ONCE per (session, corpus
+    # fingerprint): the sharded rank scans it three times (cut points,
+    # shard counts, the ranked pass) and tokenize is the query's
+    # dominant CPU; fan_out first so an under-split single-file corpus
+    # tokenizes on all cores instead of its 1-2 input splits. The memo
+    # (the codebook/pair-artifact pattern) keeps rebuilds from
+    # re-persisting a cold generation per call.
+    def _docs():
+        return cached_generation(
+            spark,
+            f"pack_assign_greedy:{sf_dir}",
+            fan_out(
+                spark, t(spark, sf_dir, "documents").select("doc_id", "text")
+            ).select(
+                "doc_id",
+                F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            ),
+        )
+
+    # the ranked frame is memoized per (session, corpus fingerprint)
+    # alongside the persist: the quantile cuts and shard base offsets
+    # embedded in it are corpus constants, so rebuilding the plan per
+    # call would re-run the two small ranking jobs for identical
+    # literals
+    def _ranked():
+        return ranking.sharded_global_rank(
+            _docs(), "n_tokens", "doc_id", rank_col="rn"
+        ).select(
+            "doc_id",
+            "n_tokens",
+            "rn",
+            F.expr(f"CAST((rn - 1) DIV {chunk} AS BIGINT)").alias(
+                "chunk_id"
+            ),
+            # 64 chunks per pandas group: FFD state is still strictly
+            # per-chunk (loads reset at each chunk boundary), but one
+            # Python round-trip carries 64 chunks' rows — ~64x fewer
+            # worker calls at identical results
+            F.expr(f"CAST((rn - 1) DIV {chunk * chunk} AS BIGINT)").alias(
+                "super_id"
+            ),
+        )
+
+    ranked = session_scoped_value(
+        "pack_assign_ranked",
+        spark,
+        (
+            sf_dir,
+            data_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        ),
+        _ranked,
     )
 
     def ffd(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values("rn")
-        loads: list[int] = []
         bins, offs = [], []
-        chunk_id = int(pdf["chunk_id"].iloc[0])
-        for nt in pdf["n_tokens"]:
-            nt = int(nt)
+        loads: list[int] = []
+        prev_chunk = None
+        for cid, nt in zip(pdf["chunk_id"], pdf["n_tokens"]):
+            cid, nt = int(cid), int(nt)
+            if cid != prev_chunk:
+                loads = []
+                prev_chunk = cid
             slot = next(
                 (i for i, l in enumerate(loads) if l + nt <= budget),
                 len(loads),
@@ -1096,7 +1147,7 @@ def q_pack_assign_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 loads.append(0)
             offs.append(loads[slot])
             loads[slot] += nt
-            bins.append(chunk_id * chunk + slot + 1)
+            bins.append(cid * chunk + slot + 1)
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),
@@ -1106,6 +1157,6 @@ def q_pack_assign_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return ranked.groupBy("chunk_id").applyInPandas(
+    return ranked.groupBy("super_id").applyInPandas(
         ffd, "doc_id long, n_tokens long, bin_id long, offset long"
     )

@@ -117,3 +117,67 @@ def test_pca_scatter_rejects_unrepresentable_components():
     assert out, "sub-bound batch must emit scatter partials"
     top = max(b.column("av").to_pylist()[0] for b in out)
     assert top == ((1 << 31) - 1) ** 2
+
+
+# --- sharded exact global rank (VERDICT r9 #3) ----------------------------------
+
+
+def test_sharded_global_rank_equals_global_window(spark):
+    """The sharded rank must BE the global row number — bit-for-bit —
+    including heavy value ties straddling what would be cut points."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.functions.ranking import (
+        sharded_global_rank,
+    )
+
+    rows = [(i, (i * 37) % 23) for i in range(1, 2001)]
+    # a massive tie group (value 7) plus singletons
+    rows += [(10_000 + i, 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: r["rn"]
+        for r in sharded_global_rank(
+            df, "n_tokens", "doc_id", n_shards=16
+        ).collect()
+    }
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id").asc())
+    want = {
+        r["doc_id"]: r["rn"]
+        for r in df.select(
+            "doc_id", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sharded_global_rank_degenerate_corpora(spark):
+    from de_project_sprint_etl_spark.functions.ranking import (
+        sharded_global_rank,
+    )
+
+    # all-equal values: one shard, ranks = tiebreak order
+    df = spark.createDataFrame(
+        [(i, 5) for i in range(1, 8)], "doc_id long, n_tokens long"
+    )
+    got = sorted(
+        (r["doc_id"], r["rn"])
+        for r in sharded_global_rank(df, "n_tokens", "doc_id").collect()
+    )
+    assert got == [(i, i) for i in range(1, 8)]
+    # empty input: no rows, no crash
+    empty = df.filter("doc_id < 0")
+    assert sharded_global_rank(empty, "n_tokens", "doc_id").count() == 0
+
+
+def test_pack_assign_plan_has_no_single_partition_exchange(spark):
+    """The r9 guard-bounded global sort is gone: the packer's plan must
+    contain NO Exchange SinglePartition (the sharded rank's windows are
+    all partitioned) and no CartesianProduct."""
+    df = RAW_QUERIES["pack_assign_greedy"](spark, SF)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
