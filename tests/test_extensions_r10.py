@@ -181,3 +181,70 @@ def test_pack_assign_plan_has_no_single_partition_exchange(spark):
     )
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- incremental artifact refresh (VERDICT r9 #2) --------------------------------
+
+
+def test_refreshed_artifacts_match_full_rebuild(spark):
+    """Engine-side direct statement of refreshed == rebuilt (the
+    registered queries prove it against the DuckDB oracle; this pins it
+    between the two Spark artifacts row-for-row)."""
+    from de_project_sprint_etl_spark.plans import llm
+
+    cols = ["id_a", "id_b", "est_jaccard"]
+    full = {
+        tuple(r[c] for c in cols)
+        for r in llm.minhash_pairs(spark, SF).select(*cols).collect()
+    }
+    refreshed = {
+        tuple(r[c] for c in cols)
+        for r in llm.refresh_minhash_pairs(spark, SF).select(*cols).collect()
+    }
+    assert refreshed == full
+    scols = ["doc_id", *llm.STAT_COLS]
+    full_s = {
+        tuple(r[c] for c in scols)
+        for r in llm.mutant_stats(spark, SF).select(*scols).collect()
+    }
+    ref_s = {
+        tuple(r[c] for c in scols)
+        for r in llm.refresh_mutant_stats(spark, SF).select(*scols).collect()
+    }
+    assert ref_s == full_s
+
+
+def test_refreshed_artifact_invalidates_on_fixture_change(spark, tmp_path):
+    """Staleness: a regenerated corpus must never serve a stale
+    REFRESHED artifact (same fingerprint-keyed discipline as the pair
+    artifacts), and the refresh is gated on a marker touched only after
+    the LAST write — parquet's _SUCCESS lands after the first."""
+    import os
+    import shutil
+
+    from de_project_sprint_etl_spark.plans import llm
+
+    d = tmp_path / "corpus"
+    shutil.copytree("/root/testdata/sf0.001", d)
+    p1 = llm.refresh_minhash_pairs(spark, str(d))
+    files1 = set(p1.inputFiles())
+    n1 = p1.count()
+    marker = llm._artifact_path(str(d), "mh_pairs_16x4_j05_refreshed") / (
+        "_REFRESH_COMPLETE"
+    )
+    assert marker.exists(), "refresh must gate on its completion marker"
+    doc = d / "documents.parquet"
+    os.utime(doc, ns=(os.stat(doc).st_atime_ns, os.stat(doc).st_mtime_ns + 7))
+    p2 = llm.refresh_minhash_pairs(spark, str(d))
+    assert set(p2.inputFiles()) != files1, "stale refreshed artifact served"
+    assert p2.count() == n1
+    # a missing marker (crash between the two writes) forces a re-run
+    marker2 = llm._artifact_path(
+        str(d), "mh_pairs_16x4_j05_refreshed"
+    ) / "_REFRESH_COMPLETE"
+    t_first = marker2.stat().st_mtime_ns
+    marker2.unlink()
+    llm._READ_CACHE.pop((id(spark), str(marker2.parent)), None)
+    p3 = llm.refresh_minhash_pairs(spark, str(d))
+    assert marker2.stat().st_mtime_ns > t_first
+    assert p3.count() == n1

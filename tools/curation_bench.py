@@ -1,0 +1,174 @@
+"""Curation-lifecycle benchmark (VERDICT r9 #1): the LLM-data analog
+of tools/pipeline_bench.py. A production curation DAG is not a single
+query — it is a staged composition where every stage is a WRITTEN
+table the next stage scans (the Dolma-attributes / CCNet shape the
+plans/llm.py artifacts mirror):
+
+  raw documents ∪ increment  →  docs        (the working corpus)
+  docs                       →  attributes  (per-doc text stats, scored once)
+  docs                       →  shingles    (the n-gram stage)
+  shingles                   →  pairs       (MinHash sign + LSH band join)
+  pairs                      →  dup_groups  (connected components)
+  docs ⟕ dup_groups          →  corpus_kept (drop non-canonical members)
+
+This tool times that exact composition end-to-end at a chosen corpus
+scale, every stage physically written to its own warehouse dir and
+READ BACK by the next stage (no plan fusion across stage boundaries —
+the cost model a staged pipeline actually pays), then optionally
+re-runs the whole composition over the same warehouse and asserts each
+stage's (row count, order-insensitive xxhash64 fingerprint) is a fixed
+point — the reference's C5 idempotency invariant (README.md:21-22
+"processed correctly and not duplicated") applied to the curation DAG.
+
+Usage: python tools/curation_bench.py [sf_dir] [--keep] [--fixed-point]
+Prints one JSON line:
+  {"metric": "curation_lifecycle", "value": <sec>, "stages": {...}, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = next(
+    (a for a in sys.argv[1:] if not a.startswith("--")), "/root/repo/.cache/sf1"
+)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.path.join(REPO, ".cache", "curation-bench-warehouse")
+
+STAGES = ("docs", "attributes", "shingles", "pairs", "dup_groups", "corpus_kept")
+
+
+def run_lifecycle(spark) -> dict[str, float]:
+    """ONE full pass: build each stage from the PREVIOUS stage's written
+    parquet, write it, return per-stage wall seconds. Overwrite mode
+    throughout — re-running over the same warehouse must converge to
+    the identical tables (the fixed-point check)."""
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.functions import dedup, text
+    from de_project_sprint_etl_spark.plans.llm import (
+        MUT_OFFSET,
+        _docs_with_mutants_plan,
+        fan_out,
+    )
+
+    timings: dict[str, float] = {}
+
+    def write(name: str, df) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(BASE, name))
+
+    def read(name: str):
+        return fan_out(spark, spark.read.parquet(os.path.join(BASE, name)))
+
+    t0 = time.time()
+    write("docs", _docs_with_mutants_plan(spark, SF_DIR))
+    timings["docs"] = time.time() - t0
+
+    t0 = time.time()
+    write("attributes", text.with_text_stats(read("docs"), "text").drop("text"))
+    timings["attributes"] = time.time() - t0
+
+    t0 = time.time()
+    write(
+        "shingles",
+        dedup._exploded_shingles(read("docs"), "text", "doc_id", n=3),
+    )
+    timings["shingles"] = time.time() - t0
+
+    t0 = time.time()
+    write(
+        "pairs",
+        dedup.minhash_lsh_pairs(
+            dedup.minhash_signatures(shingles=read("shingles"), num_hashes=16),
+            num_hashes=16,
+            bands=4,
+            min_est_jaccard=0.5,
+        ),
+    )
+    timings["pairs"] = time.time() - t0
+
+    t0 = time.time()
+    write("dup_groups", dedup.dup_groups(read("pairs")))
+    timings["dup_groups"] = time.time() - t0
+
+    t0 = time.time()
+    drop = (
+        read("dup_groups")
+        .filter(F.col("id") != F.col("group_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    write(
+        "corpus_kept",
+        read("docs").join(drop, "doc_id", "left_anti").select(
+            "doc_id", (F.col("doc_id") >= MUT_OFFSET).alias("is_increment")
+        ),
+    )
+    timings["corpus_kept"] = time.time() - t0
+    return timings
+
+
+def fingerprint(spark, name: str) -> tuple[int, int]:
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(BASE, name))
+    row = (
+        df.select(
+            F.xxhash64(
+                *[F.col(c).cast("string") for c in sorted(df.columns)]
+            ).alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("x"),
+        )
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["x"])
+
+
+def main() -> None:
+    from de_project_sprint_etl_spark.session import get_spark
+
+    spark = get_spark()
+    shutil.rmtree(BASE, ignore_errors=True)
+
+    t0 = time.time()
+    timings = run_lifecycle(spark)
+    wall = time.time() - t0
+
+    counts = {
+        name: spark.read.parquet(os.path.join(BASE, name)).count()
+        for name in STAGES
+    }
+    out = {
+        "metric": "curation_lifecycle",
+        "value": round(wall, 2),
+        "unit": "sec",
+        "sf_dir": SF_DIR,
+        "stages": {k: round(v, 2) for k, v in timings.items()},
+        "rows": counts,
+    }
+    if "--fixed-point" in sys.argv:
+        before = {name: fingerprint(spark, name) for name in STAGES}
+        t0 = time.time()
+        run_lifecycle(spark)
+        rerun = time.time() - t0
+        after = {name: fingerprint(spark, name) for name in STAGES}
+        diverged = sorted(k for k in before if before[k] != after[k])
+        if diverged:
+            raise SystemExit(f"fixed-point VIOLATED for stages: {diverged}")
+        out["fixed_point"] = "ok"
+        out["rerun_sec"] = round(rerun, 2)
+    print(json.dumps(out))
+    if "--keep" not in sys.argv:
+        shutil.rmtree(BASE, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
