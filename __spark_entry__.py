@@ -74,60 +74,62 @@ def entry(spark: SparkSession) -> DataFrame:
 # fillers from the r4-attested tier, the next-oldest.
 # 4 + 16 + 20 + 10 = 50.
 GATE_PRIORITY = [
-    # (a) round-9 newcomers — first external attestation
+    # (a) round-10 newcomers — first external attestation
+    "incremental_pair_refresh",
+    "incremental_attributes_refresh",
+    # (b) plans changed in round 10 after their r9 attestation
+    # (sharded ranking; PC1 ragged-slice fix; scatter guard)
     "pack_assign_greedy",
-    "lsh_empirical_scurve",
-    "shingle_df_histogram",
     "embedding_pc1_scores",
-    # (b) plans changed in round 9 after their r8 attestation
     "embedding_pca_variance",
-    "lsh_band_tuning",
-    "dedup_threshold_sensitivity",
-    "source_cross_dup_matrix",
-    "minhash_dedup_eval",
-    "dup_cluster_quality_report",
-    "split_leakage_check",
-    "ks_value_drift",
-    "compaction_bin_plan",
-    "mixture_epochs_plan",
-    "quality_percentiles",
-    "quality_percentiles_approx",
-    "dataset_card_stats",
-    "linreg_quality_train",
-    "near_dedup_filter",
-    "near_dedup_keep_best",
-    # (c) the r3-latest — oldest attestation tier in the registry
-    "ann_lsh_topk",
-    "bm25_topk_docs",
-    "calendar_dim",
-    "cdc_apply_orders",
-    "date_functions",
-    "distinct_on_customer",
-    "events_rolling_anomaly",
-    "events_sessionize",
-    "events_windowed_agg",
-    "fact_sales_v2",
-    "funnel_signup_click_purchase",
-    "grouping_sets_events",
-    "heavy_hitters_cms",
-    "hybrid_rrf_retrieval",
-    "scd2_point_in_time_join",
-    "status_counts",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "week_range_join",
-    # (d) r4-attested fillers, alphabetical
-    "approx_count_distinct_customers",
-    "argmax_order_per_priority",
-    "asof_join_clicks_purchases",
-    "attribution_linear_touch",
-    "calendar_weeks",
-    "cogroup_user_activity",
-    "distinct_on_item",
-    "dsir_importance_weights",
-    "fact_sales",
-    "gap_fill_daily_events",
+    # (c) the r4-latest — oldest attestation tier in the registry
+    # (38 queries; clears the whole tier, max age drops to r5)
+    "gopher_quality_filter",
+    "hll_distinct_cascade",
+    "ivm_customer_revenue",
+    "lateral_top_lineitems",
+    "new_customers_compact",
+    "null_safe_join_props",
+    "orders_checksum_by_range",
+    "pivot_sqltext",
+    "pq_recall_eval",
+    "recursive_date_spine",
+    "refunded_customers",
+    "refunded_customers_compact",
+    "retention_compact_sqltext",
+    "returned_customers_compact",
+    "revenue_wow_growth",
+    "salted_join_revenue",
+    "scd2_weeks_overlap",
+    "schema_evolution_union",
+    "semdedup_embeddings_adaptive",
+    "streaming_click_attribution",
+    "streaming_hourly_ohlc",
+    "streaming_match_recognize",
+    "streaming_running_totals",
+    "streaming_sessionize",
+    "streaming_user_ema",
+    "streaming_windowed_counts",
+    "substring_span_dedup",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q20_potential_promotion",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "window_frames_customer_orders",
+    # (d) r5-attested fillers, alphabetical
+    "active_versions_per_day",
+    "ann_ivf_topk_adaptive",
+    "ann_recall_eval",
+    "bfs_copurchase_distances",
+    "bucketed_join_revenue",
+    "chunk_documents_udtf",
+    "daily_metric_corr_matrix",
 ]
 
 

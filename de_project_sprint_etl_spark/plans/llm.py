@@ -220,9 +220,7 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "mh_pairs_16x4_j05",
         lambda: dedup.minhash_lsh_pairs(
-            dedup.minhash_signatures(
-                shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
-            ),
+            minhash_sigs(spark, sf_dir),
             num_hashes=16,
             bands=4,
             min_est_jaccard=0.5,
@@ -298,23 +296,51 @@ STAT_COLS = (
 )
 
 
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIGNATURE stage as a written artifact — MinHash(16) per doc
+    over the full mutant corpus. A production dedup pipeline stores
+    signatures (they are the expensive shingle-fold; banding and
+    re-banding are cheap projections over them), which is exactly what
+    makes the incremental refresh below O(|increment|): the snapshot
+    side is READ, never re-signed."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "mh_sigs_16",
+        lambda: dedup.minhash_signatures(
+            shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
+        ),
+    )
+
+
+def minhash_sigs_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SNAPSHOT's signature artifact ('yesterday's' signatures,
+    before the increment landed) — signed from the snapshot-filtered
+    shingle stream. Signatures are per-doc, so each snapshot doc's
+    signature is identical to its full-corpus one."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "mh_sigs_snap_16",
+        lambda: dedup.minhash_signatures(
+            shingles=mutant_shingles(spark, sf_dir, n=3).filter(
+                F.col("id") < MUT_OFFSET
+            ),
+            num_hashes=16,
+        ),
+    )
+
+
 def minhash_pairs_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SNAPSHOT's pair artifact — near-dup pairs among the original
     documents only ('yesterday's' pair table, before the increment
-    landed). Same pipeline as ``minhash_pairs`` over the id-filtered
-    shingle stream; signatures are per-doc, so each snapshot doc's
-    signature is identical to its full-corpus one."""
+    landed), banded from the snapshot signature artifact."""
     return _materialized(
         spark,
         sf_dir,
         "mh_pairs_snap_16x4_j05",
         lambda: dedup.minhash_lsh_pairs(
-            dedup.minhash_signatures(
-                shingles=mutant_shingles(spark, sf_dir, n=3).filter(
-                    F.col("id") < MUT_OFFSET
-                ),
-                num_hashes=16,
-            ),
+            minhash_sigs_snapshot(spark, sf_dir),
             num_hashes=16,
             bands=4,
             min_est_jaccard=0.5,
@@ -339,23 +365,26 @@ def _refreshed_artifact(spark: SparkSession, sf_dir: str, name: str,
 
 
 def refresh_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incrementally REFRESH the near-dup pair artifact: sign the
-    increment's shingles only, band-join increment × snapshot
-    (``minhash_lsh_pairs_against`` — the snapshot is never self-joined)
-    plus increment × increment, and append those new pairs to the
-    snapshot's pair table. Cost is O(|increment| + matched posting
-    lists), not a full-corpus re-dedup; every increment id exceeds
-    every snapshot id (MUT_OFFSET), so the cross pairs canonicalize to
-    (id_a=snap, id_b=inc) without a comparison."""
+    """Incrementally REFRESH the near-dup pair artifact: shingle and
+    sign the increment's TEXT only, band-join increment × snapshot
+    (``minhash_lsh_pairs_against`` — the snapshot side is the WRITTEN
+    signature artifact, read not re-signed, and never self-joined) plus
+    increment × increment, and append those new pairs to the snapshot's
+    pair table. The only corpus-sized inputs touched are the increment's
+    raw text and the stored snapshot signatures/pairs — O(|increment| +
+    matched posting lists), not a full-corpus re-dedup. Every increment
+    id exceeds every snapshot id (MUT_OFFSET), so the cross pairs
+    canonicalize to (id_a=snap, id_b=inc) without a comparison."""
 
     def build(path):
-        sh = mutant_shingles(spark, sf_dir, n=3)
+        inc_docs = _docs_with_mutants_plan(spark, sf_dir).filter(
+            F.col("doc_id") >= MUT_OFFSET
+        )
         inc_sigs = dedup.minhash_signatures(
-            shingles=sh.filter(F.col("id") >= MUT_OFFSET), num_hashes=16
+            shingles=dedup._exploded_shingles(inc_docs, "text", "doc_id", 3),
+            num_hashes=16,
         )
-        snap_sigs = dedup.minhash_signatures(
-            shingles=sh.filter(F.col("id") < MUT_OFFSET), num_hashes=16
-        )
+        snap_sigs = minhash_sigs_snapshot(spark, sf_dir)
         cross = dedup.minhash_lsh_pairs_against(
             inc_sigs, snap_sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
         ).select(
@@ -854,6 +883,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles=mutant_shingles(spark, sf_dir, n=3), num_hashes=16
     )
     return dedup.minhash_lsh_pairs(sigs, num_hashes=16, bands=4, min_est_jaccard=0.5)
+
+
+@register("minhash_signatures_table", _sql_minhash(16))
+def q_minhash_signatures_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stored SIGNATURE stage itself (``minhash_sigs`` artifact) —
+    the table a production dedup pipeline persists between the shingle
+    fold and the (cheap, re-runnable) banding passes, and the snapshot
+    input the incremental refresh reads instead of re-signing. The
+    oracle recomputes all 16 minima from raw documents, so the written
+    stage sits directly inside the correctness gate rather than only
+    via its pair consumers."""
+    return minhash_sigs(spark, sf_dir)
 
 
 @register("incremental_pair_refresh", _sql_minhash_lsh())

@@ -7,7 +7,8 @@ plans/llm.py artifacts mirror):
   raw documents ∪ increment  →  docs        (the working corpus)
   docs                       →  attributes  (per-doc text stats, scored once)
   docs                       →  shingles    (the n-gram stage)
-  shingles                   →  pairs       (MinHash sign + LSH band join)
+  shingles                   →  signatures  (the MinHash fold, stored)
+  signatures                 →  pairs       (LSH band join)
   pairs                      →  dup_groups  (connected components)
   docs ⟕ dup_groups          →  corpus_kept (drop non-canonical members)
 
@@ -41,7 +42,15 @@ SF_DIR = next(
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASE = os.path.join(REPO, ".cache", "curation-bench-warehouse")
 
-STAGES = ("docs", "attributes", "shingles", "pairs", "dup_groups", "corpus_kept")
+STAGES = (
+    "docs",
+    "attributes",
+    "shingles",
+    "signatures",
+    "pairs",
+    "dup_groups",
+    "corpus_kept",
+)
 
 
 def run_lifecycle(spark) -> dict[str, float]:
@@ -83,12 +92,16 @@ def run_lifecycle(spark) -> dict[str, float]:
 
     t0 = time.time()
     write(
+        "signatures",
+        dedup.minhash_signatures(shingles=read("shingles"), num_hashes=16),
+    )
+    timings["signatures"] = time.time() - t0
+
+    t0 = time.time()
+    write(
         "pairs",
         dedup.minhash_lsh_pairs(
-            dedup.minhash_signatures(shingles=read("shingles"), num_hashes=16),
-            num_hashes=16,
-            bands=4,
-            min_est_jaccard=0.5,
+            read("signatures"), num_hashes=16, bands=4, min_est_jaccard=0.5
         ),
     )
     timings["pairs"] = time.time() - t0
