@@ -77,6 +77,8 @@ GATE_PRIORITY = [
     # (a) round-10 newcomers — first external attestation
     "incremental_pair_refresh",
     "incremental_attributes_refresh",
+    "incremental_group_refresh",
+    "minhash_signatures_table",
     # (b) plans changed in round 10 after their r9 attestation
     # (sharded ranking; PC1 ragged-slice fix; scatter guard)
     "pack_assign_greedy",
@@ -128,8 +130,6 @@ GATE_PRIORITY = [
     "ann_recall_eval",
     "bfs_copurchase_distances",
     "bucketed_join_revenue",
-    "chunk_documents_udtf",
-    "daily_metric_corr_matrix",
 ]
 
 

@@ -429,6 +429,49 @@ def refresh_mutant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _refreshed_artifact(spark, sf_dir, "mut_stats_refreshed", build)
 
 
+def dup_groups_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Yesterday's' dup-group table — connected components over the
+    snapshot's pair artifact only."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "mh_groups_snap",
+        lambda: dedup.dup_groups(minhash_pairs_snapshot(spark, sf_dir)),
+    )
+
+
+def refresh_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally REFRESH the dup-group table by STAR CONTRACTION:
+    the snapshot's stored groups contract to star edges
+    (group_id → member — one edge per non-canonical member), the
+    increment's new pairs union in, and connected components re-run
+    over that contracted graph. Correctness is the textbook contraction
+    argument: a star preserves exactly its component's connectivity, so
+    components of star(CC(snapshot_pairs)) ∪ new_pairs equal components
+    of snapshot_pairs ∪ new_pairs over the identical vertex set — same
+    membership, same min-id labels, same sizes. Cost: the CC iterates
+    over |snapshot dup members| + |new pairs| edges with snapshot
+    components already at diameter 1, instead of re-propagating the
+    full pair graph; the full-rebuild CC never touches the snapshot
+    pairs again."""
+
+    def build(path):
+        snap = dup_groups_snapshot(spark, sf_dir)
+        star = snap.filter(F.col("id") != F.col("group_id")).select(
+            F.col("group_id").alias("id_a"), F.col("id").alias("id_b")
+        )
+        new_pairs = (
+            refresh_minhash_pairs(spark, sf_dir)
+            .filter(F.col("id_b") >= MUT_OFFSET)
+            .select("id_a", "id_b")
+        )
+        dedup.dup_groups(star.unionByName(new_pairs)).write.mode(
+            "overwrite"
+        ).parquet(str(path))
+
+    return _refreshed_artifact(spark, sf_dir, "mh_groups_refreshed", build)
+
+
 SQL_DOCS_MUT = f"""
 SELECT doc_id, text FROM documents
 UNION ALL
@@ -911,6 +954,37 @@ def q_incremental_pair_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot∪increment idempotency, applied to the curation DAG's pair
     stage)."""
     return refresh_minhash_pairs(spark, sf_dir)
+
+
+@register(
+    "incremental_group_refresh",
+    f"""
+WITH RECURSIVE mh AS ({_sql_minhash_lsh()}),
+edges AS (SELECT id_a AS s, id_b AS d FROM mh
+          UNION SELECT id_b, id_a FROM mh),
+reach(id, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.id
+),
+lab AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id)
+SELECT id, group_id,
+       CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+FROM lab
+""",
+)
+def q_incremental_group_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The dup-GROUP twin of ``incremental_pair_refresh``: returns the
+    star-contraction-refreshed group table (``refresh_dup_groups`` —
+    snapshot groups contracted to star edges ∪ the increment's new
+    pairs, CC re-run) while the oracle computes full-rebuild connected
+    components from raw documents with a recursive CTE. Hash equality
+    proves the contraction refresh IS the rebuild — completing the
+    incremental chain: signatures → pairs → groups, each stage
+    refreshed from the increment + stored snapshot artifacts only."""
+    return refresh_dup_groups(spark, sf_dir)
 
 
 @register(

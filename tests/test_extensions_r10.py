@@ -212,6 +212,19 @@ def test_refreshed_artifacts_match_full_rebuild(spark):
         for r in llm.refresh_mutant_stats(spark, SF).select(*scols).collect()
     }
     assert ref_s == full_s
+    # groups: star-contraction refresh == CC over the full pair set
+    from de_project_sprint_etl_spark.functions import dedup
+
+    gcols = ["id", "group_id", "group_size"]
+    full_g = {
+        tuple(r[c] for c in gcols)
+        for r in dedup.dup_groups(llm.minhash_pairs(spark, SF)).collect()
+    }
+    ref_g = {
+        tuple(r[c] for c in gcols)
+        for r in llm.refresh_dup_groups(spark, SF).select(*gcols).collect()
+    }
+    assert ref_g == full_g
 
 
 def test_refreshed_artifact_invalidates_on_fixture_change(spark, tmp_path):
@@ -248,3 +261,19 @@ def test_refreshed_artifact_invalidates_on_fixture_change(spark, tmp_path):
     p3 = llm.refresh_minhash_pairs(spark, str(d))
     assert marker2.stat().st_mtime_ns > t_first
     assert p3.count() == n1
+
+
+def test_refresh_queries_scan_only_their_artifacts(spark):
+    """Consumer cost model: a registered refresh query is a SCAN of its
+    written artifact — its input files must all live under the derived
+    cache, never the raw documents fixture (re-derivation would defeat
+    the artifact)."""
+    for name in (
+        "incremental_pair_refresh",
+        "incremental_attributes_refresh",
+        "incremental_group_refresh",
+        "minhash_signatures_table",
+    ):
+        files = RAW_QUERIES[name](spark, SF).inputFiles()
+        assert files, name
+        assert all(".cache/derived" in f for f in files), (name, files[:2])
