@@ -22,8 +22,16 @@ point — the reference's C5 idempotency invariant (README.md:21-22
 "processed correctly and not duplicated") applied to the curation DAG.
 
 Usage: python tools/curation_bench.py [sf_dir] [--keep] [--fixed-point]
+                                      [--incremental]
 Prints one JSON line:
   {"metric": "curation_lifecycle", "value": <sec>, "stages": {...}, ...}
+
+``--incremental`` additionally times the INCREMENTAL maintenance path
+(plans/llm.py refresh_* — signatures/pairs/attributes/groups appended
+from the increment's text + stored snapshot artifacts) with the
+snapshot artifacts prebuilt and the refreshed artifacts cleared, and
+reports it next to the full-rebuild wall time — the measured win the
+reference's increment-merge design exists to buy (README.md:8-9).
 """
 
 from __future__ import annotations
@@ -178,6 +186,35 @@ def main() -> None:
             raise SystemExit(f"fixed-point VIOLATED for stages: {diverged}")
         out["fixed_point"] = "ok"
         out["rerun_sec"] = round(rerun, 2)
+    if "--incremental" in sys.argv:
+        from de_project_sprint_etl_spark.plans import llm
+
+        # prebuild "yesterday's" state (snapshot artifacts + the shared
+        # fixture-corpus stages) OUTSIDE the timed section, then clear
+        # the refreshed artifacts so the timed pass performs the real
+        # increment work
+        llm.minhash_sigs_snapshot(spark, SF_DIR)
+        llm.minhash_pairs_snapshot(spark, SF_DIR)
+        llm.dup_groups_snapshot(spark, SF_DIR)
+        llm.doc_stats(spark, SF_DIR)
+        for name in (
+            "mh_pairs_16x4_j05_refreshed",
+            "mut_stats_refreshed",
+            "mh_groups_refreshed",
+        ):
+            p = llm._artifact_path(SF_DIR, name)
+            shutil.rmtree(p, ignore_errors=True)
+            llm._READ_CACHE.pop((id(spark), str(p)), None)
+        t0 = time.time()
+        n_pairs = llm.refresh_minhash_pairs(spark, SF_DIR).count()
+        n_stats = llm.refresh_mutant_stats(spark, SF_DIR).count()
+        n_groups = llm.refresh_dup_groups(spark, SF_DIR).count()
+        out["incremental_refresh_sec"] = round(time.time() - t0, 2)
+        out["refresh_rows"] = {
+            "pairs": n_pairs,
+            "attributes": n_stats,
+            "groups": n_groups,
+        }
     print(json.dumps(out))
     if "--keep" not in sys.argv:
         shutil.rmtree(BASE, ignore_errors=True)
