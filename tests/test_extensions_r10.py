@@ -277,3 +277,79 @@ def test_refresh_queries_scan_only_their_artifacts(spark):
         files = RAW_QUERIES[name](spark, SF).inputFiles()
         assert files, name
         assert all(".cache/derived" in f for f in files), (name, files[:2])
+
+
+def test_sharded_global_rank_property(spark):
+    """Property check over adversarial small corpora (heavy ties, skewed
+    values, tiny shard counts): the sharded rank equals the sorted
+    enumeration for every row."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from de_project_sprint_etl_spark.functions.ranking import (
+        sharded_global_rank,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=9), min_size=1, max_size=40
+        ),
+        n_shards=st.integers(min_value=1, max_value=9),
+    )
+    def check(vals, n_shards):
+        rows = [(i + 1, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {
+            r["doc_id"]: r["rn"]
+            for r in sharded_global_rank(
+                df, "n_tokens", "doc_id", n_shards=n_shards
+            ).collect()
+        }
+        order = sorted(rows, key=lambda r: (-r[1], r[0]))
+        want = {doc: i + 1 for i, (doc, _v) in enumerate(order)}
+        assert got == want
+
+    check()
+
+
+def test_curation_bench_stages_match_library_artifacts(spark, monkeypatch):
+    """The bench tool's staged lifecycle must not drift from the
+    library pipeline: its written stages agree row-for-row with the
+    plans/llm.py artifacts on the same corpus."""
+    import importlib
+
+    from de_project_sprint_etl_spark.plans import llm
+
+    cb = importlib.import_module("tools.curation_bench")
+    base = llm._artifact_path(SF, "curation_bench_test_warehouse")
+    monkeypatch.setattr(cb, "SF_DIR", SF)
+    monkeypatch.setattr(cb, "BASE", str(base))
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        timings = cb.run_lifecycle(spark)
+        assert set(timings) == set(cb.STAGES)
+        docs = spark.read.parquet(str(base / "docs"))
+        assert docs.count() == llm.docs_with_mutants(spark, SF).count()
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(str(base / "pairs")).collect()
+        }
+        lib_pairs = {
+            (r["id_a"], r["id_b"])
+            for r in llm.minhash_pairs(spark, SF).collect()
+        }
+        assert pairs == lib_pairs
+        groups = {
+            (r["id"], r["group_id"])
+            for r in spark.read.parquet(str(base / "dup_groups")).collect()
+        }
+        lib_groups = {
+            (r["id"], r["group_id"])
+            for r in llm.refresh_dup_groups(spark, SF).collect()
+        }
+        assert groups == lib_groups
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
