@@ -113,6 +113,137 @@ def _exploded_shingles(
     )
 
 
+def _relaxed_threshold(min_jaccard: float):
+    """The candidate-side threshold as an exact ``Fraction``, relaxed
+    below the ``round(j, 6)`` admission window AND quantized to
+    millionths rounding down: relaxing keeps losslessness (a smaller t'
+    only admits more candidates), and a denominator capped at 1e6 keeps
+    ``p*n_sh`` / ``p*(n_a+n_b)`` far below int64 overflow — a threshold
+    like 1/3 would otherwise carry a 1e16 denominator and wrap negative
+    under non-ANSI arithmetic for docs past ~2800 shingles."""
+    from fractions import Fraction
+
+    tr = Fraction(str(min_jaccard)) - Fraction(1, 10**6)
+    return Fraction(math.floor(tr * 10**6), 10**6)
+
+
+def _dense_sid_vocab(counted: DataFrame) -> DataFrame:
+    """Dense integer shingle ids in ascending-df order from a counted
+    census (``shingle, __df, __bkt``). Sids are assigned PER-BUCKET:
+    order = (df, hash-bucket, shingle) — ascending df still puts the
+    rarest shingles in every prefix, and ANY consistent total order
+    keeps the prefix/positional filters lossless, so bucketing the
+    tie-break changes no output — row_number runs within (df, bucket)
+    partitions and is shifted by exclusive offsets from a cumulative
+    count over the (df, bucket) group table. That table is structurally
+    bounded (<= max_shingle_df x NGRAM_SID_BUCKETS rows) no matter how
+    large the vocabulary grows, so nothing vocabulary-sized crosses one
+    partition."""
+    off_w = (
+        Window.orderBy("__df", "__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        counted.groupBy("__df", "__bkt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__df",
+            "__bkt",
+            F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
+        )
+    )
+    sid_w = Window.partitionBy("__df", "__bkt").orderBy("shingle")
+    return counted.join(F.broadcast(offsets), ["__df", "__bkt"]).select(
+        "shingle",
+        (F.row_number().over(sid_w) + F.col("__off")).alias("sid"),
+    )
+
+
+def _sid_arrays(sh: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-doc sorted sid arrays (``id, arr, n_sh``) — the shared input
+    of prefix-posting generation and pair verification."""
+    return (
+        sh.join(F.broadcast(vocab), "shingle")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("sid")).alias("arr"))
+        .select("id", "arr", F.size("arr").cast("long").alias("n_sh"))
+    )
+
+
+def _prefix_postings(arrs: DataFrame, tr) -> DataFrame:
+    """Prefix postings by posexplode of the sorted sid array — position
+    and doc size fall out of the array itself; no per-id window, no
+    sort. A pair with J >= t must share a shingle among each doc's
+    first ``n - ceil(t*n) + 1`` sids (its *prefix*); ``tr`` <= 0 keeps
+    every posting."""
+    pref = arrs.select(
+        "id", "n_sh", F.posexplode("arr").alias("pos0", "sid")
+    ).select("id", "sid", (F.col("pos0") + 1).alias("pos"), "n_sh")
+    if tr > 0:
+        p_, q_ = tr.numerator, tr.denominator
+        pref = pref.filter(
+            F.expr(f"pos <= n_sh - (({p_} * n_sh + {q_ - 1}) DIV {q_}) + 1")
+        )
+    return pref
+
+
+def _positional_filter(cand: DataFrame, tr) -> DataFrame:
+    """Per joined candidate row, drop matches that cannot reach the
+    required overlap: ``min(n_a - pos_a, n_b - pos_b) + 1 >=
+    ceil(t/(1+t)*(n_a+n_b))``. The first shared sid of any true pair
+    always survives it (the formula is symmetric in the two sides), so
+    pair GENERATION stays lossless."""
+    if tr <= 0:
+        return cand
+    p_, q_ = tr.numerator, tr.denominator
+    return cand.filter(
+        F.expr(
+            f"least(a.n_sh - a.pos, b.n_sh - b.pos) + 1 >= "
+            f"(({p_} * (a.n_sh + b.n_sh) + {p_ + q_ - 1}) DIV {p_ + q_})"
+        )
+    )
+
+
+def _verify_pairs(
+    cand: DataFrame, arrs: DataFrame, min_jaccard: float
+) -> DataFrame:
+    """Exact verification: ``shared`` from ``array_intersect`` on the
+    two docs' full sorted sid arrays (attached by joining the per-doc
+    array table) — NOT from a count-per-pair aggregation, so the
+    candidate stream never crosses an exchange: it flows join ->
+    positional filter -> array verify -> jaccard filter inside one
+    stage, and only survivors (output-sized) reach the final
+    distinct."""
+    return (
+        cand.join(
+            arrs.select(
+                F.col("id").alias("id_a"),
+                F.col("arr").alias("arr_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("id").alias("id_b"),
+                F.col("arr").alias("arr_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "shared", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame | None = None,
     text_col: str = "text",
@@ -168,8 +299,6 @@ def ngram_jaccard_pairs(
     (the smallest J gap at doc sizes <= ``max_shingle_df`` is
     ~1/(2*max_shingle_df), orders above the 5e-7 rounding window).
     """
-    from fractions import Fraction
-
     # persist the posting stream (generation-managed: at most one
     # cached generation per session survives re-invocation — see
     # functions/caching.py): it feeds the df table and the per-doc
@@ -180,16 +309,7 @@ def ngram_jaccard_pairs(
     # df-cut (skew + no signal: a shingle in half the corpus tells you
     # nothing) and the candidate order in ONE pass. groupBy.count
     # partial-combines map-side, so the hottest posting list never lands
-    # in one partition. Dense sids are assigned PER-BUCKET (the scale
-    # path the old guard only named): order = (df, hash-bucket,
-    # shingle) — ascending df still puts the rarest shingles in every
-    # prefix, and ANY consistent total order keeps the prefix/positional
-    # filters lossless, so bucketing the tie-break changes no output —
-    # row_number runs within (df, bucket) partitions and is shifted by
-    # exclusive offsets from a cumulative count over the (df, bucket)
-    # group table. That table is structurally bounded (<= max_shingle_df
-    # x NGRAM_SID_BUCKETS rows) no matter how large the vocabulary
-    # grows, so nothing vocabulary-sized crosses one partition.
+    # in one partition.
     counted = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -198,54 +318,15 @@ def ngram_jaccard_pairs(
             "__bkt", F.pmod(F.xxhash64("shingle"), F.lit(NGRAM_SID_BUCKETS))
         )
     )
-    off_w = (
-        Window.orderBy("__df", "__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        counted.groupBy("__df", "__bkt")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .select(
-            "__df",
-            "__bkt",
-            F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
-        )
-    )
-    sid_w = Window.partitionBy("__df", "__bkt").orderBy("shingle")
-    vocab = counted.join(F.broadcast(offsets), ["__df", "__bkt"]).select(
-        "shingle",
-        (F.row_number().over(sid_w) + F.col("__off")).alias("sid"),
-    )
+    vocab = _dense_sid_vocab(counted)
     # per-doc sorted sid arrays: the ONE multi-consumer node (prefix
     # explode + both verify sides). One shuffle by id; doc-count-sized.
     # Same generation-managed lifecycle as the posting stream.
     arrs = cached_generation(
-        shingles.sparkSession,
-        "ngram_arrs",
-        sh.join(F.broadcast(vocab), "shingle")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("sid")).alias("arr"))
-        .select("id", "arr", F.size("arr").cast("long").alias("n_sh")),
+        shingles.sparkSession, "ngram_arrs", _sid_arrays(sh, vocab)
     )
-    # prefix postings by posexplode of the sorted array — position and
-    # doc size fall out of the array itself; no per-id window, no sort.
-    pref = arrs.select(
-        "id", "n_sh", F.posexplode("arr").alias("pos0", "sid")
-    ).select("id", "sid", (F.col("pos0") + 1).alias("pos"), "n_sh")
-    # candidate-side bounds in exact integer arithmetic, threshold
-    # relaxed below the round(j, 6) admission window AND quantized to
-    # millionths ROUNDING DOWN: relaxing keeps losslessness (a smaller
-    # t' only admits more candidates), and a denominator capped at 1e6
-    # keeps p*n_sh/p*(n_a+n_b) far below int64 overflow — a threshold
-    # like 1/3 would otherwise carry a 1e16 denominator and wrap
-    # negative under non-ANSI arithmetic for docs past ~2800 shingles.
-    tr = Fraction(str(min_jaccard)) - Fraction(1, 10**6)
-    tr = Fraction(math.floor(tr * 10**6), 10**6)
-    if tr > 0:
-        p_, q_ = tr.numerator, tr.denominator
-        pref = pref.filter(
-            F.expr(f"pos <= n_sh - (({p_} * n_sh + {q_ - 1}) DIV {q_}) + 1")
-        )
+    tr = _relaxed_threshold(min_jaccard)
+    pref = _prefix_postings(arrs, tr)
     # The candidate join's INPUT is tiny (narrow int postings) but its
     # OUTPUT is the quadratic candidate stream; AQE coalesces the join
     # by input bytes and would run the explosion on 1-2 tasks. An
@@ -261,43 +342,9 @@ def ngram_jaccard_pairs(
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.id") < F.col("b.id")))
-    if tr > 0:
-        cand = cand.filter(
-            F.expr(
-                f"least(a.n_sh - a.pos, b.n_sh - b.pos) + 1 >= "
-                f"(({p_} * (a.n_sh + b.n_sh) + {p_ + q_ - 1}) DIV {p_ + q_})"
-            )
-        )
+    cand = _positional_filter(cand, tr)
     cand = cand.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-    out = (
-        cand.join(
-            arrs.select(
-                F.col("id").alias("id_a"),
-                F.col("arr").alias("arr_a"),
-                F.col("n_sh").alias("n_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            arrs.select(
-                F.col("id").alias("id_b"),
-                F.col("arr").alias("arr_b"),
-                F.col("n_sh").alias("n_b"),
-            ),
-            "id_b",
-        )
-        .withColumn(
-            "shared", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
-        )
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6),
-        )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
-        .distinct()
-    )
-    return out
+    return _verify_pairs(cand, arrs, min_jaccard)
 
 
 #: Mersenne prime 2^31 - 1 for the universal-hash MinHash family.
@@ -977,3 +1024,160 @@ def minhash_lsh_pairs_against(
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("id_inc", "id_snap", "est_jaccard")
     )
+
+
+def ngram_refresh_pairs(
+    snap_pairs: DataFrame,
+    snap_census: DataFrame,
+    snap_shingles: DataFrame,
+    inc_shingles: DataFrame,
+    min_jaccard: float = 0.2,
+    max_shingle_df: int = 1000,
+    cache_tag: str = "ngram_refresh",
+) -> DataFrame:
+    """Incrementally REFRESH an exact n-gram-Jaccard (PPJoin) pair
+    table after an increment lands (VERDICT r10 #1 — the one hole the
+    MinHash chain's refreshers left open).
+
+    Why this is harder than the MinHash refresh: the ``max_shingle_df``
+    posting cut is a CORPUS-GLOBAL statistic. An increment only ever
+    RAISES a shingle's df (appends never remove documents), so a
+    shingle can cross the cut — and every snapshot doc containing a
+    crossing shingle silently loses it from its sub-cut shingle set,
+    changing ``shared``/``n``/``jaccard`` of that doc's OLD pairs (and
+    possibly ADMITTING previously-sub-threshold pairs, since removing a
+    non-shared shingle raises J). Appending increment pairs alone is
+    therefore wrong; a df-census merge must find the affected docs
+    first.
+
+    Inputs — all four are STORED snapshot/increment artifacts, read not
+    recomputed:
+
+    - ``snap_pairs``: the snapshot's pair table (built at the same
+      ``min_jaccard``/``max_shingle_df`` against the snapshot census).
+    - ``snap_census``: the snapshot's FULL df census ``(shingle, df)``
+      — every shingle, not just sub-cut ones: a truncated census cannot
+      distinguish a brand-new shingle (df 0) from a hot one (df > cut),
+      and the merged vocabulary needs that distinction.
+    - ``snap_shingles`` / ``inc_shingles``: the ``(id, shingle)``
+      streams (distinct per doc) of snapshot and increment.
+
+    The refresh:
+
+    1. Merge the increment's df into the census (full outer join —
+       vocabulary-shaped, one partial-combined shuffle).
+    2. ``crossed`` = shingles with ``1 <= df_snap <= cut < df_full``
+       (df is monotone under appends, so crossing is one-directional).
+    3. ``affected`` = snapshot docs containing a crossed shingle —
+       their sub-cut sets changed; every other snapshot doc's set is
+       untouched, so its old pairs carry over VERBATIM. At 100 TB this
+       posting lookup is an inverted-index probe on the (few) crossing
+       shingles; here it is a broadcast semi-join over the stored
+       shingle stream.
+    4. Recompute pairs touching ``recompute = affected ∪ increment``
+       docs with the standard PPJoin machinery under the MERGED census:
+       one prefix-posting side is restricted to recompute docs, the
+       other covers their candidate partners (docs sharing a sub-cut
+       shingle with a recompute doc — the only docs a qualifying pair
+       can involve, by the prefix-filter theorem: a J >= t pair shares
+       a prefix sid, and a prefix sid is one of the doc's shingles).
+    5. Output = (old pairs with BOTH endpoints unaffected) ∪ recomputed
+       pairs. Disjoint by construction: recomputed pairs all touch a
+       recompute doc, kept pairs touch none.
+
+    Equality with the full rebuild is exact, value-for-value: unaffected
+    docs' ``shared/n_a/n_b`` are set statistics independent of the sid
+    assignment, and affected/increment pairs run the same arithmetic
+    the rebuild runs. Cost is O(increment + crossed-shingle postings +
+    partner postings) — never a full-corpus re-dedup.
+    """
+    spark = snap_pairs.sparkSession
+    tr = _relaxed_threshold(min_jaccard)
+    inc_census = inc_shingles.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df_inc")
+    )
+    merged = (
+        snap_census.select("shingle", F.col("df").alias("__df_snap"))
+        .join(inc_census, "shingle", "full_outer")
+        .select(
+            "shingle",
+            F.coalesce("__df_snap", F.lit(0)).alias("__df_snap"),
+            (
+                F.coalesce("__df_snap", F.lit(0))
+                + F.coalesce("__df_inc", F.lit(0))
+            ).cast("long").alias("__df"),
+        )
+    )
+    merged = cached_generation(spark, f"{cache_tag}_census", merged)
+    crossed = merged.filter(
+        (F.col("__df_snap") >= 1)
+        & (F.col("__df_snap") <= max_shingle_df)
+        & (F.col("__df") > max_shingle_df)
+    ).select("shingle")
+    # crossing shingles sit in the df band just under the cut — a
+    # vocabulary-tail-sized set for any sane increment; broadcast is
+    # the inverted-index-probe analog
+    affected = cached_generation(
+        spark,
+        f"{cache_tag}_affected",
+        snap_shingles.join(F.broadcast(crossed), "shingle")
+        .select("id")
+        .distinct(),
+    )
+    recompute_ids = cached_generation(
+        spark,
+        f"{cache_tag}_ids",
+        affected.unionByName(inc_shingles.select("id").distinct()).distinct(),
+    )
+    counted = merged.filter(F.col("__df") <= max_shingle_df).select(
+        "shingle",
+        F.col("__df"),
+        F.pmod(F.xxhash64("shingle"), F.lit(NGRAM_SID_BUCKETS)).alias("__bkt"),
+    )
+    vocab = _dense_sid_vocab(counted)
+    all_sh = cached_generation(
+        spark,
+        f"{cache_tag}_sh",
+        snap_shingles.unionByName(inc_shingles),
+    )
+    # candidate partners: docs sharing a sub-cut shingle with a
+    # recompute doc — the only possible second endpoints (see step 4)
+    rec_shingles = (
+        all_sh.join(recompute_ids, "id")
+        .join(F.broadcast(vocab).select("shingle"), "shingle")
+        .select("shingle")
+        .distinct()
+    )
+    partner_ids = all_sh.join(rec_shingles, "shingle").select("id").distinct()
+    arrs = cached_generation(
+        spark,
+        f"{cache_tag}_arrs",
+        _sid_arrays(all_sh.join(partner_ids, "id"), vocab),
+    )
+    pref = _prefix_postings(arrs, tr)
+    pref = pref.repartition(
+        spark.sparkContext.defaultParallelism * 2, "sid"
+    )
+    a = pref.join(recompute_ids, "id").alias("a")
+    b = pref.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.sid") == F.col("b.sid")) & (F.col("a.id") != F.col("b.id")),
+    )
+    cand = _positional_filter(cand, tr)
+    # canonicalize (both-recompute pairs arrive in both orientations;
+    # the verify-side distinct collapses them)
+    cand = cand.select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+    )
+    new_pairs = _verify_pairs(cand, arrs, min_jaccard)
+    kept_cols = ["id_a", "id_b", "shared", "n_a", "n_b", "jaccard"]
+    kept = (
+        snap_pairs.join(
+            affected.withColumnRenamed("id", "id_a"), "id_a", "left_anti"
+        )
+        .join(affected.withColumnRenamed("id", "id_b"), "id_b", "left_anti")
+        .select(*kept_cols)
+    )
+    return kept.unionByName(new_pairs.select(*kept_cols))

@@ -272,6 +272,7 @@ def test_refresh_queries_scan_only_their_artifacts(spark):
         "incremental_pair_refresh",
         "incremental_attributes_refresh",
         "incremental_group_refresh",
+        "incremental_exact_pair_refresh",
         "minhash_signatures_table",
     ):
         files = RAW_QUERIES[name](spark, SF).inputFiles()

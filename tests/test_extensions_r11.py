@@ -127,6 +127,116 @@ def test_sharded_rank_heavy_null_group_subshards(spark):
     assert got == want
 
 
+# --- incremental exact-Jaccard (PPJoin) refresh (VERDICT r10 #1) -----------
+
+
+def _pairs_set(df):
+    cols = ["id_a", "id_b", "shared", "n_a", "n_b", "jaccard"]
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_ngram_refresh_handles_df_cut_crossing(spark):
+    """The hard case: the increment pushes shingles ACROSS the
+    max_shingle_df cut, which (a) invalidates an old pair (its shared
+    shingles left the vocabulary) and (b) ADMITS a previously
+    sub-threshold snapshot pair (a non-shared shingle leaving a doc's
+    set raises J). The refresh must equal the full rebuild
+    value-for-value, including both effects."""
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.functions import dedup
+
+    snap_docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d f"),
+            (3, "p q r s a b c d"),
+            (4, "p q r s t"),
+            (5, "x a b h1"),
+        ],
+        "doc_id long, text string",
+    )
+    inc_docs = spark.createDataFrame(
+        [(101, "x a b c d y"), (102, "x a b c d w")],
+        "doc_id long, text string",
+    )
+    cut, j = 3, 0.3
+    snap_sh = dedup._exploded_shingles(snap_docs, "text", "doc_id", 3)
+    inc_sh = dedup._exploded_shingles(inc_docs, "text", "doc_id", 3)
+    snap_census = snap_sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    snap_pairs = dedup.ngram_jaccard_pairs(
+        shingles=snap_sh, min_jaccard=j, max_shingle_df=cut
+    )
+    # precondition: the fixture really crosses the cut and the snapshot
+    # really holds the pair that must die
+    snap_set = _pairs_set(snap_pairs)
+    assert {(a, b) for a, b, *_ in snap_set} == {(1, 2)}
+    crossed = {
+        r["shingle"]
+        for r in snap_census.join(
+            inc_sh.groupBy("shingle").count(), "shingle"
+        )
+        .filter((F.col("df") <= cut) & (F.col("df") + F.col("count") > cut))
+        .collect()
+    }
+    assert crossed == {"a b c", "b c d"}
+
+    refreshed = _pairs_set(
+        dedup.ngram_refresh_pairs(
+            snap_pairs,
+            snap_census,
+            snap_sh,
+            inc_sh,
+            min_jaccard=j,
+            max_shingle_df=cut,
+            cache_tag="t_ngref",
+        )
+    )
+    rebuilt = _pairs_set(
+        dedup.ngram_jaccard_pairs(
+            shingles=snap_sh.unionByName(inc_sh),
+            min_jaccard=j,
+            max_shingle_df=cut,
+        )
+    )
+    assert refreshed == rebuilt
+    got_ids = {(a, b) for a, b, *_ in refreshed}
+    assert (1, 2) not in got_ids  # old pair invalidated by the crossing
+    assert (3, 4) in got_ids  # snapshot pair ADMITTED by the crossing
+    assert (5, 101) in got_ids  # snapshot x increment
+    assert (101, 102) in got_ids  # increment x increment
+
+
+def test_ngram_refresh_empty_increment_is_identity(spark):
+    """No increment ⇒ nothing crosses, nothing recomputes: the refresh
+    returns the snapshot pair table verbatim."""
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.functions import dedup
+
+    snap_docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "g h i j k")],
+        "doc_id long, text string",
+    )
+    snap_sh = dedup._exploded_shingles(snap_docs, "text", "doc_id", 3)
+    census = snap_sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    snap_pairs = dedup.ngram_jaccard_pairs(
+        shingles=snap_sh, min_jaccard=0.3, max_shingle_df=5
+    )
+    empty = snap_sh.filter(F.lit(False))
+    out = _pairs_set(
+        dedup.ngram_refresh_pairs(
+            snap_pairs, census, snap_sh, empty,
+            min_jaccard=0.3, max_shingle_df=5, cache_tag="t_ngref0",
+        )
+    )
+    assert out == _pairs_set(snap_pairs)
+
+
 def test_sharded_rank_property_with_ties_and_nulls(spark):
     """Property check: heavy ties, NULLs, and tiny sub-shard bounds —
     the sharded rank equals the sorted enumeration for every row."""
