@@ -1090,8 +1090,47 @@ def ngram_refresh_pairs(
     assignment, and affected/increment pairs run the same arithmetic
     the rebuild runs. Cost is O(increment + crossed-shingle postings +
     partner postings) — never a full-corpus re-dedup.
+
+    This composed form materializes kept ∪ recomputed;
+    :func:`ngram_refresh_delta` returns the raw (affected docs,
+    recomputed pairs) delta for callers committing to a manifest-gated
+    in-place view (sources/incremental.py) instead of rewriting.
     """
-    spark = snap_pairs.sparkSession
+    affected, new_pairs = ngram_refresh_delta(
+        snap_census,
+        snap_shingles,
+        inc_shingles,
+        min_jaccard=min_jaccard,
+        max_shingle_df=max_shingle_df,
+        cache_tag=cache_tag,
+    )
+    kept_cols = ["id_a", "id_b", "shared", "n_a", "n_b", "jaccard"]
+    kept = (
+        snap_pairs.join(
+            affected.withColumnRenamed("id", "id_a"), "id_a", "left_anti"
+        )
+        .join(affected.withColumnRenamed("id", "id_b"), "id_b", "left_anti")
+        .select(*kept_cols)
+    )
+    return kept.unionByName(new_pairs.select(*kept_cols))
+
+
+def ngram_refresh_delta(
+    snap_census: DataFrame,
+    snap_shingles: DataFrame,
+    inc_shingles: DataFrame,
+    min_jaccard: float = 0.2,
+    max_shingle_df: int = 1000,
+    cache_tag: str = "ngram_refresh",
+) -> tuple[DataFrame, DataFrame]:
+    """The increment-sized delta of :func:`ngram_refresh_pairs`:
+    ``(affected, new_pairs)`` where ``affected`` (column ``id``) lists
+    every snapshot doc whose sub-cut shingle set changed (old pairs
+    touching them must be DROPPED) and ``new_pairs`` holds the
+    recomputed pairs for affected ∪ increment docs (to be ADDED). The
+    snapshot pair table itself is never read — this is what an in-place
+    refresh commits as (equality-deletes, data delta)."""
+    spark = snap_census.sparkSession
     tr = _relaxed_threshold(min_jaccard)
     inc_census = inc_shingles.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("__df_inc")
@@ -1172,12 +1211,4 @@ def ngram_refresh_pairs(
         F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
     )
     new_pairs = _verify_pairs(cand, arrs, min_jaccard)
-    kept_cols = ["id_a", "id_b", "shared", "n_a", "n_b", "jaccard"]
-    kept = (
-        snap_pairs.join(
-            affected.withColumnRenamed("id", "id_a"), "id_a", "left_anti"
-        )
-        .join(affected.withColumnRenamed("id", "id_b"), "id_b", "left_anti")
-        .select(*kept_cols)
-    )
-    return kept.unionByName(new_pairs.select(*kept_cols))
+    return affected, new_pairs

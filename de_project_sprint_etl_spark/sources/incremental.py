@@ -1,0 +1,269 @@
+"""Manifest-gated incremental table views — the production refresh
+shape (VERDICT r10 #2).
+
+Round 10's refreshers proved refreshed ≡ rebuilt, but wrote the
+refreshed artifact by COPYING the snapshot into a new directory and
+appending — most of the measured refresh cost was parquet copy, not
+increment math. This module gives refreshes the in-place shape a
+lakehouse table format uses (the Iceberg/Delta commit protocol reduced
+to its load-bearing core, reimplemented from first principles over
+plain parquet directories):
+
+- A view's root directory holds a ``_MANIFEST`` JSON file — the ONLY
+  source of truth for what the view contains. Members are parquet
+  directories: ``data`` members union together; ``delete`` members are
+  equality-delete files — each is anti-joined against the data on ITS
+  OWN columns (a delete file with column ``id_a`` removes every data
+  row whose ``id_a`` appears in it), which is how a refresh expresses
+  "drop the old pairs touching these docs" without rewriting the base.
+- The BASE member can live OUTSIDE the view root (the already-written
+  snapshot artifact) — an in-place refresh never copies it.
+- Every commit (append / delete / compact) writes its parquet
+  directory FIRST, then publishes a new manifest via write-temp +
+  ``os.replace`` — atomic on POSIX. A crash between the two leaves an
+  orphan directory the reader never sees: the previous generation
+  keeps being served (the round-10 ``_REFRESH_COMPLETE`` marker
+  discipline, generalized from one boolean to a generation log).
+- Commits carry TAGS; ``has_tag`` makes refreshes idempotent (a re-run
+  of an already-committed increment is a no-op, the reference's C5
+  "processed correctly and not duplicated" invariant).
+- ``compact`` resolves the view (data minus deletes) into a single
+  member sized by the compaction bin rule (cumulative bytes / target —
+  the same running-sum assignment ``plans/analytics.
+  q_compaction_bin_plan`` plans for day partitions, applied to the
+  view's accumulated member files), publishes it, and garbage-collects
+  the superseded members. At 100 TB compaction is the nightly
+  maintenance pass; correctness never depends on it running.
+
+Scale notes: the manifest is member-count-sized (driver JSON, a few
+hundred bytes per commit); the reader is ONE multi-path parquet scan
+plus one anti-join per delete member (delete files are
+increment-sized, so those joins broadcast). ``os.replace`` atomicity
+holds on a real cluster's driver-local staging or any filesystem with
+atomic rename (HDFS, POSIX); object stores need the usual
+rename-service substitute — the protocol boundary is documented here
+rather than hidden.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_MANIFEST"
+
+#: compact() output sizing: one output file per this many member bytes
+#: (the analytics.COMPACTION_TARGET_BYTES knob, applied to view
+#: members; tiny on purpose at test scale so compaction really bins)
+COMPACT_TARGET_BYTES = 8 * 1024 * 1024
+
+
+def read_manifest(root: str | Path) -> dict | None:
+    """The current committed manifest, or None for an uninitialized
+    view. Never looks at directories — orphans from crashed commits are
+    invisible by design."""
+    p = Path(root) / MANIFEST
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def _publish(root: Path, manifest: dict) -> None:
+    """Atomically replace the manifest (write temp + os.replace): the
+    commit point of every operation."""
+    manifest = {**manifest, "cid": uuid.uuid4().hex}
+    tmp = root / f"._manifest.{manifest['cid']}.tmp"
+    tmp.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+    os.replace(tmp, root / MANIFEST)
+
+
+def init_view(root: str | Path, base_paths: list[str]) -> None:
+    """Create generation 0 over already-written base directories
+    (absolute paths, typically OUTSIDE the root — the stored snapshot
+    artifact, never copied). No-op if the view exists."""
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    if read_manifest(root) is not None:
+        return
+    _publish(
+        root,
+        {
+            "gen": 0,
+            "members": [
+                {"path": str(p), "kind": "data", "gen": 0}
+                for p in base_paths
+            ],
+            "tags": [],
+        },
+    )
+
+
+def has_tag(root: str | Path, tag: str) -> bool:
+    m = read_manifest(root)
+    return bool(m) and tag in m["tags"]
+
+
+def _member_path(root: Path, member: dict) -> str:
+    p = member["path"]
+    return p if os.path.isabs(p) else str(root / p)
+
+
+def _commit(
+    root: Path, new_members: list[dict], tag: str, replace: bool
+) -> None:
+    m = read_manifest(root)
+    if m is None:
+        raise ValueError(f"uninitialized incremental view: {root}")
+    members = new_members if replace else m["members"] + new_members
+    _publish(
+        root,
+        {
+            "gen": m["gen"] + 1,
+            "members": members,
+            "tags": m["tags"] + [tag],
+        },
+    )
+
+
+def append_delta(
+    df: DataFrame,
+    root: str | Path,
+    tag: str,
+    deletes: list[DataFrame] | None = None,
+) -> None:
+    """One refresh commit: write the increment's data rows (and any
+    equality-delete key files) as new parquet directories under the
+    root, then publish. Idempotence is the CALLER's tag check
+    (``has_tag``) — append_delta itself always commits. Cost is
+    increment-sized: the base member is referenced, never rewritten."""
+    root = Path(root)
+    m = read_manifest(root)
+    if m is None:
+        raise ValueError(f"uninitialized incremental view: {root}")
+    gen = m["gen"] + 1
+    new_members: list[dict] = []
+    for i, d in enumerate(deletes or []):
+        rel = f"delete_{gen:05d}_{i}"
+        d.write.mode("overwrite").parquet(str(root / rel))
+        new_members.append({"path": rel, "kind": "delete", "gen": gen})
+    rel = f"delta_{gen:05d}"
+    df.write.mode("overwrite").parquet(str(root / rel))
+    new_members.append({"path": rel, "kind": "data", "gen": gen})
+    _commit(root, new_members, tag, replace=False)
+
+
+def read_view(
+    spark: SparkSession,
+    root: str | Path,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """The committed view, folded in COMMIT ORDER: a generation's
+    delete members anti-join everything committed BEFORE it (on the
+    delete file's own columns), then its data member unions in — so a
+    refresh that drops old pairs for a doc set and re-adds that set's
+    recomputed rows in the same commit expresses exactly
+    'drop-then-add', and its own additions are never deleted. Delete
+    files are increment-sized, so the anti-joins broadcast; read
+    amplification grows one anti-join per delete-carrying commit until
+    ``compact`` resolves the chain (the merge-on-read trade every
+    lakehouse format makes).
+
+    ``columns`` projects every data member before the union — the view
+    schema — so a base artifact carrying extra columns (the snapshot
+    table often stores more than the refreshed view's contract) unions
+    cleanly with increment-projected deltas, and the projection reaches
+    each member's parquet scan (column pruning per member)."""
+    from pyspark.sql import functions as F
+
+    root = Path(root)
+    m = read_manifest(root)
+    if m is None:
+        raise ValueError(f"uninitialized incremental view: {root}")
+    by_gen: dict[int, list[dict]] = {}
+    for mm in m["members"]:
+        by_gen.setdefault(int(mm.get("gen", 0)), []).append(mm)
+    out = None
+    for g in sorted(by_gen):
+        for mm in by_gen[g]:
+            if mm["kind"] == "delete" and out is not None:
+                dd = spark.read.parquet(_member_path(root, mm))
+                out = out.join(
+                    F.broadcast(dd), on=dd.columns, how="left_anti"
+                )
+        for mm in by_gen[g]:
+            if mm["kind"] == "data":
+                d = spark.read.parquet(_member_path(root, mm))
+                if columns is not None:
+                    d = d.select(*columns)
+                out = d if out is None else out.unionByName(d)
+    if out is None:
+        raise ValueError(f"incremental view has no data members: {root}")
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    root: str | Path,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+) -> int:
+    """Resolve the view into ONE data member and garbage-collect the
+    superseded internal members. Output file count follows the
+    compaction-bin rule (total member bytes // target, at least 1) —
+    the q_compaction_bin_plan running-sum assignment collapsed to a
+    single repartition because one resolved member replaces all bins.
+    Returns the new generation. External (absolute-path) base members
+    are folded INTO the compacted member and dropped from the manifest
+    — after compaction the view is self-contained."""
+    root = Path(root)
+    m = read_manifest(root)
+    if m is None:
+        raise ValueError(f"uninitialized incremental view: {root}")
+    total = 0
+    for mm in m["members"]:
+        p = Path(_member_path(root, mm))
+        total += sum(
+            f.stat().st_size for f in p.rglob("*.parquet") if f.is_file()
+        )
+    n_files = max(1, total // max(1, target_bytes))
+    rel = f"compact_{m['gen'] + 1:05d}"
+    read_view(spark, root).repartition(int(n_files)).write.mode(
+        "overwrite"
+    ).parquet(str(root / rel))
+    _commit(
+        root,
+        [{"path": rel, "kind": "data", "gen": m["gen"] + 1}],
+        tag=f"__compact_{m['gen'] + 1}",
+        replace=True,
+    )
+    gc_orphans(root)
+    return read_manifest(root)["gen"]
+
+
+def gc_orphans(root: str | Path) -> list[str]:
+    """Remove internal member directories no committed manifest entry
+    references (crashed commits, superseded pre-compaction members).
+    Only touches dirs under the root matching the member naming scheme;
+    external base members are never deleted. Safe at any time: the
+    manifest is the reader's only source of truth."""
+    root = Path(root)
+    m = read_manifest(root)
+    if m is None:
+        return []
+    live = {
+        mm["path"] for mm in m["members"] if not os.path.isabs(mm["path"])
+    }
+    removed = []
+    for child in root.iterdir():
+        if not child.is_dir():
+            continue
+        if not child.name.startswith(("delta_", "delete_", "compact_")):
+            continue
+        if child.name not in live:
+            shutil.rmtree(child, ignore_errors=True)
+            removed.append(child.name)
+    return removed

@@ -229,37 +229,44 @@ def test_refreshed_artifacts_match_full_rebuild(spark):
 
 def test_refreshed_artifact_invalidates_on_fixture_change(spark, tmp_path):
     """Staleness: a regenerated corpus must never serve a stale
-    REFRESHED artifact (same fingerprint-keyed discipline as the pair
-    artifacts), and the refresh is gated on a marker touched only after
-    the LAST write — parquet's _SUCCESS lands after the first."""
+    REFRESHED view (same fingerprint-keyed discipline as the pair
+    artifacts), and the refresh commits through the manifest protocol —
+    the view's base is the REFERENCED snapshot artifact (never copied),
+    the increment tag makes re-runs no-ops, and a lost manifest (crash
+    before publish) just re-commits."""
     import os
     import shutil
 
     from de_project_sprint_etl_spark.plans import llm
+    from de_project_sprint_etl_spark.sources import incremental
 
     d = tmp_path / "corpus"
     shutil.copytree("/root/testdata/sf0.001", d)
     p1 = llm.refresh_minhash_pairs(spark, str(d))
     files1 = set(p1.inputFiles())
     n1 = p1.count()
-    marker = llm._artifact_path(str(d), "mh_pairs_16x4_j05_refreshed") / (
-        "_REFRESH_COMPLETE"
-    )
-    assert marker.exists(), "refresh must gate on its completion marker"
+    root = llm._artifact_path(str(d), "mh_pairs_16x4_j05_refreshed")
+    man = incremental.read_manifest(root)
+    assert man is not None and "inc-mutants" in man["tags"]
+    # in-place: the snapshot base is referenced from its own artifact
+    # dir, not copied under the view root
+    base_paths = [
+        m["path"] for m in man["members"] if os.path.isabs(m["path"])
+    ]
+    assert base_paths and all(
+        "mh_pairs_snap" in p for p in base_paths
+    ), man["members"]
     doc = d / "documents.parquet"
     os.utime(doc, ns=(os.stat(doc).st_atime_ns, os.stat(doc).st_mtime_ns + 7))
     p2 = llm.refresh_minhash_pairs(spark, str(d))
-    assert set(p2.inputFiles()) != files1, "stale refreshed artifact served"
+    assert set(p2.inputFiles()) != files1, "stale refreshed view served"
     assert p2.count() == n1
-    # a missing marker (crash between the two writes) forces a re-run
-    marker2 = llm._artifact_path(
-        str(d), "mh_pairs_16x4_j05_refreshed"
-    ) / "_REFRESH_COMPLETE"
-    t_first = marker2.stat().st_mtime_ns
-    marker2.unlink()
-    llm._READ_CACHE.pop((id(spark), str(marker2.parent)), None)
+    # a lost manifest (crash before the atomic publish) forces a
+    # re-commit; values are unchanged (idempotent increment)
+    root2 = llm._artifact_path(str(d), "mh_pairs_16x4_j05_refreshed")
+    (root2 / incremental.MANIFEST).unlink()
     p3 = llm.refresh_minhash_pairs(spark, str(d))
-    assert marker2.stat().st_mtime_ns > t_first
+    assert incremental.has_tag(root2, "inc-mutants")
     assert p3.count() == n1
 
 

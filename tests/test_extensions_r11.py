@@ -237,6 +237,142 @@ def test_ngram_refresh_empty_increment_is_identity(spark):
     assert out == _pairs_set(snap_pairs)
 
 
+# --- manifest-gated in-place views (VERDICT r10 #2) ------------------------
+
+
+def _view_rows(spark, root):
+    from de_project_sprint_etl_spark.sources import incremental
+
+    return {
+        (r["k"], r["v"])
+        for r in incremental.read_view(spark, root).collect()
+    }
+
+
+def test_incremental_view_append_delete_compact(spark, tmp_path):
+    """The full commit protocol on a toy table: external base
+    (referenced, not copied), an append+delete commit expressing
+    drop-then-add, compaction folding the chain into one self-contained
+    member, and gc removing superseded dirs — same rows at every
+    step."""
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base_dir = tmp_path / "base_table"
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 6)], "k long, v long"
+    ).write.parquet(str(base_dir))
+    root = tmp_path / "view"
+    incremental.init_view(root, [str(base_dir)])
+    assert _view_rows(spark, root) == {(i, i * 10) for i in range(1, 6)}
+
+    # commit: drop k in {2,3}, re-add recomputed k=3 plus new k=6
+    delta = spark.createDataFrame([(3, 333), (6, 60)], "k long, v long")
+    dels = [spark.createDataFrame([(2,), (3,)], "k long")]
+    assert not incremental.has_tag(root, "day1")
+    incremental.append_delta(delta, root, tag="day1", deletes=dels)
+    assert incremental.has_tag(root, "day1")
+    want = {(1, 10), (4, 40), (5, 50), (3, 333), (6, 60)}
+    assert _view_rows(spark, root) == want
+
+    # the base was referenced, not copied: no base bytes under the root
+    assert not any(
+        p.name.startswith("part-") for p in root.iterdir() if p.is_file()
+    )
+
+    gen = incremental.compact(spark, root)
+    assert gen == incremental.read_manifest(root)["gen"]
+    assert _view_rows(spark, root) == want
+    # self-contained after compaction: no external members, old dirs gc'd
+    m = incremental.read_manifest(root)
+    import os
+
+    assert all(not os.path.isabs(mm["path"]) for mm in m["members"])
+    live = {mm["path"] for mm in m["members"]}
+    on_disk = {
+        c.name
+        for c in root.iterdir()
+        if c.is_dir() and c.name.startswith(("delta_", "delete_", "compact_"))
+    }
+    assert on_disk == live
+
+
+def test_incremental_view_crash_before_publish_serves_previous_gen(
+    spark, tmp_path
+):
+    """A crashed commit (delta directory written, manifest never
+    published) is invisible: the reader serves the previous generation
+    byte-for-byte, and the next successful commit supersedes the
+    orphan."""
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base_dir = tmp_path / "base"
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    ).write.parquet(str(base_dir))
+    root = tmp_path / "view"
+    incremental.init_view(root, [str(base_dir)])
+    # simulate the crash: the delta parquet lands, no manifest publish
+    spark.createDataFrame([(9, 90)], "k long, v long").write.parquet(
+        str(root / "delta_00001")
+    )
+    assert _view_rows(spark, root) == {(1, 10), (2, 20)}
+    # recovery: the real commit overwrites the orphan and publishes
+    incremental.append_delta(
+        spark.createDataFrame([(9, 99)], "k long, v long"), root, tag="day1"
+    )
+    assert _view_rows(spark, root) == {(1, 10), (2, 20), (9, 99)}
+
+
+def test_refresh_views_commit_increment_sized_files(spark):
+    """The measured point of the in-place shape: the refresh commit
+    must NOT contain a copy of the snapshot. For the append-only views,
+    the committed internal members hold EXACTLY the increment's rows
+    (view rows − referenced base rows) — zero base duplication — and
+    the base is referenced by absolute path from its own artifact
+    dir."""
+    import os
+
+    from de_project_sprint_etl_spark.plans import llm
+    from de_project_sprint_etl_spark.sources import incremental
+
+    view_counts = {
+        "mh_pairs_16x4_j05_refreshed": llm.refresh_minhash_pairs(
+            spark, SF
+        ).count(),
+        "mut_stats_refreshed": llm.refresh_mutant_stats(spark, SF).count(),
+    }
+    for name, base in (
+        ("mh_pairs_16x4_j05_refreshed", "mh_pairs_snap_16x4_j05"),
+        ("mut_stats_refreshed", "doc_stats"),
+    ):
+        root = llm._artifact_path(SF, name)
+        m = incremental.read_manifest(root)
+        assert m is not None and "inc-mutants" in m["tags"], name
+        internal = [
+            mm for mm in m["members"] if not os.path.isabs(mm["path"])
+        ]
+        external = [
+            mm for mm in m["members"] if os.path.isabs(mm["path"])
+        ]
+        assert internal and external, name
+        assert all(mm["kind"] == "data" for mm in internal), name
+        base_rows = spark.read.parquet(
+            str(llm._artifact_path(SF, base))
+        ).count()
+        delta_rows = sum(
+            spark.read.parquet(str(root / mm["path"])).count()
+            for mm in internal
+        )
+        assert delta_rows == view_counts[name] - base_rows, (
+            name,
+            delta_rows,
+            base_rows,
+            view_counts[name],
+        )
+
+
 def test_sharded_rank_property_with_ties_and_nulls(spark):
     """Property check: heavy ties, NULLs, and tiny sub-shard bounds —
     the sharded rank equals the sorted enumeration for every row."""
