@@ -52,84 +52,73 @@ def entry(spark: SparkSession) -> DataFrame:
 # ``len(registry.QUERIES)``) pass the full local differential every
 # round regardless of order
 # (tools/oracle_check.py + the committed FULLDIFF artifacts); this only
-# chooses what the externally-truncated check gets to see.
-# ROUND-9 ROTATION (VERDICT r8, Next-round #3): front (a) the four
-# round-9 newcomers, never externally attested (pack_assign_greedy,
-# lsh_empirical_scurve, shingle_df_histogram, embedding_pc1_scores);
-# then (b) the sixteen queries whose PLANS CHANGED this round after their
-# r8 attestation — the PCA rewrite (Arrow scatter + driver eigensolve),
-# the pair-artifact consumers (lsh_band_tuning,
-# dedup_threshold_sensitivity, source_cross_dup_matrix,
-# minhash_dedup_eval, dup_cluster_quality_report, split_leakage_check)
-# the ADVICE-r8 guard fixes (ks_value_drift, compaction_bin_plan,
-# mixture_epochs_plan), and the attributes-table consumers
-# (quality_percentiles, quality_percentiles_approx,
-# dataset_card_stats, linreg_quality_train, and the end-to-end passes
-# near_dedup_filter / near_dedup_keep_best, which now compose the
-# written stage artifacts) — a changed plan
-# invalidates the old attestation's evidentiary value even though the
-# values are proven unchanged locally; then (c) the twenty r3-attested
-# queries, the oldest tier left after r8's rotation (computed from the
-# cumulative CORRECTNESS_r1..r8 windows); and (d) ten alphabetical
-# fillers from the r4-attested tier, the next-oldest.
-# 4 + 16 + 20 + 10 = 50.
+# chooses what the externally-truncated check gets to see. Each round's
+# window fronts (a) never-attested newcomers, (b) queries whose PLANS
+# changed after their last attestation (a changed plan invalidates the
+# old attestation's evidentiary value even when values are locally
+# proven unchanged), then (c) the oldest attestation tier (computed
+# from the cumulative CORRECTNESS_r1..rN windows), topped up
+# alphabetically from the next-oldest tier. The inline comments below
+# carry the current round's composition.
 GATE_PRIORITY = [
-    # (a) round-10 newcomers — first external attestation
+    # (a) round-11 newcomer — first external attestation
+    "incremental_exact_pair_refresh",
+    # (b) plans changed in round 11 after their r10 attestation: the
+    # three refreshers now read manifest-gated in-place views
+    # (base-referencing union/anti-join plans), and the packer's
+    # sharded rank gained tie-group sub-sharding
     "incremental_pair_refresh",
     "incremental_attributes_refresh",
     "incremental_group_refresh",
-    "minhash_signatures_table",
-    # (b) plans changed in round 10 after their r9 attestation
-    # (sharded ranking; PC1 ragged-slice fix; scatter guard)
     "pack_assign_greedy",
-    "embedding_pc1_scores",
-    "embedding_pca_variance",
-    # (c) the r4-latest — oldest attestation tier in the registry
-    # (38 queries; clears the whole tier, max age drops to r5)
-    "gopher_quality_filter",
-    "hll_distinct_cascade",
-    "ivm_customer_revenue",
-    "lateral_top_lineitems",
-    "new_customers_compact",
-    "null_safe_join_props",
-    "orders_checksum_by_range",
-    "pivot_sqltext",
-    "pq_recall_eval",
-    "recursive_date_spine",
-    "refunded_customers",
-    "refunded_customers_compact",
-    "retention_compact_sqltext",
-    "returned_customers_compact",
-    "revenue_wow_growth",
-    "salted_join_revenue",
-    "scd2_weeks_overlap",
-    "schema_evolution_union",
-    "semdedup_embeddings_adaptive",
-    "streaming_click_attribution",
-    "streaming_hourly_ohlc",
-    "streaming_match_recognize",
-    "streaming_running_totals",
-    "streaming_sessionize",
-    "streaming_user_ema",
-    "streaming_windowed_counts",
-    "substring_span_dedup",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q20_potential_promotion",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "window_frames_customer_orders",
-    # (d) r5-attested fillers, alphabetical
-    "active_versions_per_day",
-    "ann_ivf_topk_adaptive",
-    "ann_recall_eval",
-    "bfs_copurchase_distances",
-    "bucketed_join_revenue",
+    # (c) the full r5-attested tier — oldest in the registry
+    # (44 queries; clears the tier, max attestation age drops to r6)
+    "chunk_documents_udtf",
+    "daily_metric_corr_matrix",
+    "dataset_split_assign",
+    "dataset_split_sizes",
+    "dq_check_orders",
+    "embedding_mrl_truncate",
+    "embedding_random_projection",
+    "events_debounce",
+    "feature_hash_docs",
+    "incremental_exact_dedup",
+    "k_anonymity_orders",
+    "levenshtein_near_dup",
+    "listagg_customer_years",
+    "media_from_files",
+    "media_resize",
+    "median_order_value_by_status",
+    "mode_priority_by_status",
+    "one_hot_event_types",
+    "pack_sequences",
+    "phrase_search",
+    "pivot_status_revenue",
+    "pq_adc_topk",
+    "pq_encode_embeddings",
+    "pysource_user_totals",
+    "range_window_user_value",
+    "running_balance_clamped",
+    "seasonal_naive_backtest",
+    "standard_scale_event_values",
+    "streaming_exact_dedup",
+    "streaming_retention_compact",
+    "table_diff_orders",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_lateness",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_parts_supplier_counts",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q6_forecast_revenue",
+    "triangle_count_copurchase",
+    "unpivot_lineitem_measures",
+    "variant_json_stats",
+    "vocab_growth_curve",
+    "window_rank_functions",
+    "winsorize_event_values",
+    # (d) one r6-attested filler, alphabetical
+    "attribution_model_compare",
 ]
 
 

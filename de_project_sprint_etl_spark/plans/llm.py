@@ -506,6 +506,103 @@ def refresh_mutant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- N-day refresh soak (VERDICT r10 #3) -----------------------------------
+#
+# The registered refreshers prove ONE increment; the reference's README
+# demands the multi-day invariant — k successive daily increments, each
+# merged idempotently, never duplicated. The soak splits the mutant
+# increment into MUT_SLICES "days" and commits them one at a time into
+# soak-dedicated signature and pair views (separate roots from the
+# gate's single-increment artifacts). Each step reads the PREVIOUS
+# generation's signature view (stored members, never re-signed), signs
+# only its slice, and commits pairs-then-signatures — that order makes
+# a crash between the two commits recoverable: pairs carry the real
+# increment math, and a re-run skips them by tag and completes the
+# cheap signature append; committing signatures first would make the
+# re-run's cross join see the slice's own signatures in the "previous"
+# view and emit self-pairs.
+
+MUT_SLICES = 5
+
+
+def _slice_pred(j: int):
+    """Mutant slice j of MUT_SLICES: mutant ids are base+MUT_OFFSET with
+    base % 5 == 0 and MUT_OFFSET % 25 == 0, so doc_id % 25 walks
+    {0,5,10,15,20} — one residue per slice."""
+    return F.col("doc_id") % (5 * MUT_SLICES) == 5 * j
+
+
+def minhash_soak_step(
+    spark: SparkSession,
+    sf_dir: str,
+    sigs_root,
+    pairs_root,
+    j: int,
+) -> None:
+    """Commit mutant slice ``j`` ('day j') into the soak views. Cost is
+    slice-sized: sign the slice's text, band-join it against the STORED
+    signature view (snapshot + previously committed slices), append.
+    Idempotent per view via the slice tag."""
+    tag = f"slice-{j}"
+    done_pairs = incremental.has_tag(pairs_root, tag)
+    done_sigs = incremental.has_tag(sigs_root, tag)
+    if done_pairs and done_sigs:
+        return
+    slice_docs = _docs_with_mutants_plan(spark, sf_dir).filter(
+        (F.col("doc_id") >= MUT_OFFSET) & _slice_pred(j)
+    )
+    inc_sigs = cached_generation(
+        spark,
+        "mh_soak_inc_sigs",
+        dedup.minhash_signatures(
+            shingles=dedup._exploded_shingles(
+                slice_docs, "text", "doc_id", 3
+            ),
+            num_hashes=16,
+        ),
+    )
+    if not done_pairs:
+        # the previous generation's members are captured NOW (before
+        # any commit), so the cross join never sees this slice's own
+        # signatures
+        prev_sigs = incremental.read_view(spark, sigs_root)
+        cross = dedup.minhash_lsh_pairs_against(
+            inc_sigs, prev_sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
+        ).select(
+            # earlier slices are fellow mutants: orientation is by id,
+            # not by which side was the increment
+            F.least("id_inc", "id_snap").alias("id_a"),
+            F.greatest("id_inc", "id_snap").alias("id_b"),
+            "est_jaccard",
+        )
+        within = dedup.minhash_lsh_pairs(
+            inc_sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
+        )
+        incremental.append_delta(
+            cross.unionByName(within), pairs_root, tag=tag
+        )
+    if not incremental.has_tag(sigs_root, tag):
+        incremental.append_delta(inc_sigs, sigs_root, tag=tag)
+
+
+def init_minhash_soak(
+    spark: SparkSession, sf_dir: str, suffix: str = "soak"
+):
+    """Fresh soak views over the stored snapshot artifacts; returns
+    (sigs_root, pairs_root)."""
+    minhash_sigs_snapshot(spark, sf_dir)
+    minhash_pairs_snapshot(spark, sf_dir)
+    sigs_root = _artifact_path(sf_dir, f"mh_sigs_{suffix}")
+    pairs_root = _artifact_path(sf_dir, f"mh_pairs_{suffix}")
+    incremental.init_view(
+        sigs_root, [str(_artifact_path(sf_dir, "mh_sigs_snap_16"))]
+    )
+    incremental.init_view(
+        pairs_root, [str(_artifact_path(sf_dir, "mh_pairs_snap_16x4_j05"))]
+    )
+    return sigs_root, pairs_root
+
+
 def dup_groups_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Yesterday's' dup-group table — connected components over the
     snapshot's pair artifact only."""

@@ -373,6 +373,76 @@ def test_refresh_views_commit_increment_sized_files(spark):
         )
 
 
+# --- N-day refresh soak (VERDICT r10 #3) -----------------------------------
+
+
+def test_minhash_refresh_soak_five_days(spark):
+    """k=5 successive increments, each committed through the manifest
+    views: after EVERY step the pair view equals the full rebuild over
+    snapshot ∪ slices[0..j] (exact row set), a crashed commit injected
+    mid-soak stays invisible, and compaction at the end preserves the
+    final state. This is the reference's multi-day merge invariant
+    (increments processed exactly once, never duplicated), proven per
+    step rather than once."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.functions import dedup
+    from de_project_sprint_etl_spark.plans import llm
+    from de_project_sprint_etl_spark.sources import incremental
+
+    for suffix in ("soaktest",):
+        for name in (f"mh_sigs_{suffix}", f"mh_pairs_{suffix}"):
+            shutil.rmtree(llm._artifact_path(SF, name), ignore_errors=True)
+    sigs_root, pairs_root = llm.init_minhash_soak(spark, SF, "soaktest")
+
+    def rebuilt_through(j):
+        sh = llm.mutant_shingles(spark, SF, n=3).filter(
+            (F.col("id") < llm.MUT_OFFSET)
+            | (F.col("id") % (5 * llm.MUT_SLICES) <= 5 * j)
+        )
+        sigs = dedup.minhash_signatures(shingles=sh, num_hashes=16)
+        return {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in dedup.minhash_lsh_pairs(
+                sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
+            ).collect()
+        }
+
+    def view_pairs():
+        return {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in incremental.read_view(spark, pairs_root).collect()
+        }
+
+    for j in range(llm.MUT_SLICES):
+        if j == 2:
+            # crash injected "yesterday": a delta directory landed but
+            # its manifest publish never happened — must stay invisible
+            spark.createDataFrame(
+                [(1, 2, 0.99)], "id_a long, id_b long, est_jaccard double"
+            ).write.mode("overwrite").parquet(
+                str(pairs_root / "delta_09999")
+            )
+        llm.minhash_soak_step(spark, SF, sigs_root, pairs_root, j)
+        assert view_pairs() == rebuilt_through(j), f"diverged at day {j}"
+        # per-view idempotence: re-running the day is a no-op commit
+        gen_before = incremental.read_manifest(pairs_root)["gen"]
+        llm.minhash_soak_step(spark, SF, sigs_root, pairs_root, j)
+        assert incremental.read_manifest(pairs_root)["gen"] == gen_before
+
+    final = view_pairs()
+    # the full-corpus rebuild is exactly day MUT_SLICES-1
+    full = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in llm.minhash_pairs(spark, SF).collect()
+    }
+    assert final == full
+    incremental.compact(spark, pairs_root)
+    assert view_pairs() == final
+
+
 def test_sharded_rank_property_with_ties_and_nulls(spark):
     """Property check: heavy ties, NULLs, and tiny sub-shard bounds —
     the sharded rank equals the sorted enumeration for every row."""

@@ -22,16 +22,25 @@ point — the reference's C5 idempotency invariant (README.md:21-22
 "processed correctly and not duplicated") applied to the curation DAG.
 
 Usage: python tools/curation_bench.py [sf_dir] [--keep] [--fixed-point]
-                                      [--incremental]
+                                      [--incremental] [--soak]
 Prints one JSON line:
   {"metric": "curation_lifecycle", "value": <sec>, "stages": {...}, ...}
 
 ``--incremental`` additionally times the INCREMENTAL maintenance path
-(plans/llm.py refresh_* — signatures/pairs/attributes/groups appended
-from the increment's text + stored snapshot artifacts) with the
-snapshot artifacts prebuilt and the refreshed artifacts cleared, and
-reports it next to the full-rebuild wall time — the measured win the
-reference's increment-merge design exists to buy (README.md:8-9).
+(plans/llm.py refresh_* — signatures/pairs/attributes/groups committed
+from the increment's text + stored snapshot artifacts through the
+manifest-gated in-place views, VERDICT r10 #2: the snapshot is
+referenced, never copied, so the timed pass is increment-sized jobs
+only) with the snapshot artifacts prebuilt and the refreshed views
+cleared, and reports it next to the full-rebuild wall time — the
+measured win the reference's increment-merge design exists to buy
+(README.md:8-9).
+
+``--soak`` times the k-day refresh chain (VERDICT r10 #3): the mutant
+increment split into MUT_SLICES daily slices, each committed through
+minhash_soak_step against the growing signature/pair views — per-step
+seconds should stay flat in k (each day pays slice-sized signing +
+band joins, never a rebuild).
 """
 
 from __future__ import annotations
@@ -215,6 +224,24 @@ def main() -> None:
             "attributes": n_stats,
             "groups": n_groups,
         }
+    if "--soak" in sys.argv:
+        from de_project_sprint_etl_spark.plans import llm
+        from de_project_sprint_etl_spark.sources import incremental
+
+        for name in ("mh_sigs_benchsoak", "mh_pairs_benchsoak"):
+            shutil.rmtree(llm._artifact_path(SF_DIR, name), ignore_errors=True)
+        sigs_root, pairs_root = llm.init_minhash_soak(
+            spark, SF_DIR, "benchsoak"
+        )
+        steps = []
+        for j in range(llm.MUT_SLICES):
+            t0 = time.time()
+            llm.minhash_soak_step(spark, SF_DIR, sigs_root, pairs_root, j)
+            steps.append(round(time.time() - t0, 2))
+        out["soak_step_sec"] = steps
+        out["soak_pairs"] = incremental.read_view(
+            spark, pairs_root
+        ).count()
     print(json.dumps(out))
     if "--keep" not in sys.argv:
         shutil.rmtree(BASE, ignore_errors=True)
