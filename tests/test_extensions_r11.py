@@ -373,6 +373,29 @@ def test_refresh_views_commit_increment_sized_files(spark):
         )
 
 
+def _plan_of(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_view_reads_prune_and_stay_shuffle_sane(spark):
+    """Plan pins for the manifest views: (a) the attributes view's
+    member projection reaches the base scan — doc_stats stores extra
+    raw-document columns (lang, ...) the view must never read; (b) the
+    exact-pair refresh view plans no cartesian product (the delete
+    anti-joins are broadcast hash joins on increment-sized files)."""
+    from de_project_sprint_etl_spark.plans import llm
+
+    stats_plan = _plan_of(llm.refresh_mutant_stats(spark, SF))
+    assert "lang" not in stats_plan, "base-member column pruning lost"
+
+    pair_plan = _plan_of(RAW_QUERIES["incremental_exact_pair_refresh"](spark, SF))
+    assert "CartesianProduct" not in pair_plan
+    mh_plan = _plan_of(RAW_QUERIES["incremental_pair_refresh"](spark, SF))
+    assert "CartesianProduct" not in mh_plan
+
+
 # --- N-day refresh soak (VERDICT r10 #3) -----------------------------------
 
 
