@@ -466,6 +466,136 @@ def test_minhash_refresh_soak_five_days(spark):
     assert view_pairs() == final
 
 
+def test_ngram_refresh_matches_rebuild_property(spark):
+    """Property generalization of the crafted crossing fixture: random
+    tiny corpora over a 6-token alphabet (dense shingle collisions ⇒
+    frequent df-cut crossings), random increments, tight cuts — the
+    refresh must equal the full rebuild value-for-value on EVERY
+    draw."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.functions import dedup
+
+    word = st.sampled_from(["a", "b", "c", "d", "e", "f"])
+    doc = st.lists(word, min_size=3, max_size=7).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        snap=st.lists(doc, min_size=2, max_size=6),
+        inc=st.lists(doc, min_size=1, max_size=3),
+        cut=st.integers(min_value=1, max_value=4),
+    )
+    def check(snap, inc, cut):
+        j = 0.3
+        snap_docs = spark.createDataFrame(
+            [(i + 1, t) for i, t in enumerate(snap)],
+            "doc_id long, text string",
+        )
+        inc_docs = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(inc)],
+            "doc_id long, text string",
+        )
+        snap_sh = dedup._exploded_shingles(snap_docs, "text", "doc_id", 3)
+        inc_sh = dedup._exploded_shingles(inc_docs, "text", "doc_id", 3)
+        census = snap_sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
+        snap_pairs = dedup.ngram_jaccard_pairs(
+            shingles=snap_sh, min_jaccard=j, max_shingle_df=cut
+        )
+        refreshed = _pairs_set(
+            dedup.ngram_refresh_pairs(
+                snap_pairs, census, snap_sh, inc_sh,
+                min_jaccard=j, max_shingle_df=cut,
+                cache_tag="t_ngprop",
+            )
+        )
+        rebuilt = _pairs_set(
+            dedup.ngram_jaccard_pairs(
+                shingles=snap_sh.unionByName(inc_sh),
+                min_jaccard=j,
+                max_shingle_df=cut,
+            )
+        )
+        assert refreshed == rebuilt, (snap, inc, cut)
+
+    check()
+
+
+def test_incremental_view_model_property(spark, tmp_path):
+    """Model-based check of the manifest protocol: a random sequence of
+    append / append-with-delete / compact operations against a plain
+    Python dict model — the view must equal the model after every
+    op."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from de_project_sprint_etl_spark.sources import incremental
+
+    op = st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=9),
+                    st.integers(min_value=0, max_value=99),
+                ),
+                min_size=1,
+                max_size=4,
+            ),
+            st.lists(st.integers(min_value=0, max_value=9), max_size=3),
+        ),
+        st.tuples(st.just("compact"), st.none(), st.none()),
+    )
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(ops=st.lists(op, min_size=1, max_size=5))
+    def check(ops):
+        counter[0] += 1
+        root = tmp_path / f"view_{counter[0]}"
+        base = tmp_path / f"base_{counter[0]}"
+        model = {1: 10, 2: 20}
+        spark.createDataFrame(
+            list(model.items()), "k long, v long"
+        ).write.parquet(str(base))
+        incremental.init_view(root, [str(base)])
+        for i, (kind, rows, dels) in enumerate(ops):
+            if kind == "compact":
+                incremental.compact(spark, root)
+            else:
+                # each commit is an UPSERT (the refresh shape): delete
+                # the named keys AND every appended key from prior
+                # generations, then add the new rows — drop-then-add
+                dedup_rows = {k: v for k, v in rows}
+                dels_full = sorted(set(dels) | set(dedup_rows))
+                for k in dels_full:
+                    model.pop(k, None)
+                model.update(dedup_rows)
+                incremental.append_delta(
+                    spark.createDataFrame(
+                        list(dedup_rows.items()), "k long, v long"
+                    ),
+                    root,
+                    tag=f"op{i}",
+                    deletes=[
+                        spark.createDataFrame(
+                            [(k,) for k in dels_full], "k long"
+                        )
+                    ],
+                )
+            got = {
+                r["k"]: r["v"]
+                for r in incremental.read_view(spark, root).collect()
+            }
+            assert got == model, (ops, i)
+
+    check()
+
+
 def test_sharded_rank_property_with_ties_and_nulls(spark):
     """Property check: heavy ties, NULLs, and tiny sub-shard bounds —
     the sharded rank equals the sorted enumeration for every row."""
