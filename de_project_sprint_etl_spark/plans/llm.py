@@ -603,6 +603,159 @@ def init_minhash_soak(
     return sigs_root, pairs_root
 
 
+# --- EXACT-tier k-day soak: chained census merges --------------------------
+#
+# The minhash soak above proves the per-doc chain; the exact tier is
+# harder under chaining because each day's refresh depends on the
+# ACCUMULATED df census (day j's crossings are shingles whose running
+# df steps over the cut on day j — the fixture crosses every day at
+# cut 3). State = three manifest views: pairs (upsert commits:
+# equality-deletes for affected docs + recomputed rows), the shingle
+# stream (append), and the census (upsert: increment-touched shingles
+# deleted and re-added with merged df). Commit order pairs → stream →
+# census: a crash after any prefix re-runs deterministically because
+# every uncommitted view still serves the previous day's state, and
+# ngram_refresh_delta reads only previous-day views plus the slice.
+
+
+def _ngram_pairs_snapshot_at(
+    spark: SparkSession, sf_dir: str, cut: int
+) -> DataFrame:
+    """'Yesterday's' exact-pair table at an arbitrary cut (the
+    registered-query snapshot is the cut=_INC_NGRAM_CUT case)."""
+    return _materialized(
+        spark,
+        sf_dir,
+        f"ngram_pairs_snap_n3_c{cut}",
+        lambda: dedup.ngram_jaccard_pairs(
+            shingles=snapshot_shingles(spark, sf_dir),
+            n=3,
+            min_jaccard=0.3,
+            max_shingle_df=cut,
+        ),
+    )
+
+
+def snapshot_shingles_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot (id, shingle) stream as its OWN written artifact —
+    the view-base form of ``snapshot_shingles`` (a view member must be
+    a parquet directory, not a filter plan)."""
+    return _materialized(
+        spark,
+        sf_dir,
+        "shingles_snap_n3",
+        lambda: snapshot_shingles(spark, sf_dir),
+    )
+
+
+def init_ngram_soak(
+    spark: SparkSession,
+    sf_dir: str,
+    cut: int,
+    suffix: str = "soak",
+):
+    """Soak state for the exact tier; returns (pairs_root, stream_root,
+    census_root) over the stored snapshot artifacts."""
+    _ngram_pairs_snapshot_at(spark, sf_dir, cut)
+    snapshot_shingles_artifact(spark, sf_dir)
+    ngram_census_snapshot(spark, sf_dir)
+    pairs_root = _artifact_path(sf_dir, f"ngram_pairs_{suffix}_c{cut}")
+    stream_root = _artifact_path(sf_dir, f"ngram_stream_{suffix}")
+    census_root = _artifact_path(sf_dir, f"ngram_census_{suffix}")
+    incremental.init_view(
+        pairs_root,
+        [str(_artifact_path(sf_dir, f"ngram_pairs_snap_n3_c{cut}"))],
+    )
+    incremental.init_view(
+        stream_root, [str(_artifact_path(sf_dir, "shingles_snap_n3"))]
+    )
+    incremental.init_view(
+        census_root, [str(_artifact_path(sf_dir, "ngram_census_snap_n3"))]
+    )
+    return pairs_root, stream_root, census_root
+
+
+def ngram_soak_step(
+    spark: SparkSession,
+    sf_dir: str,
+    pairs_root,
+    stream_root,
+    census_root,
+    j: int,
+    cut: int,
+) -> None:
+    """Commit mutant slice ``j`` into the exact-tier soak views: run
+    the census-merge refresh against YESTERDAY's stored census/stream
+    views, upsert the pair view (drop pairs touching affected docs,
+    add recomputed ones), append the slice's shingles, and upsert the
+    census (increment-touched shingles re-added with merged df)."""
+    tag = f"slice-{j}"
+    if (
+        incremental.has_tag(pairs_root, tag)
+        and incremental.has_tag(stream_root, tag)
+        and incremental.has_tag(census_root, tag)
+    ):
+        return
+    slice_sh = cached_generation(
+        spark,
+        "ngram_soak_slice",
+        mutant_shingles(spark, sf_dir, n=3).filter(
+            (F.col("id") >= MUT_OFFSET)
+            & (F.col("id") % (5 * MUT_SLICES) == 5 * j)
+        ),
+    )
+    # previous-day state captured before ANY commit (manifest members
+    # are resolved at read_view build time)
+    prev_census = incremental.read_view(spark, census_root)
+    prev_stream = incremental.read_view(spark, stream_root)
+    if not incremental.has_tag(pairs_root, tag):
+        affected, new_pairs = dedup.ngram_refresh_delta(
+            prev_census,
+            prev_stream,
+            slice_sh,
+            min_jaccard=0.3,
+            max_shingle_df=cut,
+            cache_tag="ngram_soak",
+        )
+        cols = ["id_a", "id_b", "shared", "n_a", "n_b", "jaccard"]
+        incremental.append_delta(
+            new_pairs.select(*cols),
+            pairs_root,
+            tag=tag,
+            deletes=[
+                affected.select(F.col("id").alias("id_a")),
+                affected.select(F.col("id").alias("id_b")),
+            ],
+        )
+    if not incremental.has_tag(stream_root, tag):
+        incremental.append_delta(slice_sh, stream_root, tag=tag)
+    if not incremental.has_tag(census_root, tag):
+        inc_census = slice_sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).cast("long").alias("__df_inc")
+        )
+        merged = (
+            inc_census.join(
+                prev_census.select(
+                    "shingle", F.col("df").alias("__df_prev")
+                ),
+                "shingle",
+                "left",
+            )
+            .select(
+                "shingle",
+                (
+                    F.coalesce("__df_prev", F.lit(0)) + F.col("__df_inc")
+                ).cast("long").alias("df"),
+            )
+        )
+        incremental.append_delta(
+            merged,
+            census_root,
+            tag=tag,
+            deletes=[inc_census.select("shingle")],
+        )
+
+
 def dup_groups_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Yesterday's' dup-group table — connected components over the
     snapshot's pair artifact only."""

@@ -596,6 +596,101 @@ def test_incremental_view_model_property(spark, tmp_path):
     check()
 
 
+def test_ngram_refresh_soak_five_days_with_daily_crossings(spark):
+    """The EXACT tier's k-day soak — the chained form of the census
+    merge: day j's crossings are shingles whose RUNNING df steps over
+    the cut on day j (at cut 3 this fixture crosses every day), so the
+    census/stream/pair views must all be maintained exactly. After
+    every day: pair view == full PPJoin rebuild over snapshot ∪
+    days-so-far, census view == full census rebuild, a crashed commit
+    stays invisible, and re-running a day is a no-op."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.functions import dedup
+    from de_project_sprint_etl_spark.plans import llm
+    from de_project_sprint_etl_spark.sources import incremental
+
+    cut = 3
+    for name in (
+        f"ngram_pairs_exsoaktest_c{cut}",
+        "ngram_stream_exsoaktest",
+        "ngram_census_exsoaktest",
+    ):
+        shutil.rmtree(llm._artifact_path(SF, name), ignore_errors=True)
+    pairs_root, stream_root, census_root = llm.init_ngram_soak(
+        spark, SF, cut, "exsoaktest"
+    )
+
+    def stream_through(j):
+        return llm.mutant_shingles(spark, SF, n=3).filter(
+            (F.col("id") < llm.MUT_OFFSET)
+            | (F.col("id") % (5 * llm.MUT_SLICES) <= 5 * j)
+        )
+
+    crossings_seen = 0
+    prev_census_rows = {
+        r["shingle"]: r["df"]
+        for r in incremental.read_view(spark, census_root).collect()
+    }
+    for j in range(llm.MUT_SLICES):
+        if j == 1:
+            # crashed commit from "yesterday": delta landed, manifest
+            # publish lost — must stay invisible to every later day
+            spark.createDataFrame(
+                [(1, 2, 1, 1, 1, 1.0)],
+                "id_a long, id_b long, shared long, n_a long, n_b long,"
+                " jaccard double",
+            ).write.mode("overwrite").parquet(
+                str(pairs_root / "delta_09999")
+            )
+        llm.ngram_soak_step(
+            spark, SF, pairs_root, stream_root, census_root, j, cut
+        )
+        # census view == full rebuild
+        got_census = {
+            r["shingle"]: r["df"]
+            for r in incremental.read_view(spark, census_root).collect()
+        }
+        want_census = {
+            r["shingle"]: r["df"]
+            for r in stream_through(j)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .collect()
+        }
+        assert got_census == want_census, f"census diverged at day {j}"
+        # count this day's crossings (shingles stepping over the cut)
+        crossings_seen += sum(
+            1
+            for s, df in got_census.items()
+            if 1 <= prev_census_rows.get(s, 0) <= cut < df
+        )
+        prev_census_rows = got_census
+        # pair view == full PPJoin rebuild at the cut
+        got_pairs = _pairs_set(incremental.read_view(spark, pairs_root))
+        want_pairs = _pairs_set(
+            dedup.ngram_jaccard_pairs(
+                shingles=stream_through(j),
+                min_jaccard=0.3,
+                max_shingle_df=cut,
+            )
+        )
+        assert got_pairs == want_pairs, f"pairs diverged at day {j}"
+        # idempotence: re-running the day commits nothing
+        gen_before = incremental.read_manifest(pairs_root)["gen"]
+        llm.ngram_soak_step(
+            spark, SF, pairs_root, stream_root, census_root, j, cut
+        )
+        assert incremental.read_manifest(pairs_root)["gen"] == gen_before
+    assert crossings_seen > 0, "fixture never crossed the cut — test is vacuous"
+    # compaction preserves the final state
+    final = _pairs_set(incremental.read_view(spark, pairs_root))
+    incremental.compact(spark, pairs_root)
+    assert _pairs_set(incremental.read_view(spark, pairs_root)) == final
+
+
 def test_sharded_rank_property_with_ties_and_nulls(spark):
     """Property check: heavy ties, NULLs, and tiny sub-shard bounds —
     the sharded rank equals the sorted enumeration for every row."""

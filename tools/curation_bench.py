@@ -242,6 +242,28 @@ def main() -> None:
         out["soak_pairs"] = incremental.read_view(
             spark, pairs_root
         ).count()
+        # the EXACT tier's chained census-merge soak (r11)
+        cut = llm._INC_NGRAM_CUT
+        for name in (
+            f"ngram_pairs_benchsoak_c{cut}",
+            "ngram_stream_benchsoak",
+            "ngram_census_benchsoak",
+        ):
+            shutil.rmtree(llm._artifact_path(SF_DIR, name), ignore_errors=True)
+        ex_pairs, ex_stream, ex_census = llm.init_ngram_soak(
+            spark, SF_DIR, cut, "benchsoak"
+        )
+        ex_steps = []
+        for j in range(llm.MUT_SLICES):
+            t0 = time.time()
+            llm.ngram_soak_step(
+                spark, SF_DIR, ex_pairs, ex_stream, ex_census, j, cut
+            )
+            ex_steps.append(round(time.time() - t0, 2))
+        out["exact_soak_step_sec"] = ex_steps
+        out["exact_soak_pairs"] = incremental.read_view(
+            spark, ex_pairs
+        ).count()
     print(json.dumps(out))
     if "--keep" not in sys.argv:
         shutil.rmtree(BASE, ignore_errors=True)
