@@ -1122,6 +1122,7 @@ def ngram_refresh_delta(
     min_jaccard: float = 0.2,
     max_shingle_df: int = 1000,
     cache_tag: str = "ngram_refresh",
+    check_disjoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The increment-sized delta of :func:`ngram_refresh_pairs`:
     ``(affected, new_pairs)`` where ``affected`` (column ``id``) lists
@@ -1129,8 +1130,28 @@ def ngram_refresh_delta(
     touching them must be DROPPED) and ``new_pairs`` holds the
     recomputed pairs for affected ∪ increment docs (to be ADDED). The
     snapshot pair table itself is never read — this is what an in-place
-    refresh commits as (equality-deletes, data delta)."""
+    refresh commits as (equality-deletes, data delta).
+
+    CONTRACT: increment doc ids must be disjoint from snapshot ids —
+    a re-delivered id would double its (id, shingle) rows in the union
+    and silently corrupt sid arrays (n doubled, intersections
+    inflated). ``check_disjoint`` enforces it loudly with one
+    broadcast-probed pass over the stored snapshot stream (the
+    ADVICE-r7 fail-loudly discipline: the differential shares the
+    id-allocation constant, so it could never see this); disable only
+    when the id allocator guarantees disjointness by construction."""
     spark = snap_census.sparkSession
+    if check_disjoint:
+        inc_ids = inc_shingles.select("id").distinct()
+        clash = (
+            snap_shingles.join(F.broadcast(inc_ids), "id").limit(1).count()
+        )
+        if clash:
+            raise ValueError(
+                "ngram_refresh_delta: increment re-delivers snapshot doc "
+                "ids — refreshed pair values would silently diverge from "
+                "the rebuild; dedup or re-key the increment"
+            )
     tr = _relaxed_threshold(min_jaccard)
     inc_census = inc_shingles.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("__df_inc")

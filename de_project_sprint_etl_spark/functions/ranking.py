@@ -196,21 +196,32 @@ def sharded_global_rank(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        last = (null_shard + 1) * stride
     else:
         counts = {s: n for s, (n, _v0, _v1) in stats.items()}
-        last = null_shard + 1
-    bases, running = [], 0
-    for s in range(last):
-        bases.append(running)
-        running += counts.get(s, 0)
-    base_arr = F.array(*[F.lit(b).cast("long") for b in bases])
+    # base offsets over the OCCUPIED shard ids only, looked up through a
+    # literal map — never an array densely indexed by the composite id
+    # space: (null_shard+1)*stride grows with n_shards², and a
+    # million-entry CreateArray literal would melt the driver and
+    # codegen at exactly the cluster scale this module exists for.
+    # Every row's id is a key of `counts` (they were computed FROM the
+    # rows), so the map lookup is total.
+    bases, running = {}, 0
+    for s in sorted(counts):
+        bases[s] = running
+        running += counts[s]
+    base_entries = [
+        x for s, b in sorted(bases.items())
+        for x in (F.lit(int(s)), F.lit(int(b)).cast("long"))
+    ]
+    base_map = F.create_map(*base_entries) if base_entries else None
     w = Window.partitionBy("_sgr_shard").orderBy(
         F.col(value_col).desc(), F.col(tiebreak_col).asc()
     )
-    rn = (
-        F.element_at(base_arr, F.col("_sgr_shard") + 1)
-        + F.row_number().over(w).cast("long")
-    ).alias(rank_col)
+    base = (
+        F.element_at(base_map, F.col("_sgr_shard"))
+        if base_map is not None
+        else F.lit(0).cast("long")
+    )
+    rn = (base + F.row_number().over(w).cast("long")).alias(rank_col)
     extra = ["_sgr_shard"] if keep_shard_col else []
     return sharded.select(*df.columns, rn, *extra)

@@ -403,6 +403,16 @@ def _view_artifact(
     man = incremental.read_manifest(root)
     rkey = (id(spark), f"{root}::{man.get('cid', man['gen'])}")
     if rkey not in _READ_CACHE:
+        # evict superseded generations of THIS view (a long-lived
+        # session committing daily refreshes would otherwise retain one
+        # dead plan per old cid — the bare-persist leak shape
+        # functions/caching.py exists to bound)
+        prefix = f"{root}::"
+        for k in [
+            k for k in _READ_CACHE
+            if isinstance(k[1], str) and k[1].startswith(prefix)
+        ]:
+            _READ_CACHE.pop(k, None)
         _READ_CACHE[rkey] = fan_out(
             spark, incremental.read_view(spark, root, columns=columns)
         )
@@ -410,30 +420,25 @@ def _view_artifact(
 
 
 def minhash_refresh_delta(
-    spark: SparkSession, sf_dir: str, inc_docs: DataFrame,
-    snap_sigs: DataFrame,
+    inc_sigs: DataFrame, snap_sigs: DataFrame
 ) -> DataFrame:
-    """The increment's NEW pair rows: shingle and sign the increment's
-    TEXT only (persisted once — both band joins consume the signature
-    subtree, ADVICE r10), band-join increment × snapshot
-    (``minhash_lsh_pairs_against`` — the snapshot side is the WRITTEN
-    signature artifact, read not re-signed, and never self-joined) plus
-    increment × increment. Increment ids exceed snapshot ids, so cross
-    pairs canonicalize to (id_a=snap, id_b=inc) without a
-    comparison."""
-    inc_sigs = cached_generation(
-        spark,
-        "mh_refresh_inc_sigs",
-        dedup.minhash_signatures(
-            shingles=dedup._exploded_shingles(inc_docs, "text", "doc_id", 3),
-            num_hashes=16,
-        ),
-    )
+    """The increment's NEW pair rows from already-signed inputs:
+    band-join increment × snapshot (``minhash_lsh_pairs_against`` — the
+    snapshot side is the WRITTEN signature artifact, read not
+    re-signed, and never self-joined) plus increment × increment.
+    Cross pairs canonicalize by least/greatest — correct whether or not
+    increment ids exceed snapshot ids (the soak's "snapshot" includes
+    earlier mutant slices, so orientation is by id, not by which side
+    was the increment; for the single-increment refresher, where inc
+    ids DO exceed snap ids, least/greatest reduces to (snap, inc)).
+    Callers persist ``inc_sigs`` (both band joins consume the signature
+    subtree, ADVICE r10). The 16/4/0.5 family constants live here
+    once, shared by the refresher and the soak."""
     cross = dedup.minhash_lsh_pairs_against(
         inc_sigs, snap_sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
     ).select(
-        F.col("id_snap").alias("id_a"),
-        F.col("id_inc").alias("id_b"),
+        F.least("id_inc", "id_snap").alias("id_a"),
+        F.greatest("id_inc", "id_snap").alias("id_b"),
         "est_jaccard",
     )
     within = dedup.minhash_lsh_pairs(
@@ -457,9 +462,19 @@ def refresh_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc_docs = _docs_with_mutants_plan(spark, sf_dir).filter(
             F.col("doc_id") >= MUT_OFFSET
         )
+        inc_sigs = cached_generation(
+            spark,
+            "mh_refresh_inc_sigs",
+            dedup.minhash_signatures(
+                shingles=dedup._exploded_shingles(
+                    inc_docs, "text", "doc_id", 3
+                ),
+                num_hashes=16,
+            ),
+        )
         return (
             minhash_refresh_delta(
-                spark, sf_dir, inc_docs, minhash_sigs_snapshot(spark, sf_dir)
+                inc_sigs, minhash_sigs_snapshot(spark, sf_dir)
             ),
             [],
         )
@@ -566,20 +581,8 @@ def minhash_soak_step(
         # any commit), so the cross join never sees this slice's own
         # signatures
         prev_sigs = incremental.read_view(spark, sigs_root)
-        cross = dedup.minhash_lsh_pairs_against(
-            inc_sigs, prev_sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
-        ).select(
-            # earlier slices are fellow mutants: orientation is by id,
-            # not by which side was the increment
-            F.least("id_inc", "id_snap").alias("id_a"),
-            F.greatest("id_inc", "id_snap").alias("id_b"),
-            "est_jaccard",
-        )
-        within = dedup.minhash_lsh_pairs(
-            inc_sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
-        )
         incremental.append_delta(
-            cross.unionByName(within), pairs_root, tag=tag
+            minhash_refresh_delta(inc_sigs, prev_sigs), pairs_root, tag=tag
         )
     if not incremental.has_tag(sigs_root, tag):
         incremental.append_delta(inc_sigs, sigs_root, tag=tag)

@@ -259,6 +259,13 @@ def gc_orphans(root: str | Path) -> list[str]:
     }
     removed = []
     for child in root.iterdir():
+        if child.is_file() and child.name.startswith("._manifest."):
+            # a crash between write_text and os.replace strands the
+            # temp manifest; it was never the commit point, so removal
+            # is always safe
+            child.unlink(missing_ok=True)
+            removed.append(child.name)
+            continue
         if not child.is_dir():
             continue
         if not child.name.startswith(("delta_", "delete_", "compact_")):

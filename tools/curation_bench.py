@@ -213,6 +213,9 @@ def main() -> None:
         ):
             p = llm._artifact_path(SF_DIR, name)
             shutil.rmtree(p, ignore_errors=True)
+            # path-keyed entry covers the copy-based groups artifact;
+            # the manifest views key by commit id, and the fresh
+            # commit's new cid forces its own cache miss
             llm._READ_CACHE.pop((id(spark), str(p)), None)
         t0 = time.time()
         n_pairs = llm.refresh_minhash_pairs(spark, SF_DIR).count()
