@@ -43,6 +43,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from de_project_sprint_etl_spark.functions import guards
 from de_project_sprint_etl_spark.functions.caching import cached_generation
 from de_project_sprint_etl_spark.functions.text import (
     h64,
@@ -159,11 +160,16 @@ def _dense_sid_vocab(counted: DataFrame) -> DataFrame:
     )
 
 
-def _sid_arrays(sh: DataFrame, vocab: DataFrame) -> DataFrame:
+def _sid_arrays(
+    sh: DataFrame, vocab: DataFrame, hint_vocab: bool = True
+) -> DataFrame:
     """Per-doc sorted sid arrays (``id, arr, n_sh``) — the shared input
-    of prefix-posting generation and pair verification."""
+    of prefix-posting generation and pair verification.
+    ``hint_vocab=False`` lets a caller pass a vocabulary whose broadcast
+    decision was already made (guards.gated_broadcast in the refresh
+    path) instead of forcing the hint here."""
     return (
-        sh.join(F.broadcast(vocab), "shingle")
+        sh.join(F.broadcast(vocab) if hint_vocab else vocab, "shingle")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("sid")).alias("arr"))
         .select("id", "arr", F.size("arr").cast("long").alias("n_sh"))
@@ -1175,14 +1181,18 @@ def ngram_refresh_delta(
         & (F.col("__df") > max_shingle_df)
     ).select("shingle")
     # crossing shingles sit in the df band just under the cut — a
-    # vocabulary-tail-sized set for any sane increment; broadcast is
-    # the inverted-index-probe analog
+    # vocabulary-tail-sized set for any sane increment, so the probe
+    # broadcasts; an adversarial increment that marches a huge slice of
+    # the vocabulary across the cut is routed to a shuffle join instead
+    # of failing at broadcast build (ADVICE r11 — in that regime the
+    # refresh approaches rebuild cost and stays merely slow, not dead)
+    crossed = guards.gated_broadcast(
+        crossed, f"{cache_tag} crossed shingles", bytes_per_row=48
+    )
     affected = cached_generation(
         spark,
         f"{cache_tag}_affected",
-        snap_shingles.join(F.broadcast(crossed), "shingle")
-        .select("id")
-        .distinct(),
+        snap_shingles.join(crossed, "shingle").select("id").distinct(),
     )
     recompute_ids = cached_generation(
         spark,
@@ -1194,7 +1204,12 @@ def ngram_refresh_delta(
         F.col("__df"),
         F.pmod(F.xxhash64("shingle"), F.lit(NGRAM_SID_BUCKETS)).alias("__bkt"),
     )
-    vocab = _dense_sid_vocab(counted)
+    # the merged sub-cut vocabulary normally broadcasts (it is the same
+    # assumption the live rebuild makes); near the driver limit the
+    # gate falls back to shuffle joins for BOTH probe sites below
+    vocab = guards.gated_broadcast(
+        _dense_sid_vocab(counted), f"{cache_tag} vocab", bytes_per_row=56
+    )
     all_sh = cached_generation(
         spark,
         f"{cache_tag}_sh",
@@ -1204,7 +1219,7 @@ def ngram_refresh_delta(
     # recompute doc — the only possible second endpoints (see step 4)
     rec_shingles = (
         all_sh.join(recompute_ids, "id")
-        .join(F.broadcast(vocab).select("shingle"), "shingle")
+        .join(vocab.select("shingle"), "shingle")
         .select("shingle")
         .distinct()
     )
@@ -1212,7 +1227,7 @@ def ngram_refresh_delta(
     arrs = cached_generation(
         spark,
         f"{cache_tag}_arrs",
-        _sid_arrays(all_sh.join(partner_ids, "id"), vocab),
+        _sid_arrays(all_sh.join(partner_ids, "id"), vocab, hint_vocab=False),
     )
     pref = _prefix_postings(arrs, tr)
     pref = pref.repartition(

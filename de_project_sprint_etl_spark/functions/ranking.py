@@ -144,7 +144,7 @@ def sharded_global_rank(
     tb_numeric = isinstance(
         df.schema[tiebreak_col].dataType, T.NumericType
     )
-    sub_cuts: dict[int, list[int]] = {}
+    sub_cuts: dict[int, list] = {}
     if heavy and tb_numeric:
         # enough sub-shards to bring the heaviest tie group back under
         # max_shard_rows, capped at the overall shard budget
@@ -164,7 +164,12 @@ def sharded_global_rank(
             .collect()
         )
         for r in rows:
-            tcs = sorted({int(c) for c in (r["tc"] or []) if c is not None})
+            # cuts stay in the tiebreak's OWN domain (ADVICE r10: a
+            # long-cast here collapsed DOUBLE tiebreaks whose ties
+            # concentrate inside one integer unit into a single
+            # sub-shard — balance-only, but exactly the degenerate case
+            # this pass exists to split)
+            tcs = sorted({c for c in (r["tc"] or []) if c is not None})
             if tcs:
                 sub_cuts[int(r["_sgr_shard"])] = tcs
     if sub_cuts:
@@ -176,14 +181,11 @@ def sharded_global_rank(
         stride = max(len(v) for v in sub_cuts.values()) + 1
         sub = F.lit(0)
         for s, tcs in sub_cuts.items():
-            tarr = F.array(*[F.lit(int(c)).cast("long") for c in tcs])
+            tarr = F.array(*[F.lit(c) for c in tcs])
             sub = F.when(
                 F.col("_sgr_shard") == s,
                 F.size(
-                    F.filter(
-                        tarr,
-                        lambda c: c < F.col(tiebreak_col).cast("long"),
-                    )
+                    F.filter(tarr, lambda c: c < F.col(tiebreak_col))
                 ),
             ).otherwise(sub)
         sharded = sharded.withColumn(

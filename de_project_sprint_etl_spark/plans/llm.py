@@ -544,6 +544,14 @@ def _slice_pred(j: int):
     """Mutant slice j of MUT_SLICES: mutant ids are base+MUT_OFFSET with
     base % 5 == 0 and MUT_OFFSET % 25 == 0, so doc_id % 25 walks
     {0,5,10,15,20} — one residue per slice."""
+    # ADVICE r11: the residue walk is only exhaustive-and-disjoint when
+    # MUT_OFFSET is a multiple of the modulus; a MUT_SLICES change that
+    # breaks this silently skews or EMPTIES slices (the soak would then
+    # pass vacuously on empty days)
+    assert MUT_OFFSET % (5 * MUT_SLICES) == 0, (
+        "soak slice predicate requires MUT_OFFSET % (5*MUT_SLICES) == 0; "
+        f"got MUT_OFFSET={MUT_OFFSET}, MUT_SLICES={MUT_SLICES}"
+    )
     return F.col("doc_id") % (5 * MUT_SLICES) == 5 * j
 
 

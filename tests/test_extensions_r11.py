@@ -127,6 +127,41 @@ def test_sharded_rank_heavy_null_group_subshards(spark):
     assert got == want
 
 
+def test_sharded_rank_fractional_tiebreak_subshards(spark):
+    """ADVICE r11: a DOUBLE tiebreak whose ties concentrate inside one
+    integer unit must still sub-shard — cuts are taken in the
+    tiebreak's own domain, not cast to long (a long cast collapsed
+    every cut to 0 and kept the whole tie group in one sub-shard)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.functions.ranking import (
+        sharded_global_rank,
+    )
+
+    # one giant tie group; every tiebreak value lives in (0, 1)
+    rows = [(i / 10_000.0, 5) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, "score double, n_tokens long")
+    out = sharded_global_rank(
+        df, "n_tokens", "score", n_shards=16, max_shard_rows=100,
+        keep_shard_col=True,
+    ).collect()
+    got = {r["score"]: r["rn"] for r in out}
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("score").asc())
+    want = {
+        r["score"]: r["rn"]
+        for r in df.select(
+            "score", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+    from collections import Counter
+
+    sizes = Counter(r["_sgr_shard"] for r in out)
+    assert len(sizes) > 2, dict(sizes)
+    assert max(sizes.values()) <= 250, dict(sizes)
+
+
 # --- incremental exact-Jaccard (PPJoin) refresh (VERDICT r10 #1) -----------
 
 
@@ -207,6 +242,64 @@ def test_ngram_refresh_handles_df_cut_crossing(spark):
     assert (3, 4) in got_ids  # snapshot pair ADMITTED by the crossing
     assert (5, 101) in got_ids  # snapshot x increment
     assert (101, 102) in got_ids  # increment x increment
+
+
+def test_ngram_refresh_shuffle_fallback_same_result(spark):
+    """ADVICE r11: with broadcasting disabled the refresh's crossed-
+    shingle and vocabulary probes must plan as shuffle joins and still
+    equal the full rebuild — the adversarial-increment fallback path
+    (gated_broadcast routing) instead of a broadcast-build failure."""
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.functions import dedup
+
+    snap_docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d f"),
+            (3, "p q r s a b c d"),
+            (4, "p q r s t"),
+            (5, "x a b h1"),
+        ],
+        "doc_id long, text string",
+    )
+    inc_docs = spark.createDataFrame(
+        [(101, "x a b c d y"), (102, "x a b c d w")],
+        "doc_id long, text string",
+    )
+    cut, j = 3, 0.3
+    snap_sh = dedup._exploded_shingles(snap_docs, "text", "doc_id", 3)
+    inc_sh = dedup._exploded_shingles(inc_docs, "text", "doc_id", 3)
+    snap_census = snap_sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    snap_pairs = dedup.ngram_jaccard_pairs(
+        shingles=snap_sh, min_jaccard=j, max_shingle_df=cut
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        refreshed = _pairs_set(
+            dedup.ngram_refresh_pairs(
+                snap_pairs,
+                snap_census,
+                snap_sh,
+                inc_sh,
+                min_jaccard=j,
+                max_shingle_df=cut,
+                cache_tag="t_ngref_nobc",
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    rebuilt = _pairs_set(
+        dedup.ngram_jaccard_pairs(
+            shingles=snap_sh.unionByName(inc_sh),
+            min_jaccard=j,
+            max_shingle_df=cut,
+        )
+    )
+    assert refreshed == rebuilt
 
 
 def test_ngram_refresh_empty_increment_is_identity(spark):
