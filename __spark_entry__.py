@@ -61,8 +61,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # alphabetically from the next-oldest tier. The inline comments below
 # carry the current round's composition.
 GATE_PRIORITY = [
-    # (a) round-11 newcomer — first external attestation
+    # (a) round-11 newcomers — first external attestation
     "incremental_exact_pair_refresh",
+    "incremental_time_travel",
+    "incremental_upsert_orders",
     # (b) plans changed in round 11 after their r10 attestation: the
     # three refreshers now read manifest-gated in-place views
     # (base-referencing union/anti-join plans), and the packer's
@@ -116,9 +118,9 @@ GATE_PRIORITY = [
     "variant_json_stats",
     "vocab_growth_curve",
     "window_rank_functions",
-    "winsorize_event_values",
-    # (d) one r6-attested filler, alphabetical
-    "attribution_model_compare",
+    # (d) two r11 newcomers displaced the r6 filler and the
+    # alphabetically-last r5-tier query (winsorize_event_values stays
+    # r5-attested — the one leftover; front it in r12's rotation)
 ]
 
 

@@ -1349,6 +1349,27 @@ def q_incremental_attributes_refresh(
     return refresh_mutant_stats(spark, sf_dir)
 
 
+@register("incremental_time_travel", _sql_text_quality("documents"))
+def q_incremental_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generation time travel on the in-place attributes view
+    (sources/incremental.read_view ``as_of_gen``): AFTER the refresh
+    commit has landed, read the view as of generation 0 — the result
+    must be exactly what the pre-refresh view served, i.e. the snapshot
+    attributes with no trace of the increment. The oracle recomputes
+    the snapshot stats from the raw ``documents`` table, so hash
+    equality proves the as-of fold excludes later generations
+    completely (the audit read: 'what did the table hold before day
+    j?'). History lives in the live manifest, so the query also pins
+    that the refresh chain never compacts implicitly."""
+    refresh_mutant_stats(spark, sf_dir)  # ensure the refresh committed
+    root = _artifact_path(sf_dir, "mut_stats_refreshed")
+    return incremental.read_view(
+        spark, root, columns=["doc_id", *STAT_COLS], as_of_gen=0
+    )
+
+
 # --- incremental EXACT-Jaccard (PPJoin) refresh (VERDICT r10 #1) -----------
 #
 # The exact tier was the one hole in the incremental chain: its

@@ -1428,3 +1428,124 @@ def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("bigint").alias("sum_orders"),
         F.sum("rev_cents").cast("bigint").alias("sum_revenue_cents"),
     )
+
+
+# --- manifest-gated upsert chain over a warehouse fact (round 11) -----------
+#
+# The reference's K-family (truncate/recreate + chunked re-insert,
+# K2/K3/K8 in SURVEY §2.2) exists because its warehouse could not
+# upsert in place; sources/incremental.py is this engine's answer, and
+# the proof below drives it through a WAREHOUSE-shaped chain: three
+# daily upsert commits over an orders projection (status promotion,
+# price restatement, late-fee restatement), each expressed as
+# equality-deletes + recomputed rows, with auto-compaction bounding the
+# merge-on-read anti-join chain mid-sequence. The oracle computes the
+# closed-form final state straight from raw ``orders``, so hash
+# equality proves the whole protocol — commit fold order, delete
+# scoping, auto-compact rewrite — preserves values exactly.
+
+_UPSERT_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+def _orders_upsert_view(spark: SparkSession, sf_dir: str):
+    """Build (once per corpus) the upsert view and return its root.
+    Day 1 promotes every in-progress order ('P' -> 'F'); day 2 restates
+    prices for orderkey % 10 == 0 (doubled); day 3 adds a 1.00 late fee
+    for orderkey % 7 == 0. Later days recompute their rows FROM BASE
+    with the composition of earlier days applied — the standard upsert
+    discipline (each commit owns the full current value of the keys it
+    touches). ``auto_compact_after=2`` makes compaction fire after day
+    2's commit, so the read below spans a compacted member plus a live
+    delta — both protocol halves in one registered plan."""
+    from de_project_sprint_etl_spark.plans import llm as _llm
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base = _llm._materialized(
+        spark,
+        sf_dir,
+        "orders_upsert_base",
+        lambda: t(spark, sf_dir, "orders").select(*_UPSERT_COLS),
+    )
+    root = _llm._artifact_path(sf_dir, "orders_upsert_view")
+    incremental.init_view(
+        root, [str(_llm._artifact_path(sf_dir, "orders_upsert_base"))]
+    )
+    key = F.col("o_orderkey")
+    status1 = F.when(F.col("o_orderstatus") == "P", F.lit("F")).otherwise(
+        F.col("o_orderstatus")
+    )
+    price2 = F.when(
+        key % 10 == 0, F.col("o_totalprice") * 2
+    ).otherwise(F.col("o_totalprice"))
+    price3 = price2 + F.when(key % 7 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    days = [
+        (
+            "day1",
+            F.col("o_orderstatus") == "P",
+            [key.alias("o_orderkey"), F.lit("F").alias("o_orderstatus"),
+             F.col("o_totalprice")],
+        ),
+        (
+            "day2",
+            key % 10 == 0,
+            [key.alias("o_orderkey"), status1.alias("o_orderstatus"),
+             price2.alias("o_totalprice")],
+        ),
+        (
+            "day3",
+            key % 7 == 0,
+            [key.alias("o_orderkey"), status1.alias("o_orderstatus"),
+             price3.alias("o_totalprice")],
+        ),
+    ]
+    for tag, pred, cols in days:
+        if not incremental.has_tag(root, tag):
+            incremental.append_delta(
+                base.filter(pred).select(*cols),
+                root,
+                tag=tag,
+                deletes=[base.filter(pred).select("o_orderkey")],
+                auto_compact_after=2,
+            )
+    return root
+
+
+@register(
+    "incremental_upsert_orders",
+    """
+WITH final AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN 'F'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END
+           + CASE WHEN o_orderkey % 7 = 0 THEN 1.0 ELSE 0.0 END AS price
+  FROM orders)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM final
+GROUP BY o_orderstatus
+""",
+)
+def q_incremental_upsert_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Three-commit upsert chain through the manifest-gated in-place
+    view, auto-compacted mid-chain (``_orders_upsert_view``), then
+    aggregated per status. The oracle applies the same three
+    restatements as a closed-form projection of raw ``orders`` — hash
+    equality proves drop-then-add fold order, per-commit delete
+    scoping, AND the auto-compaction rewrite are all value-preserving.
+    Scale shape: commits are restated-subset-sized, the base is
+    referenced (never copied), reads fold one broadcast anti-join per
+    live delete member with compaction bounding that chain at 2."""
+    from de_project_sprint_etl_spark.sources import incremental
+
+    root = _orders_upsert_view(spark, sf_dir)
+    out = incremental.read_view(spark, root, columns=_UPSERT_COLS)
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

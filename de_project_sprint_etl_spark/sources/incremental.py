@@ -82,10 +82,39 @@ def _publish(root: Path, manifest: dict) -> None:
     os.replace(tmp, root / MANIFEST)
 
 
+def _fingerprint_dir(path: str | Path) -> dict:
+    """Cheap structural fingerprint of a parquet directory: file count,
+    total bytes, and a hash of the sorted (name, size) listing. A
+    metadata-only walk — no data read — so verifying it per external
+    member at read time costs one directory listing."""
+    import hashlib
+
+    entries = sorted(
+        (f.name, f.stat().st_size)
+        for f in Path(path).rglob("*.parquet")
+        if f.is_file()
+    )
+    h = hashlib.sha256(
+        "\n".join(f"{n}\t{s}" for n, s in entries).encode()
+    ).hexdigest()[:16]
+    return {
+        "nfiles": len(entries),
+        "bytes": sum(s for _n, s in entries),
+        "listing": h,
+    }
+
+
 def init_view(root: str | Path, base_paths: list[str]) -> None:
     """Create generation 0 over already-written base directories
     (absolute paths, typically OUTSIDE the root — the stored snapshot
-    artifact, never copied). No-op if the view exists."""
+    artifact, never copied). No-op if the view exists.
+
+    Each base member records a structural fingerprint of its directory
+    at init time; ``read_view`` refuses to serve a view whose external
+    base changed underneath it (ADVICE r11: a manual in-place snapshot
+    rebuild after a compact used to desync silently — now ANY in-place
+    base mutation fails loudly, and the remedy — re-init or re-derive —
+    is in the error)."""
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
     if read_manifest(root) is not None:
@@ -95,7 +124,12 @@ def init_view(root: str | Path, base_paths: list[str]) -> None:
         {
             "gen": 0,
             "members": [
-                {"path": str(p), "kind": "data", "gen": 0}
+                {
+                    "path": str(p),
+                    "kind": "data",
+                    "gen": 0,
+                    "fp": _fingerprint_dir(p),
+                }
                 for p in base_paths
             ],
             "tags": [],
@@ -135,12 +169,23 @@ def append_delta(
     root: str | Path,
     tag: str,
     deletes: list[DataFrame] | None = None,
+    auto_compact_after: int | None = None,
 ) -> None:
     """One refresh commit: write the increment's data rows (and any
     equality-delete key files) as new parquet directories under the
     root, then publish. Idempotence is the CALLER's tag check
     (``has_tag``) — append_delta itself always commits. Cost is
-    increment-sized: the base member is referenced, never rewritten."""
+    increment-sized: the base member is referenced, never rewritten.
+
+    ``auto_compact_after`` bounds merge-on-read amplification (ADVICE
+    r11: every delete-carrying commit adds one anti-join to the read
+    fold, and nothing scheduled compaction): once the committed
+    manifest carries at least that many delete members, ``compact``
+    runs immediately after the commit. The commit itself is already
+    published when compaction starts, so a compaction crash loses
+    nothing — the pre-compact generation keeps being served. Leave
+    ``None`` where callers prove per-generation invariants (the soak's
+    per-day assertions) or schedule compaction on their own cadence."""
     root = Path(root)
     m = read_manifest(root)
     if m is None:
@@ -155,12 +200,21 @@ def append_delta(
     df.write.mode("overwrite").parquet(str(root / rel))
     new_members.append({"path": rel, "kind": "data", "gen": gen})
     _commit(root, new_members, tag, replace=False)
+    if auto_compact_after is not None:
+        n_deletes = sum(
+            1
+            for mm in read_manifest(root)["members"]
+            if mm["kind"] == "delete"
+        )
+        if n_deletes >= auto_compact_after:
+            compact(df.sparkSession, root)
 
 
 def read_view(
     spark: SparkSession,
     root: str | Path,
     columns: list[str] | None = None,
+    as_of_gen: int | None = None,
 ) -> DataFrame:
     """The committed view, folded in COMMIT ORDER: a generation's
     delete members anti-join everything committed BEFORE it (on the
@@ -177,15 +231,55 @@ def read_view(
     schema — so a base artifact carrying extra columns (the snapshot
     table often stores more than the refreshed view's contract) unions
     cleanly with increment-projected deltas, and the projection reaches
-    each member's parquet scan (column pruning per member)."""
+    each member's parquet scan (column pruning per member).
+
+    ``as_of_gen`` time-travels: only members committed at or before
+    that generation fold in, so the result is exactly the view as some
+    earlier ``read_view`` would have served it — the audit/debug read
+    ("what did day j's refresh actually publish?"). History lives in
+    the live manifest's members, so it reaches back to the most recent
+    ``compact`` and no further (compaction collapses members into one;
+    the snapshot-expiration trade every lakehouse format makes) —
+    reading past expired history raises rather than serving a partial
+    fold."""
     from pyspark.sql import functions as F
 
     root = Path(root)
     m = read_manifest(root)
     if m is None:
         raise ValueError(f"uninitialized incremental view: {root}")
+    members = m["members"]
+    if as_of_gen is not None:
+        if as_of_gen > int(m["gen"]):
+            raise ValueError(
+                f"as_of_gen={as_of_gen} is in the future: {root} is at "
+                f"generation {m['gen']}"
+            )
+        members = [
+            mm for mm in members if int(mm.get("gen", 0)) <= as_of_gen
+        ]
+        if not any(mm["kind"] == "data" for mm in members):
+            raise ValueError(
+                f"as_of_gen={as_of_gen} predates this view's retained "
+                f"history ({root}): a compact has collapsed earlier "
+                "generations; time travel reaches back only to the "
+                "most recent compaction"
+            )
+    for mm in members:
+        # external bases are referenced in place; refuse to serve a
+        # view whose base was rebuilt underneath the manifest
+        if os.path.isabs(mm["path"]) and "fp" in mm:
+            now = _fingerprint_dir(mm["path"])
+            if now != mm["fp"]:
+                raise ValueError(
+                    f"incremental view base changed on disk: "
+                    f"{mm['path']} (recorded {mm['fp']}, found {now}); "
+                    f"re-derive the view (init over the rebuilt base) "
+                    f"or re-run the refresh chain — serving it would "
+                    f"silently mix generations"
+                )
     by_gen: dict[int, list[dict]] = {}
-    for mm in m["members"]:
+    for mm in members:
         by_gen.setdefault(int(mm.get("gen", 0)), []).append(mm)
     out = None
     for g in sorted(by_gen):

@@ -418,6 +418,185 @@ def test_incremental_view_crash_before_publish_serves_previous_gen(
     assert _view_rows(spark, root) == {(1, 10), (2, 20), (9, 99)}
 
 
+def test_incremental_view_time_travel(spark, tmp_path):
+    """``as_of_gen`` must reproduce exactly what each earlier
+    generation served — including the delete fold — and refuse both
+    future generations and history expired by compaction."""
+    import pytest as _pytest
+
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base_dir = tmp_path / "base"
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    ).write.parquet(str(base_dir))
+    root = tmp_path / "view"
+    incremental.init_view(root, [str(base_dir)])
+    states = {0: _view_rows(spark, root)}
+    incremental.append_delta(
+        spark.createDataFrame([(2, 222), (4, 40)], "k long, v long"),
+        root,
+        tag="day1",
+        deletes=[spark.createDataFrame([(2,)], "k long")],
+    )
+    states[1] = _view_rows(spark, root)
+    incremental.append_delta(
+        spark.createDataFrame([(5, 50)], "k long, v long"), root, tag="day2"
+    )
+    states[2] = _view_rows(spark, root)
+    assert states[0] == {(1, 10), (2, 20), (3, 30)}
+    assert states[1] == {(1, 10), (3, 30), (2, 222), (4, 40)}
+    assert states[2] == states[1] | {(5, 50)}
+    for g, want in states.items():
+        got = {
+            (r["k"], r["v"])
+            for r in incremental.read_view(
+                spark, root, as_of_gen=g
+            ).collect()
+        }
+        assert got == want, f"gen {g}"
+    with _pytest.raises(ValueError, match="future"):
+        incremental.read_view(spark, root, as_of_gen=3)
+    gen = incremental.compact(spark, root)
+    # history before the compact is expired; the compact gen still reads
+    got = {
+        (r["k"], r["v"])
+        for r in incremental.read_view(
+            spark, root, as_of_gen=gen
+        ).collect()
+    }
+    assert got == states[2]
+    with _pytest.raises(ValueError, match="compact"):
+        incremental.read_view(spark, root, as_of_gen=1)
+
+
+def test_incremental_view_base_fingerprint_guard(spark, tmp_path):
+    """ADVICE r11: a base artifact rebuilt IN PLACE after init must
+    fail loudly at read time instead of silently mixing generations —
+    the manifest records a structural fingerprint of every external
+    base."""
+    import pytest as _pytest
+
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base_dir = tmp_path / "base"
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    ).write.parquet(str(base_dir))
+    root = tmp_path / "view"
+    incremental.init_view(root, [str(base_dir)])
+    incremental.append_delta(
+        spark.createDataFrame([(3, 30)], "k long, v long"), root, tag="d1"
+    )
+    assert _view_rows(spark, root) == {(1, 10), (2, 20), (3, 30)}
+    # manual in-place rebuild of the base (the desync scenario)
+    spark.createDataFrame(
+        [(1, 11), (2, 22), (7, 77)], "k long, v long"
+    ).write.mode("overwrite").parquet(str(base_dir))
+    with _pytest.raises(ValueError, match="base changed on disk"):
+        incremental.read_view(spark, root)
+    # compaction is impossible too (it reads the view); re-init over
+    # the rebuilt base is the documented remedy
+    root2 = tmp_path / "view2"
+    incremental.init_view(root2, [str(base_dir)])
+    assert _view_rows(spark, root2) == {(1, 11), (2, 22), (7, 77)}
+
+
+def test_incremental_view_auto_compact(spark, tmp_path):
+    """``auto_compact_after`` bounds the merge-on-read anti-join chain:
+    once the manifest accumulates that many delete members the commit
+    triggers compaction — values identical before and after, manifest
+    self-contained, delete chain reset."""
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base_dir = tmp_path / "base"
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 8)], "k long, v long"
+    ).write.parquet(str(base_dir))
+    root = tmp_path / "view"
+    incremental.init_view(root, [str(base_dir)])
+    want = {(i, i * 10) for i in range(1, 8)}
+    for day in (1, 2, 3, 4):
+        k = day  # upsert: recompute row k
+        incremental.append_delta(
+            spark.createDataFrame([(k, k * 1000)], "k long, v long"),
+            root,
+            tag=f"day{day}",
+            deletes=[spark.createDataFrame([(k,)], "k long")],
+            auto_compact_after=2,
+        )
+        want = {(a, b) for a, b in want if a != k} | {(k, k * 1000)}
+        assert _view_rows(spark, root) == want, f"day {day}"
+        n_del = sum(
+            1
+            for mm in incremental.read_manifest(root)["members"]
+            if mm["kind"] == "delete"
+        )
+        assert n_del < 2, f"day {day}: delete chain not bounded"
+    # compaction really fired: the view is self-contained
+    import os
+
+    m = incremental.read_manifest(root)
+    assert all(not os.path.isabs(mm["path"]) for mm in m["members"])
+    # tags survive compaction — idempotence keeps working afterwards
+    assert incremental.has_tag(root, "day1")
+
+
+def test_orders_upsert_view_auto_compacts_and_is_idempotent(spark):
+    """The registered upsert chain must really exercise both protocol
+    halves: after the three commits the manifest holds a compacted
+    member (auto-compact fired after day 2) plus day 3's live
+    delta/delete, tags survive, and a re-run commits nothing new."""
+    import os
+
+    from de_project_sprint_etl_spark.plans import warehouse
+    from de_project_sprint_etl_spark.sources import incremental
+
+    root = warehouse._orders_upsert_view(spark, SF)
+    m = incremental.read_manifest(root)
+    kinds = sorted(
+        (mm["kind"], mm["path"].split("_")[0]) for mm in m["members"]
+    )
+    # one compacted data member, one day-3 delta, one day-3 delete
+    assert kinds == [
+        ("data", "compact"), ("data", "delta"), ("delete", "delete"),
+    ], m["members"]
+    assert all(not os.path.isabs(mm["path"]) for mm in m["members"])
+    for tag in ("day1", "day2", "day3"):
+        assert incremental.has_tag(root, tag)
+    gen_before = m["gen"]
+    root2 = warehouse._orders_upsert_view(spark, SF)
+    assert root2 == root
+    assert incremental.read_manifest(root)["gen"] == gen_before
+    # the fold equals the closed-form restatement of raw orders
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.plans.testdata import t
+
+    key = F.col("o_orderkey")
+    want = (
+        t(spark, SF, "orders")
+        .select(
+            key,
+            F.when(F.col("o_orderstatus") == "P", F.lit("F"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            (
+                F.when(key % 10 == 0, F.col("o_totalprice") * 2).otherwise(
+                    F.col("o_totalprice")
+                )
+                + F.when(key % 7 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+            ).alias("o_totalprice"),
+        )
+    )
+    got = incremental.read_view(
+        spark, root, columns=warehouse._UPSERT_COLS
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
 def test_refresh_views_commit_increment_sized_files(spark):
     """The measured point of the in-place shape: the refresh commit
     must NOT contain a copy of the snapshot. For the append-only views,
