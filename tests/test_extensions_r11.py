@@ -666,6 +666,17 @@ def test_view_reads_prune_and_stay_shuffle_sane(spark):
     assert "CartesianProduct" not in pair_plan
     mh_plan = _plan_of(RAW_QUERIES["incremental_pair_refresh"](spark, SF))
     assert "CartesianProduct" not in mh_plan
+    # round-11 newcomers: the time-travel read is the PRUNED base scan
+    # alone (no later member unioned in, no join at all), and the
+    # upsert aggregate folds its live delete member as a hash
+    # anti-join, never a cartesian
+    tt_plan = _plan_of(RAW_QUERIES["incremental_time_travel"](spark, SF))
+    assert "lang" not in tt_plan, "as-of-0 read lost base column pruning"
+    assert "Join" not in tt_plan, (
+        "gen-0 time travel must fold zero deletes and zero deltas"
+    )
+    uo_plan = _plan_of(RAW_QUERIES["incremental_upsert_orders"](spark, SF))
+    assert "CartesianProduct" not in uo_plan
 
 
 # --- N-day refresh soak (VERDICT r10 #3) -----------------------------------
