@@ -634,3 +634,85 @@ def q_streaming_retention_compact(spark: SparkSession, sf_dir: str) -> DataFrame
         "payment_amount", F.col("payment_amount").cast("decimal(18,2)")
     )
     return retention_compact_from(v2, weeks_dim_cached(spark, sf_dir))
+
+
+# --- exactly-once streaming ingestion into a manifest view (round 11) -------
+#
+# streaming_retention_compact above proves the foreachBatch C5 merge
+# with batchId-keyed overwrite dirs; this query proves the STRONGER
+# production contract: each micro-batch lands as one atomic manifest
+# commit in a sources/incremental.py view, a STABLE checkpoint pins the
+# file→batch assignment, and the batch tag makes any replay a no-op —
+# exactly-once end to end (jobs.ingest_stream_into_view documents the
+# crash matrix). The oracle aggregates raw `events`, so hash equality
+# proves the drained view holds every event exactly once regardless of
+# how the files split into batches.
+
+
+def _events_ingest_root(spark: SparkSession, sf_dir: str):
+    """Build (once per corpus) the streaming-ingested events view:
+    an empty schema-bearing base, a 6-file source copy drained at 2
+    files per micro-batch (a genuine 3-commit chain), checkpoint kept
+    UNDER the view root so restarts resume offsets instead of
+    re-listing."""
+    from de_project_sprint_etl_spark.plans import llm as _llm
+    from de_project_sprint_etl_spark.sources import incremental
+
+    _llm._materialized(
+        spark,
+        sf_dir,
+        "events_ingest_base",
+        lambda: events_df(spark, sf_dir).limit(0),
+    )
+    src = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = sf_dir.strip("/").replace("/", "_")
+    src_path = (
+        Path(_CACHE_ROOT)
+        / f"{key}-events-{src.st_mtime_ns}-{src.st_size}"
+        / "stream_src_multi"
+    )
+    if not (src_path / "_SUCCESS").exists():
+        events_df(spark, sf_dir).repartition(6).write.mode(
+            "overwrite"
+        ).parquet(str(src_path))
+    root = _llm._artifact_path(sf_dir, "events_ingest_view")
+    incremental.init_view(
+        root, [str(_llm._artifact_path(sf_dir, "events_ingest_base"))]
+    )
+    jobs.ingest_stream_into_view(
+        jobs.read_event_stream(spark, str(src_path), max_files=2),
+        root,
+        root / "_checkpoint",
+    )
+    return root
+
+
+@register(
+    "streaming_view_ingest",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_streaming_view_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-executed exactly-once ingestion: the events corpus is
+    drained file-stream → foreachBatch → manifest-view commits (one
+    atomic commit per micro-batch, tag-deduplicated replays), then the
+    VIEW — not the sink — is aggregated per event type. Hash equality
+    against the batch oracle proves no batch was lost or doubled.
+    Scale shape: commits are batch-sized parquet appends with no
+    shuffle; the view read is a pruned multi-member scan; re-running
+    resumes the checkpoint and commits nothing."""
+    from de_project_sprint_etl_spark.sources import incremental
+
+    root = _events_ingest_root(spark, sf_dir)
+    v = incremental.read_view(spark, root, columns=["event_type", "value"])
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -35,15 +35,18 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, src_dir: str, fmt: str = "parquet"
+    spark: SparkSession, src_dir: str, fmt: str = "parquet",
+    max_files: int = 8,
 ) -> DataFrame:
     """File-arrival stream over an events directory (the Spark-native
     form of the reference's poll-for-increment loop,
-    ETL_logs_inc.py:69-109 — the FileStreamSource does the polling)."""
+    ETL_logs_inc.py:69-109 — the FileStreamSource does the polling).
+    ``max_files`` caps files per micro-batch — the increment batching
+    knob (smaller caps → more, smaller commits)."""
     return (
         spark.readStream.format(fmt)
         .schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files)
         .load(src_dir)
     )
 
@@ -195,6 +198,54 @@ def run_foreach_batch(
     q = (
         stream.writeStream.foreachBatch(batch_fn)
         .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ingest_stream_into_view(
+    stream: DataFrame,
+    root,
+    checkpoint_dir,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> None:
+    """Exactly-once streaming ingestion into a manifest-gated
+    incremental view (sources/incremental.py) — the streaming form of
+    the reference's idempotent snapshot∪increment merge (C5).
+
+    Structured Streaming's ``foreachBatch`` is at-least-once: a batch
+    whose sink write succeeded but whose checkpoint commit did not land
+    is REPLAYED on restart, with the same ``batch_id`` and — because
+    the checkpoint's offset log pins the file→batch assignment — the
+    same rows. Exactly-once therefore needs two halves working
+    together, and this function is deliberately nothing more than
+    their composition:
+
+    - the CHECKPOINT (pass a stable directory, not a fresh one) pins
+      which files make up each batch, so a replay re-presents
+      identical content under an identical id;
+    - the VIEW's commit tag (``batch-{batch_id}``) makes the replay a
+      no-op: ``has_tag`` sees the already-published manifest commit
+      and skips, closing the append-succeeded/checkpoint-crashed gap.
+
+    A crash in the opposite order (manifest publish never happened)
+    leaves an orphan delta directory the reader never sees, and the
+    replay re-commits it — the protocol's crash matrix is covered from
+    both sides. ``transform`` runs per batch BEFORE the commit (the
+    reuse point for the pure batch operators)."""
+    from de_project_sprint_etl_spark.sources import incremental
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        tag = f"batch-{batch_id}"
+        if incremental.has_tag(root, tag):
+            return
+        df = transform(batch_df) if transform is not None else batch_df
+        incremental.append_delta(df, root, tag=tag)
+
+    q = (
+        stream.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", str(checkpoint_dir))
         .trigger(availableNow=True)
         .start()
     )

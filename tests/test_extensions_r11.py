@@ -679,6 +679,69 @@ def test_view_reads_prune_and_stay_shuffle_sane(spark):
     assert "CartesianProduct" not in uo_plan
 
 
+def test_streaming_ingest_exactly_once_under_replay(spark, tmp_path):
+    """The streaming half of the manifest protocol: a stable checkpoint
+    pins batch composition; the batch tag makes replays no-ops. Drain,
+    resume (no new commits), then delete the checkpoint and re-drain
+    from scratch — every batch replays and every commit is skipped, so
+    the view holds each event exactly once through all three runs."""
+    import datetime
+    import shutil
+
+    from de_project_sprint_etl_spark.sources import incremental
+    from de_project_sprint_etl_spark.streaming import jobs
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2022, 3, 1, 0, 0, i),
+            i % 7,
+            "click" if i % 3 else "buy",
+            float(i),
+            "{}",
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, schema=jobs.EVENTS_STREAM_SCHEMA)
+    src = tmp_path / "src"
+    df.repartition(6).write.parquet(str(src))
+    base = tmp_path / "base"
+    df.limit(0).write.parquet(str(base))
+    root = tmp_path / "view"
+    ckpt = root / "_checkpoint"
+    incremental.init_view(root, [str(base)])
+
+    def drain():
+        jobs.ingest_stream_into_view(
+            jobs.read_event_stream(spark, str(src), max_files=2),
+            root,
+            ckpt,
+        )
+
+    drain()
+    m1 = incremental.read_manifest(root)
+    assert m1["gen"] == 3, "6 files at 2/batch must commit 3 batches"
+    want = {r["event_id"] for r in df.collect()}
+
+    def got_ids():
+        return {
+            r["event_id"]
+            for r in incremental.read_view(
+                spark, root, columns=["event_id"]
+            ).collect()
+        }
+
+    assert got_ids() == want
+    # resume: the checkpoint holds committed offsets — nothing replays
+    drain()
+    assert incremental.read_manifest(root)["gen"] == 3
+    # full replay: fresh checkpoint re-presents every batch; tags skip
+    shutil.rmtree(ckpt)
+    drain()
+    assert incremental.read_manifest(root)["gen"] == 3
+    assert got_ids() == want
+
+
 # --- N-day refresh soak (VERDICT r10 #3) -----------------------------------
 
 
