@@ -1549,3 +1549,87 @@ def q_incremental_upsert_orders(
         .cast("double")
         .alias("total_price"),
     )
+
+
+def _orders_delete_view(spark: SparkSession, sf_dir: str):
+    """MERGE + DELETE WHERE through the public view API (a separate
+    root from ``_orders_upsert_view`` — that chain's values are
+    attested and must never be mutated by this one). Day 1 restates
+    every fifth order's price (+10.00) via ``merge_upsert``; day 2
+    purges finished orders with orderkey % 3 == 0 via ``delete_where``
+    — a predicate over the POST-restatement view state, which is what
+    makes the two-step composition worth proving."""
+    from de_project_sprint_etl_spark.plans import llm as _llm
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base = _llm._materialized(
+        spark,
+        sf_dir,
+        "orders_upsert_base",
+        lambda: t(spark, sf_dir, "orders").select(*_UPSERT_COLS),
+    )
+    root = _llm._artifact_path(sf_dir, "orders_delete_view")
+    incremental.init_view(
+        root, [str(_llm._artifact_path(sf_dir, "orders_upsert_base"))]
+    )
+    key = F.col("o_orderkey")
+    if not incremental.has_tag(root, "restate"):
+        incremental.merge_upsert(
+            base.filter(key % 5 == 0).select(
+                key.alias("o_orderkey"),
+                "o_orderstatus",
+                (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+            ),
+            root,
+            ["o_orderkey"],
+            tag="restate",
+        )
+    if not incremental.has_tag(root, "purge"):
+        incremental.delete_where(
+            spark,
+            root,
+            (F.col("o_orderstatus") == "F") & (key % 3 == 0),
+            ["o_orderkey"],
+            tag="purge",
+        )
+    return root
+
+
+@register(
+    "incremental_delete_where",
+    """
+WITH up AS (
+  SELECT o_orderkey, o_orderstatus,
+         o_totalprice
+           + CASE WHEN o_orderkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS price
+  FROM orders)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM up
+WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 0)
+GROUP BY o_orderstatus
+""",
+)
+def q_incremental_delete_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Row-level MERGE + DELETE WHERE on the manifest view
+    (``_orders_delete_view``), aggregated per status; the oracle is the
+    closed-form restate-then-purge over raw ``orders``. Hash equality
+    proves the delete commit's key materialization (evaluated on the
+    post-restatement view) and the empty-data-member fold are
+    value-exact. Scale shape: the restatement commit is
+    subset-sized, the purge's delete file is matched-keys-sized, and
+    the final read folds two broadcast anti-joins over the referenced
+    base."""
+    from de_project_sprint_etl_spark.sources import incremental
+
+    root = _orders_delete_view(spark, sf_dir)
+    out = incremental.read_view(spark, root, columns=_UPSERT_COLS)
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

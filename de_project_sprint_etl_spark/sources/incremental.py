@@ -210,6 +210,54 @@ def append_delta(
             compact(df.sparkSession, root)
 
 
+def merge_upsert(
+    df: DataFrame,
+    root: str | Path,
+    key_cols: list[str],
+    tag: str,
+    auto_compact_after: int | None = None,
+) -> None:
+    """MERGE (upsert) sugar: one commit whose equality-delete file
+    holds ``df``'s key projection and whose data member is ``df``
+    itself — every key the increment touches is dropped from prior
+    generations and replaced by the increment's row (drop-then-add in
+    one atomic commit). The caller owns the usual contracts: check
+    ``has_tag`` first, and ``df`` must carry at most one row per key
+    (two rows sharing a key would BOTH survive — same as SQL MERGE
+    with a duplicated source)."""
+    keys = df.select(*key_cols).distinct()
+    append_delta(
+        df,
+        root,
+        tag=tag,
+        deletes=[keys],
+        auto_compact_after=auto_compact_after,
+    )
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str | Path,
+    predicate,
+    key_cols: list[str],
+    tag: str,
+) -> None:
+    """Row-level DELETE WHERE: materialize the keys of the CURRENT
+    view's rows matching ``predicate`` (a pyspark Column) into an
+    equality-delete commit. ``key_cols`` must identify rows (the fold
+    drops EVERY row sharing a matched key — on a key-unique view that
+    is exactly the matched set). The commit's data member is an empty
+    frame — the manifest stays uniform (every generation has a data
+    member) and the fold drops the matched rows from every prior
+    generation. Predicate evaluation is one pruned view scan;
+    the delete file is matched-keys-sized. The empty data member
+    carries the full view schema so later projected reads stay
+    valid."""
+    cur = read_view(spark, root)
+    keys = cur.filter(predicate).select(*key_cols).distinct()
+    append_delta(cur.limit(0), root, tag=tag, deletes=[keys])
+
+
 def read_view(
     spark: SparkSession,
     root: str | Path,

@@ -542,6 +542,60 @@ def test_incremental_view_auto_compact(spark, tmp_path):
     assert incremental.has_tag(root, "day1")
 
 
+def test_incremental_view_merge_upsert_and_delete_where(spark, tmp_path):
+    """The MERGE / DELETE WHERE sugar: merge_upsert replaces touched
+    keys and inserts new ones in one commit; delete_where drops the
+    matched rows of the CURRENT view (post-upsert state) and leaves
+    projected reads valid via its full-schema empty data member."""
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base_dir = tmp_path / "base"
+    spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 1.0) for i in range(1, 7)],
+        "k long, grp string, v double",
+    ).write.parquet(str(base_dir))
+    root = tmp_path / "view"
+    incremental.init_view(root, [str(base_dir)])
+
+    up = spark.createDataFrame(
+        [(2, "a", 200.0), (9, "c", 90.0)], "k long, grp string, v double"
+    )
+    incremental.merge_upsert(up, root, ["k"], tag="m1")
+
+    def rows3():
+        return {
+            (r["k"], r["grp"], r["v"])
+            for r in incremental.read_view(spark, root).collect()
+        }
+
+    got = rows3()
+    assert (2, "a", 200.0) in got and (9, "c", 90.0) in got
+    assert (2, "a", 2.0) not in got
+    assert len(got) == 7
+
+    # delete on post-upsert state: k=2 now matches v >= 90
+    incremental.delete_where(
+        spark, root, F.col("v") >= 90.0, ["k"], tag="d1"
+    )
+    got = rows3()
+    assert {r[0] for r in got} == {1, 3, 4, 5, 6}
+    # projected read survives the delete-only commit's empty member
+    ks = {
+        r["k"]
+        for r in incremental.read_view(
+            spark, root, columns=["k"]
+        ).collect()
+    }
+    assert ks == {1, 3, 4, 5, 6}
+    # an empty match is a valid no-op commit
+    incremental.delete_where(
+        spark, root, F.col("v") > 1e9, ["k"], tag="d2"
+    )
+    assert {r[0] for r in rows3()} == {1, 3, 4, 5, 6}
+
+
 def test_orders_upsert_view_auto_compacts_and_is_idempotent(spark):
     """The registered upsert chain must really exercise both protocol
     halves: after the three commits the manifest holds a compacted
@@ -677,6 +731,10 @@ def test_view_reads_prune_and_stay_shuffle_sane(spark):
     )
     uo_plan = _plan_of(RAW_QUERIES["incremental_upsert_orders"](spark, SF))
     assert "CartesianProduct" not in uo_plan
+    dw_plan = _plan_of(RAW_QUERIES["incremental_delete_where"](spark, SF))
+    assert "CartesianProduct" not in dw_plan
+    svi_plan = _plan_of(RAW_QUERIES["streaming_view_ingest"](spark, SF))
+    assert "CartesianProduct" not in svi_plan
 
 
 def test_streaming_ingest_exactly_once_under_replay(spark, tmp_path):
