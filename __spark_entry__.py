@@ -66,6 +66,7 @@ GATE_PRIORITY = [
     "incremental_time_travel",
     "incremental_upsert_orders",
     "incremental_delete_where",
+    "incremental_schema_evolution",
     "streaming_view_ingest",
     # (b) plans changed in round 11 after their r10 attestation: the
     # three refreshers now read manifest-gated in-place views
@@ -119,10 +120,11 @@ GATE_PRIORITY = [
     "unpivot_lineitem_measures",
     "variant_json_stats",
     "vocab_growth_curve",
-    # (d) four r11 newcomers displaced the r6 filler and the three
-    # alphabetically-last r5-tier queries (vocab_growth_curve,
-    # window_rank_functions, winsorize_event_values stay r5-attested —
-    # the only leftovers; front them in r12's rotation)
+    # (d) five r11 newcomers displaced the r6 filler and the four
+    # alphabetically-last r5-tier queries (variant_json_stats,
+    # vocab_growth_curve, window_rank_functions,
+    # winsorize_event_values stay r5-attested — the only leftovers;
+    # front them in r12's rotation)
 ]
 
 

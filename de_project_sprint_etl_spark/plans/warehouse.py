@@ -1633,3 +1633,83 @@ def q_incremental_delete_where(
         .cast("double")
         .alias("total_price"),
     )
+
+
+def _orders_evolution_view(spark: SparkSession, sf_dir: str):
+    """Additive schema evolution on a live view: the base carries
+    (key, status, price); a later commit upserts every fourth order
+    WITH a new ``late_fee`` column. Earlier rows fold in with the
+    column null — no base rewrite, no backfill job — which is the
+    add-a-column migration a 100-TB table cannot afford to do any
+    other way."""
+    from de_project_sprint_etl_spark.plans import llm as _llm
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base = _llm._materialized(
+        spark,
+        sf_dir,
+        "orders_upsert_base",
+        lambda: t(spark, sf_dir, "orders").select(*_UPSERT_COLS),
+    )
+    root = _llm._artifact_path(sf_dir, "orders_evolution_view")
+    incremental.init_view(
+        root, [str(_llm._artifact_path(sf_dir, "orders_upsert_base"))]
+    )
+    if not incremental.has_tag(root, "add-late-fee"):
+        key = F.col("o_orderkey")
+        incremental.merge_upsert(
+            base.filter(key % 4 == 0).select(
+                key.alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                F.lit(5.0).alias("late_fee"),
+            ),
+            root,
+            ["o_orderkey"],
+            tag="add-late-fee",
+        )
+    return root
+
+
+@register(
+    "incremental_schema_evolution",
+    """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(CASE WHEN o_orderkey % 4 = 0 THEN 1 END) AS BIGINT)
+         AS n_with_fee,
+       CAST(SUM(CASE WHEN o_orderkey % 4 = 0 THEN 5.0 ELSE 0.0 END)
+            AS DOUBLE) AS fee_total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_incremental_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aggregate over the evolved view (``_orders_evolution_view``)
+    reading the FULL contract including the late-added column: pre-
+    evolution rows contribute null fees (counted and coalesced to 0),
+    upserted rows contribute 5.00 — the oracle computes the same from
+    raw orders, so hash equality proves the null-fill fold is exact
+    and no row was lost or doubled across the evolution commit. Scale
+    shape: identical to the other view reads (pruned members, one
+    broadcast anti-join for the upsert's delete file)."""
+    from de_project_sprint_etl_spark.sources import incremental
+
+    root = _orders_evolution_view(spark, sf_dir)
+    v = incremental.read_view(
+        spark, root, columns=[*_UPSERT_COLS, "late_fee"]
+    )
+    return v.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count("late_fee").cast("bigint").alias("n_with_fee"),
+        F.sum(F.coalesce(F.col("late_fee"), F.lit(0.0)))
+        .cast("double")
+        .alias("fee_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -281,6 +281,15 @@ def read_view(
     cleanly with increment-projected deltas, and the projection reaches
     each member's parquet scan (column pruning per member).
 
+    Additive schema evolution is supported: a later commit may carry
+    NEW columns, and members written before that commit fold in with
+    those columns null (``unionByName(allowMissingColumns=True)`` — the
+    Delta/Iceberg add-column semantic). A requested column no member
+    carries still fails at the final projection (typo safety), and a
+    data member sharing NO requested column raises here rather than
+    degenerating to a zero-column scan. Renames and type changes are
+    NOT schema evolution — they fail loudly at union resolution.
+
     ``as_of_gen`` time-travels: only members committed at or before
     that generation fold in, so the result is exactly the view as some
     earlier ``read_view`` would have served it — the audit/debug read
@@ -341,10 +350,25 @@ def read_view(
             if mm["kind"] == "data":
                 d = spark.read.parquet(_member_path(root, mm))
                 if columns is not None:
-                    d = d.select(*columns)
-                out = d if out is None else out.unionByName(d)
+                    keep = [c for c in columns if c in d.columns]
+                    if not keep:
+                        raise ValueError(
+                            f"data member {mm['path']} of {root} carries "
+                            f"none of the requested columns {columns} — "
+                            "a view-contract violation, not evolution"
+                        )
+                    d = d.select(*keep)
+                out = (
+                    d
+                    if out is None
+                    else out.unionByName(d, allowMissingColumns=True)
+                )
     if out is None:
         raise ValueError(f"incremental view has no data members: {root}")
+    if columns is not None:
+        # enforce presence and order of the full contract; a column no
+        # member carries fails here (AnalysisException), by design
+        out = out.select(*columns)
     return out
 
 

@@ -596,6 +596,74 @@ def test_incremental_view_merge_upsert_and_delete_where(spark, tmp_path):
     assert {r[0] for r in rows3()} == {1, 3, 4, 5, 6}
 
 
+def test_incremental_view_schema_evolution(spark, tmp_path):
+    """Additive evolution: a later commit carries a NEW column; earlier
+    members fold in with it null. Projected reads, deletes on old
+    keys, compaction, and time travel to the pre-evolution generation
+    all behave; a column no member carries still fails."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base_dir = tmp_path / "base"
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    ).write.parquet(str(base_dir))
+    root = tmp_path / "view"
+    incremental.init_view(root, [str(base_dir)])
+    # evolved commit: adds column w, replaces k=2
+    incremental.merge_upsert(
+        spark.createDataFrame(
+            [(2, 200.0, "x"), (4, 40.0, "y")], "k long, v double, w string"
+        ),
+        root,
+        ["k"],
+        tag="evo",
+    )
+    rows = {
+        (r["k"], r["v"], r["w"])
+        for r in incremental.read_view(
+            spark, root, columns=["k", "v", "w"]
+        ).collect()
+    }
+    assert rows == {
+        (1, 10.0, None), (3, 30.0, None), (2, 200.0, "x"), (4, 40.0, "y"),
+    }
+    # unprojected read resolves the union the same way
+    assert {
+        (r["k"], r["v"], r["w"])
+        for r in incremental.read_view(spark, root).collect()
+    } == rows
+    # time travel to gen 0 predates the column — read it without w,
+    # and asking for w there fails (it did not exist yet)
+    old = incremental.read_view(spark, root, columns=["k", "v"], as_of_gen=0)
+    assert {(r["k"], r["v"]) for r in old.collect()} == {
+        (1, 10.0), (2, 20.0), (3, 30.0)
+    }
+    with pytest.raises(AnalysisException):
+        incremental.read_view(
+            spark, root, columns=["k", "w"], as_of_gen=0
+        ).collect()
+    # delete on an old key, then compact: evolved schema survives
+    incremental.delete_where(
+        spark, root, F.col("k") == 1, ["k"], tag="purge"
+    )
+    incremental.compact(spark, root)
+    rows = {
+        (r["k"], r["v"], r["w"])
+        for r in incremental.read_view(
+            spark, root, columns=["k", "v", "w"]
+        ).collect()
+    }
+    assert rows == {(3, 30.0, None), (2, 200.0, "x"), (4, 40.0, "y")}
+    # typo safety: a column NO member carries still fails
+    with pytest.raises(AnalysisException):
+        incremental.read_view(
+            spark, root, columns=["k", "nope"]
+        ).collect()
+
+
 def test_orders_upsert_view_auto_compacts_and_is_idempotent(spark):
     """The registered upsert chain must really exercise both protocol
     halves: after the three commits the manifest holds a compacted
