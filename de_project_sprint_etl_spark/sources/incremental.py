@@ -142,24 +142,41 @@ def has_tag(root: str | Path, tag: str) -> bool:
     return bool(m) and tag in m["tags"]
 
 
+def get_note(root: str | Path, tag: str) -> dict | None:
+    """The JSON note recorded with a commit's tag (``append_delta``'s
+    ``note``), or None when the tag has no note / does not exist."""
+    m = read_manifest(root)
+    if m is None:
+        return None
+    return m.get("notes", {}).get(tag)
+
+
 def _member_path(root: Path, member: dict) -> str:
     p = member["path"]
     return p if os.path.isabs(p) else str(root / p)
 
 
 def _commit(
-    root: Path, new_members: list[dict], tag: str, replace: bool
+    root: Path,
+    new_members: list[dict],
+    tag: str,
+    replace: bool,
+    note: dict | None = None,
 ) -> None:
     m = read_manifest(root)
     if m is None:
         raise ValueError(f"uninitialized incremental view: {root}")
     members = new_members if replace else m["members"] + new_members
+    notes = dict(m.get("notes", {}))
+    if note is not None:
+        notes[tag] = note
     _publish(
         root,
         {
             "gen": m["gen"] + 1,
             "members": members,
             "tags": m["tags"] + [tag],
+            **({"notes": notes} if notes else {}),
         },
     )
 
@@ -170,12 +187,16 @@ def append_delta(
     tag: str,
     deletes: list[DataFrame] | None = None,
     auto_compact_after: int | None = None,
+    note: dict | None = None,
 ) -> None:
     """One refresh commit: write the increment's data rows (and any
     equality-delete key files) as new parquet directories under the
     root, then publish. Idempotence is the CALLER's tag check
     (``has_tag``) — append_delta itself always commits. Cost is
     increment-sized: the base member is referenced, never rewritten.
+    ``note`` attaches a small JSON record to the tag (readable back via
+    ``get_note``) — provenance the skip path can verify, e.g. the
+    streaming ingester's batch file listing.
 
     ``auto_compact_after`` bounds merge-on-read amplification (ADVICE
     r11: every delete-carrying commit adds one anti-join to the read
@@ -199,7 +220,7 @@ def append_delta(
     rel = f"delta_{gen:05d}"
     df.write.mode("overwrite").parquet(str(root / rel))
     new_members.append({"path": rel, "kind": "data", "gen": gen})
-    _commit(root, new_members, tag, replace=False)
+    _commit(root, new_members, tag, replace=False, note=note)
     if auto_compact_after is not None:
         n_deletes = sum(
             1

@@ -232,16 +232,39 @@ def ingest_stream_into_view(
     A crash in the opposite order (manifest publish never happened)
     leaves an orphan delta directory the reader never sees, and the
     replay re-commits it — the protocol's crash matrix is covered from
-    both sides. ``transform`` runs per batch BEFORE the commit (the
-    reuse point for the pure batch operators)."""
+    both sides.
+
+    The last corner — checkpoint LOST while the view holds only a
+    prefix of the batches — is guarded by provenance: every commit
+    records its batch's source-file listing in the manifest
+    (``append_delta(note=...)``), and the skip path verifies the
+    replayed batch presents the SAME files. A fresh checkpoint that
+    re-lists into a different batch composition therefore fails loudly
+    (directing a view rebuild) instead of silently skipping files the
+    original batch never carried. ``transform`` runs per batch BEFORE
+    the commit (the reuse point for the pure batch operators)."""
     from de_project_sprint_etl_spark.sources import incremental
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         tag = f"batch-{batch_id}"
+        files = sorted(batch_df.inputFiles())
         if incremental.has_tag(root, tag):
+            rec = incremental.get_note(root, tag)
+            if (
+                rec is not None
+                and rec.get("files")
+                and sorted(rec["files"]) != files
+            ):
+                raise ValueError(
+                    f"streaming ingest replay of {tag} presents a "
+                    f"different file composition than the committed "
+                    f"batch ({root}); the checkpoint that pinned the "
+                    "assignment is gone — rebuild the view (or restore "
+                    "the checkpoint) instead of mixing compositions"
+                )
             return
         df = transform(batch_df) if transform is not None else batch_df
-        incremental.append_delta(df, root, tag=tag)
+        incremental.append_delta(df, root, tag=tag, note={"files": files})
 
     q = (
         stream.writeStream.foreachBatch(commit)

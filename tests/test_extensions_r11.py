@@ -862,10 +862,30 @@ def test_streaming_ingest_exactly_once_under_replay(spark, tmp_path):
     drain()
     assert incremental.read_manifest(root)["gen"] == 3
     # full replay: fresh checkpoint re-presents every batch; tags skip
+    # (and the recorded file listings match, so the provenance guard
+    # stays quiet)
     shutil.rmtree(ckpt)
     drain()
     assert incremental.read_manifest(root)["gen"] == 3
     assert got_ids() == want
+    # provenance guard: a tag whose recorded composition differs from
+    # what the replay presents must fail loudly, not skip silently
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    root2 = tmp_path / "poisoned"
+    incremental.init_view(root2, [str(base)])
+    incremental.append_delta(
+        df.limit(0),
+        root2,
+        tag="batch-0",
+        note={"files": ["file:///somewhere/else.parquet"]},
+    )
+    with pytest.raises(StreamingQueryException, match="composition"):
+        jobs.ingest_stream_into_view(
+            jobs.read_event_stream(spark, str(src), max_files=2),
+            root2,
+            root2 / "_checkpoint",
+        )
 
 
 # --- N-day refresh soak (VERDICT r10 #3) -----------------------------------
