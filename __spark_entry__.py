@@ -67,6 +67,7 @@ GATE_PRIORITY = [
     "incremental_upsert_orders",
     "incremental_delete_where",
     "incremental_schema_evolution",
+    "incremental_changes_feed",
     "streaming_view_ingest",
     # (b) plans changed in round 11 after their r10 attestation: the
     # three refreshers now read manifest-gated in-place views
@@ -120,9 +121,9 @@ GATE_PRIORITY = [
     "unpivot_lineitem_measures",
     "variant_json_stats",
     "vocab_growth_curve",
-    # (d) five r11 newcomers displaced the r6 filler and the four
-    # alphabetically-last r5-tier queries (variant_json_stats,
-    # vocab_growth_curve, window_rank_functions,
+    # (d) six r11 newcomers displaced the r6 filler and the five
+    # alphabetically-last r5-tier queries (unpivot_lineitem_measures,
+    # variant_json_stats, vocab_growth_curve, window_rank_functions,
     # winsorize_event_values stay r5-attested — the only leftovers;
     # front them in r12's rotation)
 ]

@@ -1713,3 +1713,53 @@ def q_incremental_schema_evolution(
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "incremental_changes_feed",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS s, o_totalprice AS p
+  FROM orders),
+ch AS (
+  SELECT 'delete' AS change_type, CAST(1 AS BIGINT) AS commit_gen,
+         s, p FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT 'insert', CAST(1 AS BIGINT), s, p + 10.0
+  FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT 'delete', CAST(2 AS BIGINT), s,
+         CASE WHEN k % 5 = 0 THEN p + 10.0 ELSE p END
+  FROM base WHERE s = 'F' AND k % 3 = 0)
+SELECT change_type, commit_gen, s AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM ch
+GROUP BY change_type, commit_gen, s
+""",
+)
+def q_incremental_changes_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Change-data-feed over the restate-then-purge chain
+    (``incremental.read_changes`` on ``_orders_delete_view``): the
+    upsert's preimage deletes + postimage inserts at generation 1, the
+    purge's preimage deletes (with restated prices — the state JUST
+    BEFORE that commit) at generation 2, aggregated per (change_type,
+    generation, status). The oracle derives the same feed in closed
+    form from raw orders, so hash equality proves preimage content,
+    commit attribution, and delete scoping are all exact — the
+    downstream-consumer contract (replay the feed, get the view
+    transition) holds by construction. Scale shape: one pruned scan
+    per member in range + broadcast semi/anti-joins on
+    matched-keys-sized delete files."""
+    from de_project_sprint_etl_spark.sources import incremental
+
+    root = _orders_delete_view(spark, sf_dir)
+    ch = incremental.read_changes(spark, root, 0, columns=_UPSERT_COLS)
+    return ch.groupBy("change_type", "commit_gen", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

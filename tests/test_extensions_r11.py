@@ -596,6 +596,84 @@ def test_incremental_view_merge_upsert_and_delete_where(spark, tmp_path):
     assert {r[0] for r in rows3()} == {1, 3, 4, 5, 6}
 
 
+def test_incremental_view_change_feed(spark, tmp_path):
+    """read_changes emits each commit's preimage deletes and postimage
+    inserts in generation order; replaying the feed over the from-state
+    reproduces the to-state; a range crossing a compaction raises."""
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.sources import incremental
+
+    base_dir = tmp_path / "base"
+    spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", i * 1.0) for i in range(1, 7)],
+        "k long, grp string, v double",
+    ).write.parquet(str(base_dir))
+    root = tmp_path / "view"
+    incremental.init_view(root, [str(base_dir)])
+    incremental.merge_upsert(
+        spark.createDataFrame(
+            [(2, "a", 200.0), (9, "c", 90.0)], "k long, grp string, v double"
+        ),
+        root,
+        ["k"],
+        tag="m1",
+    )
+    incremental.delete_where(
+        spark, root, F.col("v") >= 90.0, ["k"], tag="d1"
+    )
+
+    def feed(frm, to=None):
+        return {
+            (r["change_type"], r["commit_gen"], r["k"], r["grp"], r["v"])
+            for r in incremental.read_changes(
+                spark, root, frm, to, columns=["k", "grp", "v"]
+            ).collect()
+        }
+
+    got = feed(0)
+    assert got == {
+        # gen 1: upsert — preimage of the existing key only (k=9 was
+        # new), postimage of both
+        ("delete", 1, 2, "b", 2.0),
+        ("insert", 1, 2, "a", 200.0),
+        ("insert", 1, 9, "c", 90.0),
+        # gen 2: purge of v >= 90 evaluated on post-upsert state
+        ("delete", 2, 2, "a", 200.0),
+        ("delete", 2, 9, "c", 90.0),
+    }
+    # narrowed range sees only gen 2
+    assert feed(1) == {
+        ("delete", 2, 2, "a", 200.0),
+        ("delete", 2, 9, "c", 90.0),
+    }
+    assert feed(2, 2) == set()
+    # replay property: from-state + feed == to-state
+    start = {
+        (r["k"], r["grp"], r["v"])
+        for r in incremental.read_view(
+            spark, root, as_of_gen=0
+        ).collect()
+    }
+    state = set(start)
+    for ct, g, k, grp, v in sorted(
+        feed(0), key=lambda c: (c[1], c[0] != "delete")
+    ):
+        if ct == "delete":
+            state = {row for row in state if row[0] != k}
+        else:
+            state.add((k, grp, v))
+    end = {
+        (r["k"], r["grp"], r["v"])
+        for r in incremental.read_view(spark, root).collect()
+    }
+    assert state == end
+    # compaction collapses history: a crossing range refuses
+    incremental.compact(spark, root)
+    with pytest.raises(ValueError, match="compaction"):
+        incremental.read_changes(spark, root, 0)
+
+
 def test_incremental_view_schema_evolution(spark, tmp_path):
     """Additive evolution: a later commit carries a NEW column; earlier
     members fold in with it null. Projected reads, deletes on old
@@ -801,6 +879,8 @@ def test_view_reads_prune_and_stay_shuffle_sane(spark):
     assert "CartesianProduct" not in uo_plan
     dw_plan = _plan_of(RAW_QUERIES["incremental_delete_where"](spark, SF))
     assert "CartesianProduct" not in dw_plan
+    cf_plan = _plan_of(RAW_QUERIES["incremental_changes_feed"](spark, SF))
+    assert "CartesianProduct" not in cf_plan
     svi_plan = _plan_of(RAW_QUERIES["streaming_view_ingest"](spark, SF))
     assert "CartesianProduct" not in svi_plan
 
