@@ -1135,9 +1135,12 @@ def test_incremental_view_model_property(spark, tmp_path):
             list(model.items()), "k long, v long"
         ).write.parquet(str(base))
         incremental.init_view(root, [str(base)])
+        history = {0: dict(model)}
+        last_compact = 0
         for i, (kind, rows, dels) in enumerate(ops):
             if kind == "compact":
                 incremental.compact(spark, root)
+                last_compact = incremental.read_manifest(root)["gen"]
             else:
                 # each commit is an UPSERT (the refresh shape): delete
                 # the named keys AND every appended key from prior
@@ -1164,6 +1167,35 @@ def test_incremental_view_model_property(spark, tmp_path):
                 for r in incremental.read_view(spark, root).collect()
             }
             assert got == model, (ops, i)
+            history[incremental.read_manifest(root)["gen"]] = dict(model)
+        # time travel reproduces every retained historical state
+        for g, snap in history.items():
+            if g < last_compact:
+                continue
+            got_g = {
+                r["k"]: r["v"]
+                for r in incremental.read_view(
+                    spark, root, as_of_gen=g
+                ).collect()
+            }
+            assert got_g == snap, (ops, "as_of", g)
+        # change-feed replay over the oldest retained state reproduces
+        # the final state (deletes before inserts within a generation)
+        top = incremental.read_manifest(root)["gen"]
+        if top > last_compact:
+            ch = incremental.read_changes(
+                spark, root, last_compact, columns=["k", "v"]
+            ).collect()
+            state = dict(history[last_compact])
+            for r in sorted(
+                ch,
+                key=lambda r: (r["commit_gen"], r["change_type"] != "delete"),
+            ):
+                if r["change_type"] == "delete":
+                    state.pop(r["k"], None)
+                else:
+                    state[r["k"]] = r["v"]
+            assert state == history[top], (ops, "replay")
 
     check()
 
