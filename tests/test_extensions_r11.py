@@ -952,6 +952,10 @@ def test_streaming_ingest_exactly_once_under_replay(spark, tmp_path):
     # what the replay presents must fail loudly, not skip silently
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
+    # notes survive compaction alongside tags
+    incremental.compact(spark, root)
+    assert incremental.get_note(root, "batch-0") is not None
+    assert incremental.has_tag(root, "batch-0")
     root2 = tmp_path / "poisoned"
     incremental.init_view(root2, [str(base)])
     incremental.append_delta(
@@ -966,6 +970,50 @@ def test_streaming_ingest_exactly_once_under_replay(spark, tmp_path):
             root2,
             root2 / "_checkpoint",
         )
+
+
+def test_streaming_ingest_transform_hook(spark, tmp_path):
+    """The per-batch transform runs BEFORE the commit — the batch-
+    operator reuse point: ingest with a filter+projection and the view
+    holds exactly the transformed rows."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from de_project_sprint_etl_spark.sources import incremental
+    from de_project_sprint_etl_spark.streaming import jobs
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2022, 3, 1, 0, 0, i),
+            i % 7,
+            "click" if i % 3 else "buy",
+            float(i),
+            "{}",
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, schema=jobs.EVENTS_STREAM_SCHEMA)
+    src = tmp_path / "src"
+    df.repartition(4).write.parquet(str(src))
+    base = tmp_path / "base"
+    df.select("event_id", "value").limit(0).write.parquet(str(base))
+    root = tmp_path / "view"
+    incremental.init_view(root, [str(base)])
+    jobs.ingest_stream_into_view(
+        jobs.read_event_stream(spark, str(src), max_files=2),
+        root,
+        root / "_checkpoint",
+        transform=lambda b: b.filter(
+            F.col("event_type") == "buy"
+        ).select("event_id", "value"),
+    )
+    got = {
+        (r["event_id"], r["value"])
+        for r in incremental.read_view(spark, root).collect()
+    }
+    assert got == {(i, float(i)) for i in range(0, 40, 3)}
 
 
 # --- N-day refresh soak (VERDICT r10 #3) -----------------------------------
