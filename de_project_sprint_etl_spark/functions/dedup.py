@@ -430,12 +430,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     min_est_jaccard: float = 0.5,
+    persist_input: bool = True,
 ) -> DataFrame:
     """LSH banding over MinHash signatures.
 
     Bands of ``r = num_hashes // bands`` rows; a pair is a candidate iff
     some band agrees exactly; estimated Jaccard = matching components /
     k, filtered at ``min_est_jaccard``.
+
+    ``persist_input=False`` is for callers whose ``signatures`` is
+    already a materialized table (a written artifact scan, or a frame
+    the caller persists itself): re-scanning parquet twice is cheaper
+    than a cache round-trip there — and a persist of the artifact scan
+    would register that plan in the session CacheManager, making every
+    OTHER consumer of the same artifact resolve to an InMemoryRelation
+    (whose ``inputFiles()`` is empty — the round-11 in-session
+    artifact-build bug).
 
     Output: ``id_a, id_b, est_jaccard``.
     """
@@ -444,8 +454,9 @@ def minhash_lsh_pairs(
     # persist: both sides of the bucket self-join read the signatures,
     # and the signature subtree (shingle explode + k md5s) is the
     # expensive part — without this Spark recomputes it per side.
-    # (At real 100 TB scale, materialize signatures to parquet instead.)
-    sig = signatures.persist()
+    # (At real 100 TB scale, materialize signatures to parquet instead —
+    # and then pass persist_input=False.)
+    sig = signatures.persist() if persist_input else signatures
     band_structs = F.array(
         *[
             F.struct(

@@ -221,11 +221,15 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "mh_pairs_16x4_j05",
+        # persist_input=False: the signature input IS a written artifact
+        # scan — persisting it would poison every other consumer of the
+        # mh_sigs_16 artifact with an InMemoryRelation substitution
         lambda: dedup.minhash_lsh_pairs(
             minhash_sigs(spark, sf_dir),
             num_hashes=16,
             bands=4,
             min_est_jaccard=0.5,
+            persist_input=False,
         ),
     )
 
@@ -341,11 +345,13 @@ def minhash_pairs_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "mh_pairs_snap_16x4_j05",
+        # persist_input=False: artifact-scan input (see minhash_pairs)
         lambda: dedup.minhash_lsh_pairs(
             minhash_sigs_snapshot(spark, sf_dir),
             num_hashes=16,
             bands=4,
             min_est_jaccard=0.5,
+            persist_input=False,
         ),
     )
 
@@ -442,7 +448,10 @@ def minhash_refresh_delta(
         "est_jaccard",
     )
     within = dedup.minhash_lsh_pairs(
-        inc_sigs, num_hashes=16, bands=4, min_est_jaccard=0.5
+        # the caller already persists inc_sigs (generation-managed);
+        # a second bare persist here would outlive that management
+        inc_sigs, num_hashes=16, bands=4, min_est_jaccard=0.5,
+        persist_input=False,
     )
     return cross.unionByName(within)
 

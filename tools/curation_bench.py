@@ -118,7 +118,11 @@ def run_lifecycle(spark) -> dict[str, float]:
     write(
         "pairs",
         dedup.minhash_lsh_pairs(
-            read("signatures"), num_hashes=16, bands=4, min_est_jaccard=0.5
+            # persist_input=False: the stage input is the WRITTEN
+            # signatures table — the 100-TB shape the persist comment
+            # in minhash_lsh_pairs defers to
+            read("signatures"), num_hashes=16, bands=4, min_est_jaccard=0.5,
+            persist_input=False,
         ),
     )
     timings["pairs"] = time.time() - t0
