@@ -239,11 +239,15 @@ def q_scd2_weeks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct (8.9 s of the 9 s total at sf0.1). Instead:
 
     1. The week dim (O(corpus time span), bounded regardless of data
-       volume) is broadcast as one sorted array; a map-side lookup
-       converts each interval to its contiguous overlapped period range
-       [p_lo, p_hi] with the exact date guards (weeks are [min, max] of
-       OBSERVED dates, so edge weeks need vf<=end_date / start_date<=vt,
-       not just week-truncation).
+       volume) is expanded into a complete-Monday lookup grid and
+       BROADCAST EQUI-JOINED on each endpoint's Monday truncation,
+       converting each interval to its contiguous overlapped period
+       range [p_lo, p_hi] with the exact date guards (weeks are
+       [min, max] of OBSERVED dates, so edge weeks need vf<=end_date /
+       start_date<=vt — the ±1 correction on the joined row). O(1) per
+       interval and fully codegen, vs the previous per-row
+       filter/transform over a broadcast week array (higher-order array
+       functions are CodegenFallback; see inline comment).
     2. ``n_versions`` = +1 at p_lo / −1 at p_hi+1 per interval,
        aggregated to the tiny (priority, period) delta space map-side,
        then one cumulative sum over the O(priorities × weeks) grid.
@@ -264,41 +268,103 @@ def q_scd2_weeks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("date").alias("vt_raw"),
     )
     weeks = weeks_dim(spark, sf_dir)
-    # one row: the sorted week array + the open-interval cap
-    warr = weeks.agg(
-        F.array_sort(
-            F.collect_list(F.struct("period", "start_date", "end_date"))
-        ).alias("wks"),
+    # Interval → [p_lo, p_hi] period range by BROADCAST EQUI-JOIN on the
+    # interval endpoint's Monday against a complete-Monday grid, ±1 edge
+    # correction — NOT a per-row scan of a week array. The round-3..10
+    # form kept the sorted week array in one broadcast struct array and
+    # ran array filter/transform/min per interval: higher-order array
+    # functions are CodegenFallback (interpreted, per-element lambda
+    # eval), so each interval paid O(|weeks|) interpreted struct ops on
+    # whichever 1-2 post-AQE partitions held the dim — measured (r11
+    # optimization pass, sf0.1) 23 CPU-s / 18.9 s wall for 123k
+    # intervals. This form: 8.8 CPU-s / 2.0 s, row-identical
+    # (exceptAll both ways = 0), and per-interval work is O(1).
+    #
+    # Grid correctness: mondays = every Monday in [w_first, w_last];
+    # per Monday m, glo carries lo = min{period : end_date >= m} (the
+    # first week a date in m's week can reach) and ghi carries
+    # hi = max{period : start_date <= m+6}. For a date d in week m,
+    # p_lo(d) = lo if d <= lo's end_date else lo+1 — valid because the
+    # next observed period's end_date >= its start >= m+7 > d, and
+    # period numbering is a consecutive row_number over observed weeks.
+    # Symmetrically p_hi(d) = hi if hi's start_date <= d else hi-1.
+    # Out-of-span endpoints clamp to period 1 / n_p or fall out through
+    # the null-safe p_lo <= p_hi filter, exactly like the empty-array
+    # min/max of the old form. Everything grid-sized is bounded by the
+    # calendar span (same WEEK_DIM_BOUND argument as build_weeks), so
+    # the broadcasts stay model-sized at any corpus volume.
+    wk = weeks.select(
+        "period",
+        "start_date",
+        "end_date",
+        F.date_trunc("week", "start_date").cast("date").alias("mon"),
+    )
+    bounds = wk.agg(
+        F.min("mon").alias("w_first"),
+        F.max(F.date_trunc("week", "end_date").cast("date")).alias("w_last"),
+        F.max("period").alias("n_p"),
         F.max("end_date").alias("max_end"),
     )
+    mondays = bounds.select(
+        F.explode(
+            F.sequence("w_first", "w_last", F.expr("interval 7 days"))
+        ).alias("m")
+    )
+    glo = (
+        mondays.join(wk, F.col("end_date") >= F.col("m"))
+        .groupBy("m")
+        .agg(F.min(F.struct("period", "end_date")).alias("s"))
+        .select(
+            "m",
+            F.col("s.period").alias("lo"),
+            F.col("s.end_date").alias("lo_end"),
+        )
+    )
+    ghi = (
+        mondays.join(wk, F.col("start_date") <= F.date_add(F.col("m"), 6))
+        .groupBy("m")
+        .agg(F.max(F.struct("period", "start_date")).alias("s"))
+        .select(
+            F.col("m").alias("m2"),
+            F.col("s.period").alias("hi"),
+            F.col("s.start_date").alias("hi_start"),
+        )
+    )
     with_range = (
-        dim.crossJoin(F.broadcast(warr))
+        dim.crossJoin(F.broadcast(bounds))
         .select(
             "o_custkey",
             "priority",
             "vf",
             F.coalesce("vt_raw", "max_end").alias("vt"),
-            "wks",
+            "w_first",
+            "w_last",
+            "n_p",
         )
         .filter(F.col("vf") <= F.col("vt"))
+        .withColumn("mvf", F.date_trunc("week", "vf").cast("date"))
+        .withColumn("mvt", F.date_trunc("week", "vt").cast("date"))
+        .join(F.broadcast(glo), F.col("mvf") == F.col("m"), "left")
+        .join(F.broadcast(ghi), F.col("mvt") == F.col("m2"), "left")
         .select(
             "o_custkey",
             "priority",
-            # first week whose [start,end] reaches vf / last one vt reaches:
-            # overlapped weeks are contiguous in period order because the
-            # week ranges are disjoint and sorted
-            F.array_min(
-                F.transform(
-                    F.filter("wks", lambda w: w["end_date"] >= F.col("vf")),
-                    lambda w: w["period"],
+            F.when(F.col("mvf") < F.col("w_first"), F.lit(1).cast("long"))
+            .when(F.col("mvf") > F.col("w_last"), F.lit(None).cast("long"))
+            .otherwise(
+                F.when(F.col("vf") <= F.col("lo_end"), F.col("lo")).otherwise(
+                    F.col("lo") + 1
                 )
-            ).alias("p_lo"),
-            F.array_max(
-                F.transform(
-                    F.filter("wks", lambda w: w["start_date"] <= F.col("vt")),
-                    lambda w: w["period"],
+            )
+            .alias("p_lo"),
+            F.when(F.col("mvt") > F.col("w_last"), F.col("n_p"))
+            .when(F.col("mvt") < F.col("w_first"), F.lit(None).cast("long"))
+            .otherwise(
+                F.when(F.col("hi_start") <= F.col("vt"), F.col("hi")).otherwise(
+                    F.col("hi") - 1
                 )
-            ).alias("p_hi"),
+            )
+            .alias("p_hi"),
         )
         .filter(F.col("p_lo") <= F.col("p_hi"))
     )

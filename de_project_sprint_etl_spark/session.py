@@ -44,11 +44,25 @@ def get_spark(
         # bench run). 512 MB held the 97-query suite; re-sized to 768 MB
         # when the suite grew to 119 (the iterative ops added since —
         # GD linreg, grouped k-means/PQ, DSIR — are codegen-widest and
-        # showed 2-4x run-to-run swings at 512 MB).
+        # showed 2-4x run-to-run swings at 512 MB); 1 GB for the
+        # 281-query suite with the larger generated-class cache below.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=768m",
+            "-XX:ReservedCodeCacheSize=1g",
         )
+        # Generated-class cache (static conf, default 100 entries): the
+        # 281-query registry floods a 100-entry cache many times over
+        # within ONE pass, so every re-execution Janino-recompiles and
+        # HotSpot re-JITs each query's generated stages from scratch.
+        # Measured (r11 optimization pass, CompilationMXBean): JIT time
+        # was ~90% of scd2_weeks_overlap's process CPU, 20-27 s of
+        # compiler CPU per re-run at 100 entries vs 10-17 s at 10000;
+        # query results are unaffected (pure compilation memoization).
+        # This is a long-lived-session setting, not a bench trick: a
+        # real cluster session running a large query mix re-JITs the
+        # same way (same discipline as the prepared-plan cache in
+        # plans/registry.py).
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

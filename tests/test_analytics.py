@@ -199,11 +199,24 @@ def test_daily_correlation_matches_builtin_corr(spark):
 
 
 def test_scd2_weeks_overlap_is_sweepline_not_explode(spark):
-    """The round-4 rewrite must stay explode-free: the old plan's
-    Generate node (interval -> covered weeks) was the 22M-row blowup;
-    the sweep line has no row-generating operator at all."""
+    """The round-4 rewrite must stay explode-free over the INTERVAL
+    table: the old plan's Generate node (interval -> covered weeks) was
+    the 22M-row blowup. The r11 week-lookup grid introduces one bounded
+    Generate — explode(sequence(w_first, w_last)) over a ONE-ROW week
+    aggregate (O(calendar span), the same bound as the week dim) — so
+    the pin is: every Generate in the plan is that sequence explode,
+    never a generator over interval rows."""
+    import re
+
     plan = plan_of(RAW_QUERIES["scd2_weeks_overlap"](spark, SF))
-    assert "Generate" not in plan, plan
+    lines = plan.splitlines()
+    gen_idx = [
+        i for i, ln in enumerate(lines) if re.match(r"^\(\d+\) Generate", ln)
+    ]
+    assert gen_idx, plan  # the grid build is expected in the plan
+    for i in gen_idx:
+        detail = "\n".join(lines[i : i + 4])
+        assert "explode(sequence(" in detail, detail
 
 
 def test_zorder_effectiveness_favors_zorder_on_2d_box(spark):

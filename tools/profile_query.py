@@ -39,6 +39,22 @@ def main() -> None:
 
     spark = get_spark(app_name="profile")
     qs = entrymod.queries()
+    jvm_pid = int(spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid())
+    clk = os.sysconf("SC_CLK_TCK")
+    _comp = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getCompilationMXBean()
+
+    def jit_s() -> float:
+        # cumulative HotSpot compiler CPU (all compiler threads), secs
+        return _comp.getTotalCompilationTime() / 1000.0
+
+    def jvm_cpu() -> float:
+        # utime+stime of the local-mode JVM (driver+executors in one
+        # process) from /proc — getProcessCpuTime is module-blocked
+        # through py4j. Python workers are separate processes and not
+        # counted; fine for the JVM-side plans this profiles.
+        with open(f"/proc/{jvm_pid}/stat") as fh:
+            parts = fh.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / clk
 
     for name in args.names:
         if name not in qs:
@@ -52,12 +68,24 @@ def main() -> None:
         registry._PLAN_CACHE.clear()
         spark.sparkContext._jvm.System.gc()
         times = []
+        cpus = []
+        jits = []
         for i in range(args.reps):
-            df = fn(spark, args.sf_dir)
             spark.sparkContext.setJobDescription(f"timed[{i}]: {name}")
+            # t0 BEFORE the plan build — bench.py counts plan-build time
+            # (and any eager work inside it, e.g. iterative queries'
+            # localCheckpoints) in the query's number, so we must too
+            c0 = jvm_cpu()
+            j0 = jit_s()
             t0 = time.time()
+            df = fn(spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
+            # JVM-process CPU seconds: robust to hypervisor steal, the
+            # noise-immune twin of the wall number (same-query A/Bs
+            # should improve BOTH or the "win" is scheduling luck)
+            cpus.append(jvm_cpu() - c0)
+            jits.append(jit_s() - j0)
             spark.catalog.clearCache()
             registry._PLAN_CACHE.clear()
         if args.plan_dir:
@@ -70,8 +98,9 @@ def main() -> None:
                 fh.write(plan)
         ts = ", ".join(f"{t:.3f}" for t in times)
         print(
-            f"{name}: min={min(times):.3f} med={statistics.median(times):.3f} "
-            f"max={max(times):.3f}  [{ts}]"
+            f"{name}: wall min={min(times):.3f} med={statistics.median(times):.3f} "
+            f"max={max(times):.3f}  cpu min={min(cpus):.2f} med={statistics.median(cpus):.2f} "
+            f"jit min={min(jits):.2f} med={statistics.median(jits):.2f}  [{ts}]"
         )
 
 
