@@ -557,14 +557,21 @@ def dup_groups(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     changed = 0
-    for _ in range(max_iter):
+    for i in range(max_iter):
         prop = (
             edges.join(labels, edges["s"] == labels["id"])
             .groupBy("d")
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("d", "id")
         )
+        # the changed-count rides the eager checkpoint as an Observation
+        # (one job per round, not checkpoint + count — measured r11:
+        # the convergence count was a full second job per round whose
+        # only output was one scalar)
+        obs = Observation(f"dup_groups_changed_{i}")
         new_labels = (
             labels.withColumnRenamed("label", "old")
             .join(prop, "id", "left")
@@ -573,9 +580,13 @@ def dup_groups(
                 F.least(F.col("old"), F.coalesce("nlabel", "old")).alias("label"),
                 "old",
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old")).cast("long")).alias("n"),
+            )
             .localCheckpoint()
         )
-        changed = new_labels.filter(F.col("label") != F.col("old")).count()
+        changed = int(obs.get["n"] or 0)
         labels = new_labels.drop("old")
         if changed == 0:
             break
@@ -669,11 +680,27 @@ def _dup_groups_star(
             .distinct()
         )
 
+    from pyspark.sql import Observation
+
     fp = fingerprint(edges)
     converged = False
-    for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint()
-        new_fp = fingerprint(edges)
+    for i in range(max_iter):
+        # the convergence fingerprint rides the eager checkpoint as an
+        # Observation (same one-job-per-round rationale as label_prop)
+        obs = Observation(f"dup_groups_star_fp_{i}")
+        edges = (
+            small_star(large_star(edges))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.expr("bit_xor(xxhash64(s, d))"), F.lit(0)).alias(
+                    "h"
+                ),
+            )
+            .localCheckpoint()
+        )
+        row = obs.get
+        new_fp = (int(row["n"]), int(row["h"]))
         if new_fp == fp:
             converged = True
             break

@@ -356,7 +356,7 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, simple_symmetric: bool = False) -> DataFrame:
     """Global triangle count via degree orientation + edge iteration —
     each undirected edge is directed from its (degree, id)-smaller
     endpoint (bounding every out-degree by O(sqrt(m))), out-neighbor
@@ -372,12 +372,24 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     way; the shuffle volume drops from |wedges| rows to |edges| + |adj|.
 
     Input: a symmetric directed edge set (e.g. :func:`copurchase_edges`).
+    ``simple_symmetric=True`` asserts the input is additionally SIMPLE
+    (each directed edge distinct, both directions present): the
+    undirected collapse is then a plain ``src < dst`` filter — a narrow
+    map over the scan — instead of ``undirected_edges``'s
+    least/greatest + dropDuplicates, which costs a full shuffle + hash
+    aggregate of the edge set (r11 optimization pass: one Exchange
+    removed, reused three times downstream).
     Output: one row ``(n_nodes, n_edges, n_triangles)``.
     """
     # und feeds degrees, orientation, and the edge/node counts;
     # oriented feeds the adjacency build AND the per-edge probe —
     # persist both or the edge pipeline re-executes per consumer.
-    und = undirected_edges(edges).persist()
+    if simple_symmetric:
+        und = edges.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        ).persist()
+    else:
+        und = undirected_edges(edges).persist()
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -387,19 +399,20 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # orient: u -> v iff (deg(u), u) < (deg(v), v)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    # orient as two flat columns (no per-row struct allocation — the
+    # condition is evaluated once per output column by codegen's
+    # common-subexpression elimination, and flat longs stay in
+    # registers where the struct form boxed an InternalRow per edge)
+    fwd = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
     oriented = (
         und.join(da, "a")
         .join(db, "b")
         .select(
-            F.when(
-                (F.col("dega") < F.col("degb"))
-                | ((F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-            )
-            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
-            .alias("e")
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-        .select("e.u", "e.v")
         .persist()
     )
     # per-node sorted out-neighbor lists (size bounded by orientation);

@@ -726,8 +726,13 @@ def q_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation (functions/graph.triangle_count): each undirected edge
     directed from its (degree, id)-smaller endpoint bounds per-node
     out-degree by O(sqrt m), so the wedge self-join never explodes on a
-    hub part — the shape that survives a power-law graph at 100 TB."""
-    return graph.triangle_count(copurchase_edges_cached(spark, sf_dir))
+    hub part — the shape that survives a power-law graph at 100 TB.
+    ``simple_symmetric=True``: the copurchase edge artifact is distinct
+    and emits both directions by construction, so the undirected
+    collapse is a filter, not a dedup shuffle."""
+    return graph.triangle_count(
+        copurchase_edges_cached(spark, sf_dir), simple_symmetric=True
+    )
 
 
 @register(
