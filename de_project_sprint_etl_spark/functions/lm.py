@@ -214,18 +214,28 @@ def bm25_topk(
         base = base.withColumn(
             f"tf{i}", F.size(F.filter("__toks", _match(term)))
         )
+    return bm25_rank_from_tf(base.drop("__toks"), len(query_terms), k)
+
+
+def bm25_rank_from_tf(base: DataFrame, n_terms: int, k: int) -> DataFrame:
+    """BM25 stats + scoring + top-k over a precomputed term-frequency
+    frame ``(doc_id, dl, tf0..tf{n_terms-1})`` — the scoring core of
+    :func:`bm25_topk`, split out (r12) so a caller that already owns a
+    tokenization pass (hybrid retrieval's shared exploded aggregation)
+    can reuse the IDENTICAL df/avgdl/idf float expressions without
+    re-tokenizing the corpus."""
     stats = base.agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum("dl").alias("__dl_sum"),
         *[
             F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-            for i in range(len(query_terms))
+            for i in range(n_terms)
         ],
     )
-    joined = base.drop("__toks").crossJoin(F.broadcast(stats))
+    joined = base.crossJoin(F.broadcast(stats))
     avgdl = F.col("__dl_sum") / F.col("__n").cast("double")
     score = F.lit(0.0).cast("double")
-    for i in range(len(query_terms)):
+    for i in range(n_terms):
         idf = F.log(
             F.lit(1.0)
             + (F.col("__n") - F.col(f"df{i}") + F.lit(0.5))

@@ -347,6 +347,7 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed-order terms — no cross-engine float risk anywhere.
 
 from de_project_sprint_etl_spark.functions import lm  # noqa: E402
+from de_project_sprint_etl_spark.functions.caching import cached_generation  # noqa: E402
 from de_project_sprint_etl_spark.plans.llm import BM25_QUERY_TERMS  # noqa: E402
 
 RRF_K = 60
@@ -399,24 +400,74 @@ LIMIT {HYBRID_TOPK}
 def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (lexical) + hashed-feature cosine (dense) top-{HYBRID_CAND}
     rankings fused by reciprocal-rank fusion; top-{HYBRID_TOPK} by
-    fused score. Both branches keep the corpus un-shuffled except the
-    per-doc feature aggregation (partial map-side); the query-side
-    vector is a <= len(terms)-row broadcast. Ranks come from
-    deterministic (score DESC, doc_id) orderings, so fusion is
-    reproducible across engines and partitionings."""
-    docs = docs_fanned(spark, sf_dir)
-    lex = lm.bm25_topk(docs, BM25_QUERY_TERMS, k=HYBRID_CAND).select(
-        "doc_id", F.col("rank").alias("lex_rank")
-    )
+    fused score. Ranks come from deterministic (score DESC, doc_id)
+    orderings, so fusion is reproducible across engines and
+    partitionings.
 
-    toks = docs.select(
+    ONE corpus pass (r12 optimization, guide §5): the round-11 form
+    tokenized the corpus FOUR times — the BM25 branch scanned its
+    tf/dl projection twice (global stats agg + score join) and the
+    dense branch recomputed the exploded (doc, bucket) aggregation for
+    each of its two consumers (norms + dots). Both branches need only
+    per-(doc, bucket) counts and per-doc term frequencies, so a single
+    explode+aggregate now produces a persisted frame of
+    O(docs × {_FH_DIM}) narrow rows carrying the feature count AND the
+    per-term tf partials; everything downstream (BM25 tf/dl/df/avgdl,
+    feature norms, query dots) derives from it. Zero-token documents
+    (present in the old BM25 base with dl=0, absent from the exploded
+    stream) are restored by a doc_id-only left join so the BM25
+    N/df/avgdl statistics and candidate set stay IDENTICAL; the score
+    expression is reused verbatim via functions/lm.bm25_rank_from_tf,
+    so the float arithmetic is bit-identical."""
+    docs = docs_fanned(spark, sf_dir)
+
+    bucket = (text.h64(F.col("tok")) % _FH_DIM).cast("int")
+    ex = docs.select(
         "doc_id", F.explode(text.tokens("text")).alias("tok")
     ).filter(F.col("tok") != "")
-    bucket = (text.h64(F.col("tok")) % _FH_DIM).cast("int")
-    feats = (
-        toks.select("doc_id", bucket.alias("b"))
+    feats_tf = cached_generation(
+        spark,
+        "hybrid_feats",
+        ex.select("doc_id", bucket.alias("b"), "tok")
         .groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.when(F.col("tok") == F.lit(term), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"__tfp{i}")
+                for i, term in enumerate(BM25_QUERY_TERMS)
+            ],
+        ),
+    )
+    feats = feats_tf.select("doc_id", "b", "n")
+
+    # BM25 branch: per-doc dl/tf from the shared frame; zero-token docs
+    # restored with dl=0/tf=0 exactly as the array-filter form emitted
+    # them (they score 0.0 and participate in N).
+    per_doc0 = feats_tf.groupBy("doc_id").agg(
+        F.sum("n").alias("__dl"),
+        *[
+            F.sum(f"__tfp{i}").alias(f"__tf{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    per_doc = (
+        docs.select("doc_id")
+        .join(per_doc0, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("__dl", F.lit(0)).cast("int").alias("dl"),
+            *[
+                F.coalesce(f"__tf{i}", F.lit(0)).cast("int").alias(f"tf{i}")
+                for i in range(len(BM25_QUERY_TERMS))
+            ],
+        )
+    )
+    lex = lm.bm25_rank_from_tf(per_doc, len(BM25_QUERY_TERMS), k=HYBRID_CAND).select(
+        "doc_id", F.col("rank").alias("lex_rank")
     )
     qtoks = spark.createDataFrame(
         [(tm,) for tm in BM25_QUERY_TERMS], ["tok"]
