@@ -51,7 +51,9 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank(
+    edges: DataFrame, iterations: int = 3, checkpoint_interval: int = 4
+) -> DataFrame:
     """Integer-arithmetic PageRank over a simple directed graph with no
     dangling nodes (every node has out-edges — true for symmetric
     graphs like :func:`copurchase_edges`).
@@ -105,9 +107,16 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .select("node", (base + F.col("__in")).alias("rank"))
         )
         # The rank vector is O(nodes) — tiny next to the edge set.
-        # Truncating its lineage each round keeps iteration t from
-        # replanning (and under AQE re-running) iterations 1..t-1.
-        if i < iterations - 1:
+        # Truncating its lineage periodically keeps a LONG loop's plan
+        # (and driver re-planning) bounded — but each eager checkpoint
+        # is a full extra job + materialization, and a short fixed
+        # power-iteration nests fine as one lazy multi-stage job (each
+        # iteration's output has exactly one consumer, so nothing
+        # recomputes). Per-iteration checkpoints cost the registered
+        # 3-iteration query ~1.1 s of its 3.4 s at sf0.1 (r12 A/B,
+        # min-of-3, identical top-100 asserted); every
+        # ``checkpoint_interval`` rounds keeps the long-loop discipline.
+        if i < iterations - 1 and (i + 1) % checkpoint_interval == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
@@ -283,16 +292,43 @@ def label_propagation(
     labels = adj.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    # Argmax by (count DESC, label ASC) as max() of ONE bigint:
+    # v = c * 2^32 + (2^32-1 - lbl). max(struct) plans as a
+    # SortAggregate (struct buffers are not hash-agg mutable), which
+    # cost a second full sort+exchange of the vote stream per round;
+    # max(long) is a plain codegen HashAggregate. The packing is exact
+    # while 0 <= lbl < 2^32 and c < 2^30 — guarded per row by
+    # assert_true (one branch, codegen), so out-of-range labels fail
+    # loudly instead of voting wrong. The explicit repartition by node
+    # lets BOTH aggregations ride one exchange (hash(node) satisfies
+    # the (node, lbl) clustering), halving the per-round shuffles; the
+    # map-side combine it forgoes is a no-op on a mixing graph (one
+    # vote per (node, lbl) per neighbor).
+    _shift = F.lit(1 << 32).cast("long")
+    _mask = F.lit((1 << 32) - 1).cast("long")
     prev_fp: tuple[int, int] | None = None
     for _ in range(rounds):
         nl = adj.join(
             labels.select(F.col("node").alias("dst"), "lbl"), "dst"
         ).select(F.col("src").alias("node"), "lbl")
-        cnt = nl.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        cnt = (
+            nl.repartition("node")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        packed = F.when(
+            F.assert_true(
+                (F.col("lbl") >= 0)
+                & (F.col("lbl") <= _mask)
+                & (F.col("c") < F.lit(1 << 30)),
+                F.lit("label_propagation: label/count outside packed-argmax range"),
+            ).isNull(),
+            F.col("c") * _shift + (_mask - F.col("lbl")),
+        )
         labels = (
             cnt.groupBy("node")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("m"))
-            .select("node", (-F.col("m.nl")).alias("lbl"))
+            .agg(F.max(packed).alias("m"))
+            .select("node", (_mask - (F.col("m") % _shift)).alias("lbl"))
         )
         if early_exit:
             labels = labels.localCheckpoint(eager=True)
