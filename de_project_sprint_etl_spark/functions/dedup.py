@@ -510,6 +510,7 @@ def dup_groups(
     id_b: str = "id_b",
     max_iter: int = 25,
     algorithm: str = "label_prop",
+    simple_pairs: bool = False,
 ) -> DataFrame:
     """Assemble near-duplicate pairs into groups: connected components
     by iterative min-label propagation, i.e. what a dedup pipeline
@@ -528,6 +529,17 @@ def dup_groups(
     graphs) where label propagation pays O(diameter) rounds. Both
     algorithms return identical rows (pinned in tests).
 
+    ``simple_pairs=True`` asserts the input is already one DISTINCT row
+    per unordered pair with ``id_a < id_b`` (every registered pair
+    producer — the LSH banders' ``dropDuplicates`` + ``a.id < b.id``
+    join, the cosine single-bucket join, PPJoin's final ``distinct`` —
+    guarantees this): the symmetrized edge set is then distinct by
+    construction and the collapse skips a full shuffle + hash aggregate
+    of the edge set (r12). Unlike ``graph.triangle_count``'s
+    ``simple_symmetric``, a violated invariant here cannot corrupt the
+    output — min-label propagation is idempotent under duplicate
+    edges — it only wastes the work the flag saves.
+
     Output: ``id, group_id, group_size`` for every vertex in ``pairs``
     (``group_id`` = min id in the component).
     """
@@ -538,19 +550,17 @@ def dup_groups(
     # symmetrize with one explode, not union(fwd, rev): a union scans the
     # upstream pair pipeline (often an expensive similarity join) once
     # per branch, an explode scans it once.
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(id_a).alias("s"), F.col(id_b).alias("d")),
-                    F.struct(F.col(id_b).alias("s"), F.col(id_a).alias("d")),
-                )
-            ).alias("e")
-        )
-        .select("e.s", "e.d")
-        .distinct()
-        .persist()
-    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("s"), F.col(id_b).alias("d")),
+                F.struct(F.col(id_b).alias("s"), F.col(id_a).alias("d")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
+    if not simple_pairs:
+        edges = edges.distinct()
+    edges = edges.persist()
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()

@@ -2434,7 +2434,7 @@ def q_dup_cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_project_sprint_etl_spark.plans.llm import minhash_pairs, mutant_stats
 
     pairs = minhash_pairs(spark, sf_dir)
-    groups = dedup.dup_groups(pairs).select("id", "group_id")
+    groups = dedup.dup_groups(pairs, simple_pairs=True).select("id", "group_id")
     q = mutant_stats(spark, sf_dir).select(
         F.col("doc_id"),
         F.col("quality_score").cast("decimal(18,6)").alias("qd"),

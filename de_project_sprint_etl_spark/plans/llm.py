@@ -783,7 +783,9 @@ def dup_groups_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "mh_groups_snap",
-        lambda: dedup.dup_groups(minhash_pairs_snapshot(spark, sf_dir)),
+        lambda: dedup.dup_groups(
+            minhash_pairs_snapshot(spark, sf_dir), simple_pairs=True
+        ),
     )
 
 
@@ -812,7 +814,12 @@ def refresh_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("id_b") >= MUT_OFFSET)
             .select("id_a", "id_b")
         )
-        dedup.dup_groups(star.unionByName(new_pairs)).write.mode(
+        # star edges are (group_id < id, one row per member); new pairs
+        # are distinct with id_b >= MUT_OFFSET > every snapshot id, so the
+        # union stays one distinct row per unordered pair with id_a < id_b
+        dedup.dup_groups(
+            star.unionByName(new_pairs), simple_pairs=True
+        ).write.mode(
             "overwrite"
         ).parquet(str(path))
 
@@ -1530,7 +1537,7 @@ def q_near_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw documents with a recursive CTE."""
     from de_project_sprint_etl_spark.functions import guards
 
-    groups = dedup.dup_groups(minhash_pairs(spark, sf_dir))
+    groups = dedup.dup_groups(minhash_pairs(spark, sf_dir), simple_pairs=True)
     drop = groups.filter(F.col("id") != F.col("group_id")).select(
         F.col("id").alias("doc_id")
     )
@@ -1588,7 +1595,7 @@ def q_near_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both inputs are written stage artifacts — the candidate pairs and
     # the attributes table (quality scored once per corpus): the
     # keep-best pass composes them with CC + the group-best window
-    groups = dedup.dup_groups(minhash_pairs(spark, sf_dir))
+    groups = dedup.dup_groups(minhash_pairs(spark, sf_dir), simple_pairs=True)
     q = mutant_stats(spark, sf_dir).select("doc_id", "quality_score")
     lab = q.join(
         guards.gated_broadcast(groups, "near_dedup_keep_best dup groups"),
@@ -1939,7 +1946,8 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.cosine_near_dup_pairs(
         emb_with_copies(spark, sf_dir), PLANES, min_cos=0.95
     )
-    return dedup.dup_groups(pairs)
+    # single-bucket LSH join emits one distinct row per pair, id_a < id_b
+    return dedup.dup_groups(pairs, simple_pairs=True)
 
 
 _QP = [0.25, 0.5, 0.75, 0.95]
