@@ -59,7 +59,7 @@ from de_project_sprint_etl_spark.plans.testdata import (
     SQL_WEEKS,
     events_df,
     t,
-    weeks_dim,
+    weeks_dim_cached,
 )
 from de_project_sprint_etl_spark.plans.warehouse import q_scd2_customer_priority
 
@@ -267,7 +267,14 @@ def q_scd2_weeks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from").cast("date").alias("vf"),
         F.col("valid_to").cast("date").alias("vt_raw"),
     )
-    weeks = weeks_dim(spark, sf_dir)
+    # the cached week-dim artifact (same rows as the live build — the
+    # calendar_weeks job's own output): the grid construction below
+    # consumes the weeks frame from SIX subtrees (wk feeds bounds /
+    # mondays / glo / ghi, and each sweep's period grid scans it
+    # again), and the live form re-ran the 3-table date-union scan +
+    # global window for every one of them (r12; the rest of the
+    # retention/cohort tier already reads this artifact)
+    weeks = weeks_dim_cached(spark, sf_dir)
     # Interval → [p_lo, p_hi] period range by BROADCAST EQUI-JOIN on the
     # interval endpoint's Monday against a complete-Monday grid, ±1 edge
     # correction — NOT a per-row scan of a week array. The round-3..10

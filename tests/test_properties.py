@@ -357,7 +357,7 @@ def test_scd2_weeks_overlap_sweepline_matches_naive(spark, intervals, dates):
 
     with patch.object(
         analytics, "q_scd2_customer_priority", lambda s, d: dim_df
-    ), patch.object(analytics, "weeks_dim", lambda s, d: weeks_df):
+    ), patch.object(analytics, "weeks_dim_cached", lambda s, d: weeks_df):
         got = {
             (r.period, r.priority): (r.n_versions, r.n_customers)
             for r in analytics.q_scd2_weeks_overlap(spark, "x").collect()
