@@ -1946,8 +1946,14 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.cosine_near_dup_pairs(
         emb_with_copies(spark, sf_dir), PLANES, min_cos=0.95
     )
-    # single-bucket LSH join emits one distinct row per pair, id_a < id_b
-    return dedup.dup_groups(pairs, simple_pairs=True)
+    # NOT simple_pairs: these pairs are an INLINE cosine join, and the
+    # distinct's exchange right-sizes the persisted edge frame the CC
+    # rounds rescan (the explode would inherit the join's output
+    # partitioning - measured r12: 2x the partitions, consistently
+    # 2-15x the bench-context wall on this iterative query); the
+    # artifact-backed callers, whose edge frame inherits a small
+    # parquet scan's splits, do skip the dedup shuffle
+    return dedup.dup_groups(pairs)
 
 
 _QP = [0.25, 0.5, 0.75, 0.95]
