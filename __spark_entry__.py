@@ -61,71 +61,66 @@ def entry(spark: SparkSession) -> DataFrame:
 # alphabetically from the next-oldest tier. The inline comments below
 # carry the current round's composition.
 GATE_PRIORITY = [
-    # (a) round-11 newcomers — first external attestation
-    "incremental_exact_pair_refresh",
-    "incremental_time_travel",
-    "incremental_upsert_orders",
-    "incremental_delete_where",
-    "incremental_schema_evolution",
-    "incremental_changes_feed",
-    "streaming_view_ingest",
-    # (b) plans changed in round 11 after their r10 attestation: the
-    # three refreshers now read manifest-gated in-place views
-    # (base-referencing union/anti-join plans), and the packer's
-    # sharded rank gained tie-group sub-sharding
-    "incremental_pair_refresh",
-    "incremental_attributes_refresh",
+    # (a)+(b) round-12 optimization pass: queries whose PLANS changed
+    # (hybrid single-tokenization rewrite + bm25 scoring-core split,
+    # LPA packed argmax, pagerank checkpoint cadence, scd2 cached week
+    # dim, dup_groups simple_pairs at the artifact-backed sites and the
+    # star-contraction refresh builder) plus the three the r11 verdict
+    # named for re-attestation (scd2_weeks_overlap, dedup_groups,
+    # near_dedup_keep_best)
+    "scd2_weeks_overlap",
+    "dedup_groups",
+    "near_dedup_keep_best",
+    "hybrid_rrf_retrieval",
+    "bm25_topk_docs",
+    "label_propagation_communities",
+    "pagerank_copurchase",
+    "near_dedup_filter",
+    "dup_cluster_quality_report",
     "incremental_group_refresh",
-    "pack_assign_greedy",
-    # (c) the full r5-attested tier — oldest in the registry
-    # (44 queries; clears the tier, max attestation age drops to r6)
-    "chunk_documents_udtf",
-    "daily_metric_corr_matrix",
-    "dataset_split_assign",
-    "dataset_split_sizes",
-    "dq_check_orders",
-    "embedding_mrl_truncate",
-    "embedding_random_projection",
-    "events_debounce",
-    "feature_hash_docs",
-    "incremental_exact_dedup",
-    "k_anonymity_orders",
-    "levenshtein_near_dup",
-    "listagg_customer_years",
-    "media_from_files",
-    "media_resize",
-    "median_order_value_by_status",
-    "mode_priority_by_status",
-    "one_hot_event_types",
-    "pack_sequences",
-    "phrase_search",
-    "pivot_status_revenue",
-    "pq_adc_topk",
-    "pq_encode_embeddings",
-    "pysource_user_totals",
-    "range_window_user_value",
-    "running_balance_clamped",
-    "seasonal_naive_backtest",
-    "standard_scale_event_values",
-    "streaming_exact_dedup",
-    "streaming_retention_compact",
-    "table_diff_orders",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipping_lateness",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_parts_supplier_counts",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q6_forecast_revenue",
-    "triangle_count_copurchase",
+    # (c) the five r5-attested leftovers (oldest tier; clears r5)
     "unpivot_lineitem_measures",
     "variant_json_stats",
     "vocab_growth_curve",
-    # (d) six r11 newcomers displaced the r6 filler and the five
-    # alphabetically-last r5-tier queries (unpivot_lineitem_measures,
-    # variant_json_stats, vocab_growth_curve, window_rank_functions,
-    # winsorize_event_values stay r5-attested — the only leftovers;
-    # front them in r12's rotation)
+    "window_rank_functions",
+    "winsorize_event_values",
+    # (d) alphabetical top-up from the r6 tier (35 of its 49; the 14
+    # alphabetically-last r6 names remain for the r13 rotation)
+    "attribution_model_compare",
+    "bloom_semijoin_filter",
+    "bpe_merge_candidates",
+    "bpe_token_accounting",
+    "broadcast_hint_sqltext",
+    "chi2_token_lang",
+    "cohort_ltv_curve",
+    "cooccurrence_lift",
+    "daily_metric_correlation",
+    "delivery_latency_percentiles",
+    "distribution_match_sample",
+    "dup_group_size_histogram",
+    "event_journeys",
+    "event_transition_matrix",
+    "events_dow_hour_heatmap",
+    "events_ewma_value",
+    "events_hourly_ohlc",
+    "events_rollup_cascade",
+    "events_sliding_agg",
+    "events_time_weighted_avg",
+    "forget_user_impact",
+    "funnel_bounded_conversion",
+    "group_aware_split",
+    "impute_event_values",
+    "inter_event_gap_histogram",
+    "item_cf_similarity",
+    "label_encode_sources",
+    "mad_outliers_event_values",
+    "match_recognize_funnel",
+    "mixture_sample_temperature",
+    "orders_price_equidepth",
+    "orders_price_histogram",
+    "orders_table_checksum",
+    "pack_sequences_text",
+    "pandas_trimmed_mean_price",
 ]
 
 
